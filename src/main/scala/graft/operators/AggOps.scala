@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators from SURVEY §2.4/2.5.
+  *
+  * All of these are single-shuffle hash aggregates with map-side partial
+  * aggregation; none collect to the driver. Money/quantity sums go
+  * through DECIMAL(18,2) so results are order-independent and exact —
+  * a double sum over shuffled partitions is not reproducible run-to-run,
+  * which breaks both oracle comparison and downstream equality joins.
+  */
+object AggOps {
+
+  /** Exact decimal sum surfaced as double: deterministic across partition
+    * orders (decimal addition is associative), comparable across engines. */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** A2/A4/A5/A11 — status-matrix count: GROUP BY groupCols → count
+    * (`qcfractal/components/base_dataset_socket.py:207-219`,
+    * `serverinfo/socket.py:682-689`). */
+  def statusMatrix(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** A6 — multi-percentile summary per group
+    * (`qcfractal/components/serverinfo/socket.py:494-531`): count/min/max +
+    * exact percentiles (.25/.5/.75/.95) of a measure. Spark's `percentile`
+    * is the exact (sort-based) one — matches `percentile_disc/cont`
+    * semantics needed for oracle parity, unlike approx_percentile. */
+  def percentileSummary(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      expr(s"percentile($valueCol, 0.25D)").as("p25"),
+      expr(s"percentile($valueCol, 0.5D)").as("p50"),
+      expr(s"percentile($valueCol, 0.75D)").as("p75"),
+      expr(s"percentile($valueCol, 0.95D)").as("p95"))
+  }
+
+  /** A7/F2 — time-bucketed group key: UTC day or hour string
+    * (`serverinfo/socket.py:477-492`). */
+  def timeBucket(ts: Column, perHour: Boolean): Column =
+    date_format(ts, if (perHour) "yyyy-MM-dd HH" else "yyyy-MM-dd")
+
+  /** A8/F4 — JSON-extract rollup: sum a JSON numeric field per day
+    * (`serverinfo/socket.py:652-679`). */
+  def jsonSumByDay(df: DataFrame, tsCol: String, jsonCol: String,
+                   path: String): DataFrame =
+    df.withColumn("day", timeBucket(col(tsCol), perHour = false))
+      .withColumn("v", coalesce(get_json_object(col(jsonCol), path).cast("long"), lit(0L)))
+      .groupBy(col("day")).agg(sum(col("v")).as("total"))
+
+  /** A9 — per-group sorted distinct set, surfaced as a canonical CSV string
+    * (the reference's `array_agg(status)` subset tests,
+    * `qcfractal/components/services/socket.py:170-227`). collect_set is
+    * unordered; sort_array makes it deterministic. */
+  def sortedDistinctCsv(c: Column): Column =
+    concat_ws(",", sort_array(collect_set(c)))
+
+  /** A10/W3 — DISTINCT ON: first row per group by explicit order
+    * (`base_dataset_socket.py:344-360`). One shuffle, rank prune. */
+  def distinctOn(df: DataFrame, partitionCols: Seq[String],
+                 orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

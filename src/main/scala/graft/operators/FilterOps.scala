@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Predicate builders from SURVEY §2.2 — the reference's query-socket
+  * filter surface (P1-P10) as composable `Column`s. All are plain Catalyst
+  * expressions, so they push down to the parquet scan where possible.
+  */
+object FilterOps {
+
+  /** P2 — IN-list. */
+  def inList[T](c: Column, values: Seq[T]): Column = c.isin(values: _*)
+
+  /** P3 — inclusive datetime range (`record_socket.py:281-288`).
+    * Either bound optional. */
+  def dateRange(c: Column, after: Option[String], before: Option[String]): Column = {
+    val lo = after.map(a => c >= lit(a).cast("timestamp"))
+    val hi = before.map(b => c <= lit(b).cast("timestamp"))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** P4/P5 — JSON key-value containment over a JSON string column:
+    * AND over required (key, value) pairs, mirroring JSONB `@>`
+    * (`singlepoint/record_socket.py:355-359`, `molecules/socket.py:257-262`). */
+  def jsonContains(jsonCol: Column, required: Map[String, String]): Column =
+    required.map { case (k, v) => get_json_object(jsonCol, s"$$.$k") === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** P6 — array subset: `programs ?& keys` (column has ALL of `keys`)
+    * (`managers/socket.py:308-319`). */
+  def hasAll(arrCol: Column, keys: Seq[String]): Column =
+    size(array_except(array(keys.map(lit): _*), arrCol)) === 0
+
+  /** P6 — array overlap: `compute_tags && tags`. */
+  def overlaps(arrCol: Column, tags: Seq[String]): Column =
+    arrays_overlap(arrCol, array(tags.map(lit): _*))
+
+  /** P7 — tuple-IN over multiple columns via OR-of-ANDs (null-safe like the
+    * reference's fallback, `db_socket/helpers.py:257-293`). For large tuple
+    * sets, join against a literal DataFrame instead. */
+  def tupleIn(cols: Seq[Column], tuples: Seq[Seq[Any]]): Column =
+    tuples.map { t =>
+      cols.zip(t).map { case (c, v) =>
+        if (v == null) c.isNull else c <=> lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** P9 — lowercase normalization at compare time. */
+  def lowerEq(c: Column, v: String): Column = lower(c) === v.toLowerCase
+}

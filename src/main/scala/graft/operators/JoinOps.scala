@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join-shaped operators from SURVEY §2.3.
+  *
+  * The reference's join surface (J1-J13) is conditional SQLAlchemy join
+  * construction; here each shape is a reusable DataFrame combinator. Dim
+  * tables (specs, users, regions...) are broadcast; record-scale joins
+  * shuffle on their equi-keys and AQE handles skew at scale.
+  */
+object JoinOps {
+
+  /** J7 — the dataset `submit` anti-join: the entry × specification matrix
+    * minus already-materialized items = records still to create
+    * (`qcfractal/components/base_dataset_socket.py:1333-1435`).
+    *
+    * `entries` and `specs` are dataset-scoped dims; their cross join is
+    * |E|×|S| but never materialized wider than the anti-join output. The
+    * existing-items side is the big one at scale — keep it as the probe
+    * side: broadcast the (small) matrix when it fits, else shuffle on the
+    * composite key.
+    */
+  def submitMissing(entries: DataFrame, specs: DataFrame,
+                    existing: DataFrame, keys: Seq[String]): DataFrame =
+    entries.crossJoin(specs)
+      .join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** J8/J9 — dedup insert: split an incoming batch into rows that are new
+    * vs rows whose key already exists
+    * (`qcfractal/db_socket/helpers.py:644-813`, INSERT .. ON CONFLICT).
+    * In-batch duplicates keep the first occurrence by `orderCol` (the
+    * reference keeps the first by input index).
+    * Returns (toInsert, existingMatched).
+    */
+  def dedupInsert(batch: DataFrame, existing: DataFrame, keys: Seq[String],
+                  orderCol: String): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val firstPerKey = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val exKeys = existing.select(keys.map(col): _*)
+    val toInsert = firstPerKey.join(exKeys, keys, "left_anti")
+    val matched  = batch.join(exKeys, keys, "left_semi")
+    (toInsert, matched)
+  }
+
+  /** J13 — iterative parent/child closure (BFS to fixpoint), the Spark
+    * form of the reference's Python BFS loop
+    * (`qcfractal/components/record_socket.py:210-236`).
+    *
+    * `edges(parentCol, childCol)`; returns (root, descendant) pairs.
+    * Each iteration is one shuffle join of the (shrinking) frontier
+    * against the edge table; the loop terminates when the frontier is
+    * empty or `maxIter` is hit. Frontiers are localCheckpointed so the
+    * plan does not grow linearly with depth (lineage blow-up is the
+    * classic iterative-join failure mode at scale).
+    */
+  def closure(edges: DataFrame, roots: DataFrame, rootCol: String,
+              parentCol: String, childCol: String, maxIter: Int = 30): DataFrame = {
+    val e = edges.select(col(parentCol), col(childCol))
+    var frontier = roots.select(col(rootCol).as("root"), col(rootCol).as("node"))
+      .localCheckpoint(eager = true)
+    var acc = frontier.filter(lit(false)) // empty (root, node)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier.join(e, frontier("node") === e(parentCol))
+        .select(col("root"), col(childCol).as("node"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else { acc = acc.union(next); frontier = next }
+      i += 1
+    }
+    acc.distinct()
+  }
+}

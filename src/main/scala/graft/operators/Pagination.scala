@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyset (cursor) pagination — SURVEY §2 O1-O5.
+  *
+  * The reference paginates every query socket with
+  * `WHERE id < cursor ORDER BY id DESC LIMIT n`
+  * (`qcfractal/components/record_socket.py:324-335` and every other
+  * `query` socket). On Spark this compiles to a pushed-down parquet filter
+  * plus `TakeOrderedAndProject` — no full sort, no global shuffle: each
+  * task keeps a size-n heap and the driver merges, so a page costs
+  * O(scan + n) regardless of table size.
+  */
+object Pagination {
+
+  /** One keyset page (O1). `cursor=None` means first page. */
+  def keysetPage(df: DataFrame, idCol: String, cursor: Option[Long],
+                 limit: Int, descending: Boolean = true): DataFrame = {
+    val id = col(idCol)
+    val filtered = cursor match {
+      case Some(c) if descending => df.filter(id < c)
+      case Some(c)               => df.filter(id > c)
+      case None                  => df
+    }
+    val ordered =
+      if (descending) filtered.orderBy(id.desc) else filtered.orderBy(id.asc)
+    ordered.limit(limit)
+  }
+
+  /** Server-side limit clamp (O3): min(maxLimit, requested). */
+  def clampLimit(maxLimit: Int, requested: Option[Int]): Int =
+    requested.fold(maxLimit)(math.min(maxLimit, _))
+
+  /** Input-order restoration (S1/O5): fetch rows for `ids` preserving the
+    * request order, missing ids dropped (the reference yields None — a
+    * left join from the ids frame keeps that behavior if needed).
+    * `array_position` against the literal list gives the sort key without
+    * a driver-side loop. For huge id lists, join against an indexed ids
+    * DataFrame instead (posexplode) — same plan shape, no literal bloat. */
+  def fetchInOrder(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame = {
+    val idArray = array(ids.map(lit): _*)
+    df.filter(col(idCol).isin(ids: _*))
+      .withColumn("__pos", array_position(idArray, col(idCol)))
+      .orderBy(col("__pos"))
+      .drop("__pos")
+  }
+}
