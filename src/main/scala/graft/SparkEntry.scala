@@ -20,7 +20,11 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] = Seq(
     CoreRelational,
-    RelationalExtended)
+    RelationalExtended,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.SimHash64
+
+/** Deduplication queries over `documents`. The doubled batch (each doc
+  * unioned with a shifted-id copy) plants exact duplicates so every dedup
+  * path has guaranteed positives to find.
+  *
+  * `dd_exact` and `dd_ngram_jaccard` are oracle-checked; `dd_minhash` and
+  * `dd_simhash` use engine-specific 64-bit hashes (xxhash64 / FNV simhash)
+  * that no SQL oracle reproduces → rows-only checks, with the exact-Jaccard
+  * query as their semantic cross-check. */
+object DedupQueries extends QuerySet {
+
+  private val COPY_OFFSET = 1000000L
+
+  private def doubled(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.withColumn("doc_id", col("doc_id") + COPY_OFFSET))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: first-id-wins per content hash over the doubled batch.
+    "dd_exact" -> ((s, dir) => {
+      Dedup.exactDedup(doubled(s, dir), "doc_id", Seq(col("text")))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact token-set Jaccard, top-100 most-similar pairs (bounded subset).
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      Dedup.tokenJaccardPairs(docs, "doc_id", "text")
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // MinHash+LSH near-dup candidates with exact-Jaccard verification.
+    // No SQL oracle (xxhash64-based) — planted duplicates guarantee that
+    // every doc pairs with its copy at jaccard=1.0.
+    "dd_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(doubled(s, dir), "doc_id", "text",
+          shingleN = 2, k = 16, bands = 8, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup: native simhash64 expression, 16-bit band join,
+    // Hamming <= 4 verify. No SQL oracle (FNV/simhash is engine-specific).
+    "dd_simhash" -> ((s, dir) => {
+      val sh = doubled(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))
+      val chunks = sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("c"))
+        .select(col("doc_id"), col("sh"), col("c.band"), col("c.bh"))
+      val a = chunks.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bh"))
+      val b = chunks.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bh"))
+      a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          SimHash64.hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 4)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id, md5(text) AS content_hash
+        |FROM batch
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |ex AS (SELECT id, unnest(toks) AS tok FROM toks),
+        |sizes AS (SELECT id, len(toks) AS n FROM toks),
+        |inter AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+        |  FROM ex x JOIN ex y ON x.tok = y.tok AND x.id < y.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Vectors
+
+/** Similarity-search queries over `embeddings` (Array[Float] vectors).
+  * Brute-force cosine top-k and ranked near-dup pairs are oracle-checked;
+  * SRP-LSH is the scale path (rows-only — bucket hashes are
+  * engine-specific). */
+object SimilarityQueries extends QuerySet {
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("c_vec"))
+
+  private def queriesDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force cosine top-5 per query vector.
+    "sim_knn_brute" -> ((s, dir) => {
+      Vectors.bruteForceKnn(queriesDf(s, dir, 10), corpus(s, dir), k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Ranked embedding near-dup pairs (top-50 by cosine, bounded subset).
+    "sim_embcos_pairs" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("score", round(Vectors.cosine(col("va"), col("vb")), 6))
+        .select(col("id_a"), col("id_b"), col("score"))
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // SRP-LSH bucketed ANN: same contract as sim_knn_brute but only
+    // bucket-local candidates (recall < 1, cost /2^bits). Rows-only check.
+    "sim_knn_lsh" -> ((s, dir) => {
+      Vectors.lshKnn(queriesDf(s, dir, 10), corpus(s, dir), dim = 64, bits = 4, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(qe, e), 6) AS score
+        |  FROM q JOIN v ON vec_id <> q_id)
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_embcos_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS score
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |ORDER BY score DESC, id_a, id_b
+        |LIMIT 50""".stripMargin
+  )
+}

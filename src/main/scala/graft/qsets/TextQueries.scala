@@ -1,0 +1,113 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over the `documents` table: token counting,
+  * quality scoring, language-ID, fingerprinting. All oracle-checked. */
+object TextQueries extends QuerySet {
+
+  private val stops = Seq("the", "a", "of")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace + BPE-ish regex grain.
+    "tx_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("n_ws"),
+        bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/stopword/punctuation heuristics.
+    "tx_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        avgTokenLen(col("text")).as("avg_tok_len"),
+        stopwordRatio(col("text"), stops).as("stop_ratio"),
+        punctCount(col("text")).as("punct_cnt"),
+        qualityScore(col("text"), stops).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID: marker-word votes + deterministic argmax, compared
+    // against the declared lang column.
+    "tx_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang").as("declared"),
+        langScore(col("text"), Seq("the", "a", "of")).as("score_en"),
+        langScore(col("text"), Seq("la", "el", "de")).as("score_es"),
+        langScore(col("text"), Seq("der", "und", "die")).as("score_de"),
+        langPredict(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Order-insensitive document fingerprint (sorted distinct token sha).
+    "tx_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tx_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS avg_tok_len,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> list_contains(['the','a','of'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |    CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(text) AS DOUBLE) AS L
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, punct_cnt,
+        |  least(L/500.0, 1.0)*0.4 + least(stop_ratio*5.0, 1.0)*0.4
+        |    + (1.0 - least(punct_cnt/L*10.0, 1.0))*0.2 AS quality
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_langid" ->
+      """WITH p AS (SELECT doc_id, lang, concat(' ', text, ' ') AS pt FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(pt)-length(replace(pt,' the ','')))/5 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' a ','')))/3 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' of ','')))/4 AS BIGINT) AS score_en,
+        |    CAST((length(pt)-length(replace(pt,' la ','')))/4 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' el ','')))/4 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' de ','')))/4 AS BIGINT) AS score_es,
+        |    CAST((length(pt)-length(replace(pt,' der ','')))/5 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' und ','')))/5 AS BIGINT)
+        |      + CAST((length(pt)-length(replace(pt,' die ','')))/5 AS BIGINT) AS score_de
+        |  FROM p)
+        |SELECT doc_id, lang AS declared, score_en, score_es, score_de,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+        |       WHEN score_es >= score_de THEN 'es'
+        |       ELSE 'de' END AS predicted
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

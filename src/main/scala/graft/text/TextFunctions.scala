@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristics,
+  * and document fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst built-ins (no UDFs):
+  * at 100 TB these run inside whole-stage codegen directly over the
+  * parquet scan, so throughput is bounded by IO, not lambda dispatch.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * a cheap, deterministic stand-in for a real BPE vocab that tracks
+    * subword counts well enough for budgeting/filtering. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long")
+
+  /** Occurrences of literal substring `s` (length/replace arithmetic —
+    * exact, engine-portable, no regex). */
+  def substrCount(text: Column, s: String): Column =
+    ((length(text) - length(replace(text, lit(s), lit("")))) / lit(s.length)).cast("long")
+
+  /** Fraction of tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = wsTokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks)
+  }
+
+  /** Punctuation-character count and ratio. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^a-z0-9\\s]")).cast("long")
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / length(text)
+
+  /** Mean token length (chars excluding whitespace / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / wsTokenCount(text)
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs with
+    * low punctuation and a natural stopword rate (heuristics in the style
+    * of C4/Gopher quality filters). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 10.0, lit(1.0))
+    (lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2)
+  }
+
+  /** Language-ID votes: count marker-word hits per language over the
+    * space-padded text. Returns the marker hit count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markers.map(m => substrCount(padded, s" $m ")).reduce(_ + _)
+  }
+
+  /** n-gram-heuristic language prediction over fixed marker sets.
+    * Deterministic tie-break: en > es > de. */
+  def langPredict(text: Column): Column = {
+    val en = langScore(text, Seq("the", "a", "of"))
+    val es = langScore(text, Seq("la", "el", "de"))
+    val de = langScore(text, Seq("der", "und", "die"))
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Document fingerprint: sha256 over the sorted distinct token set —
+    * an order-insensitive content key (OpenRefine-style fingerprint).
+    * Word-order-insensitive cousin of the exact-dup hash. */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(wsTokens(text)))), 256)
+
+  /** Word n-gram shingles (distinct), the input to MinHash/Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+  }
+}
