@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{Hashing, SimHash64}
+import graft.operators.JoinOps
+import graft.similarity.Vectors
+import graft.text.TextFunctions
+
+/** Operator-level unit specs: properties the oracle can't express
+  * (hash stability, simhash locality, minhash recall, LSH behavior). */
+class OperatorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("canonical hashes are stable across runs (hash-pinning)") {
+    val got = Seq(("h2o", 2.5)).toDF("name", "mass")
+      .select(
+        Hashing.canonicalHash256(col("name"), col("mass")).as("h256"),
+        Hashing.canonicalHash1(col("name"), col("mass")).as("h1"),
+        Hashing.md5Hash(col("name"), col("mass")).as("hmd5"))
+      .collect()(0)
+    // pinned values — any change to canonicalization breaks dedup keys
+    assert(got.getString(0) === Hashing.sha256Of("h2o2.5".replace('', '')))
+    assert(got.getString(0).length === 64)
+    assert(got.getString(1).length === 40)
+    assert(got.getString(2).length === 32)
+  }
+
+  test("simhash: identical text → identical hash; small edit → small hamming") {
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val edited = base.replace("lazy", "sleepy")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("id", "text")
+      .select(col("id"), SimHash64(col("text")).as("h"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L))
+    val hamming = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+    assert(hamming > 0 && hamming <= 16, s"hamming was $hamming")
+  }
+
+  test("simhash codegen and interpreted paths agree") {
+    val df = Seq(Tuple1("spark native expression check")).toDF("t")
+    val viaExpr = df.select(SimHash64(col("t"))).collect()(0).getLong(0)
+    val direct = SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("spark native expression check"))
+    assert(viaExpr === direct)
+  }
+
+  test("minhash pairs find planted duplicates with exact jaccard 1.0") {
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"token$i alpha beta gamma delta epsilon zeta eta theta iota"))
+    val planted = docs ++ docs.map { case (id, t) => (id + 100L, t) }
+    val pairs = Dedup.minhashPairs(planted.toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, minJaccard = 0.9).collect()
+    val exact = pairs.filter(_.getAs[Double]("jaccard") == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 20).forall(i => exact.contains((i.toLong, i + 100L))))
+  }
+
+  test("iterative closure reaches all descendants and terminates") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)).toDF("parent", "child")
+    val roots = Seq(Tuple1(1L)).toDF("root_id")
+    val got = JoinOps.closure(edges, roots, "root_id", "parent", "child")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got === Set(2L, 3L, 4L, 5L))
+  }
+
+  test("brute-force knn: self excluded, scores sorted, k respected") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+    val knn = Vectors.bruteForceKnn(queries, corpus, k = 4).collect()
+    assert(knn.length === 12)
+    knn.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.toSeq === scores.sorted.reverse.toSeq)
+      assert(!rows.map(_.getLong(2)).contains(q))
+    }
+  }
+
+  test("text functions: counts and fingerprint invariance") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the"),          // same tokens, different order
+      (3L, "entirely different words here")).toDF("id", "text")
+    val fp = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    val counts = df.select(TextFunctions.wsTokenCount(col("text"))).collect()
+    assert(counts.forall(_.getLong(0) === 4L))
+  }
+}
+
+object HashingTestSupport {
+}
