@@ -42,8 +42,18 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline over (id, text):
-    * shingle → sign → band → bucket-join → exact-Jaccard verify.
+    * shingle → collapse exact dups → sign → band → bucket-join on ids only →
+    * exact-Jaccard verify once per surviving pair → expand back to members.
     * Returns candidate pairs (id_a, id_b, jaccard) with jaccard >= minJaccard.
+    *
+    * Scale shape: the band self-join carries only (band, id) — two longs —
+    * never the shingle arrays, and the distinct that collapses the
+    * bands-per-pair multiplicity runs over (id_a, id_b) long pairs. Exact
+    * duplicates (the dominant cluster type in web corpora) are collapsed to
+    * one representative BEFORE banding, so an m-way identical cluster costs
+    * one signature instead of m²·bands candidate rows; its pairs are
+    * reconstructed at the end with jaccard 1.0. Shingle sets are joined back
+    * exactly once per surviving candidate pair for verification.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
@@ -51,18 +61,54 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
         TextFunctions.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(lshBandHashes(col("sig"), k, bands)))
-    val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"))
-    val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"))
-    val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
-    cand
+
+    // 128-bit content key over the shingle set (64-bit would collide at
+    // billions of docs); one row per distinct content, min-id representative.
+    val keyed = sh.withColumn("chash", Hashing.md5Hash(col("sh")))
+    val groups = keyed.groupBy("chash").agg(
+      min(col("id")).as("rep"),
+      sort_array(collect_list(col("id"))).as("members"),
+      first(col("sh")).as("sh")) // all identical within a chash group
+
+    // band → (band, id) rows only; identical exchanges below are deduped by
+    // Catalyst's ReuseExchange, so `groups` is not recomputed per use.
+    val sig = groups.select(col("rep").as("id"),
+        explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
+    val cand = sig.select(col("id").as("id_a"), col("band"))
+      .join(sig.select(col("id").as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    // verify: shingles join back once per surviving representative pair
+    val shOnly = groups.select(col("rep"), col("sh"))
+    val repPairs = cand
+      .join(shOnly.select(col("rep").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shOnly.select(col("rep").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // expand rep-level matches to every member of both exact-dup groups
+    // (same content → same signature → same bands → same jaccard)
+    val membersOf = groups.select(col("rep"), col("members"))
+    val cross = repPairs
+      .join(membersOf.select(col("rep").as("id_a"), col("members").as("m_a")), "id_a")
+      .join(membersOf.select(col("rep").as("id_b"), col("members").as("m_b")), "id_b")
+      .select(explode(col("m_a")).as("pa"), col("m_b"), col("jaccard"))
+      .select(col("pa"), explode(col("m_b")).as("pb"), col("jaccard"))
+      .select(least(col("pa"), col("pb")).as("id_a"),
+        greatest(col("pa"), col("pb")).as("id_b"), col("jaccard"))
+
+    // pairs inside an exact-dup group: identical content, jaccard 1.0
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("pa"), col("members"))
+      .select(col("pa"), explode(col("members")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("id_a"), col("pb").as("id_b"), lit(1.0).as("jaccard"))
+
+    cross.unionByName(within)
   }
 
   /** Exact token-set Jaccard over all pairs (bounded input!) — the

@@ -21,11 +21,12 @@ class OperatorSpec extends SparkSuite {
         Hashing.canonicalHash1(col("name"), col("mass")).as("h1"),
         Hashing.md5Hash(col("name"), col("mass")).as("hmd5"))
       .collect()(0)
-    // pinned values — any change to canonicalization breaks dedup keys
-    assert(got.getString(0) === Hashing.sha256Of("h2o2.5".replace('', '')))
-    assert(got.getString(0).length === 64)
-    assert(got.getString(1).length === 40)
-    assert(got.getString(2).length === 32)
+    // pinned literal digests of "h2o" + 0x1f + "2.5" — any change to the
+    // canonicalization (separator, field order, float formatting) breaks
+    // dedup keys, so these must never drift
+    assert(got.getString(0) === "8daaa396fc2af60550fd1ba80c327d299ff9d27b1fe83b10a184729d8136a8f0")
+    assert(got.getString(1) === "efbe00bc3c061d390a7f3d9c1b90455c5d8a19ac")
+    assert(got.getString(2) === "c68c1d56534fbf07636500ecf26a7e10")
   }
 
   test("simhash: identical text → identical hash; small edit → small hamming") {
@@ -94,7 +95,4 @@ class OperatorSpec extends SparkSuite {
     val counts = df.select(TextFunctions.wsTokenCount(col("text"))).collect()
     assert(counts.forall(_.getLong(0) === 4L))
   }
-}
-
-object HashingTestSupport {
 }
