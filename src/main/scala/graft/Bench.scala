@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. The timed action is a noop-format write so every
+  * output column is computed and serialized — `count()` would let Catalyst
+  * prune the projections and time only the scan. A warm-up pass over
+  * representative queries absorbs JVM/codegen/parquet-footer warm-up so the
+  * first timed query isn't charged for it. Per-query failures are recorded
+  * as -1 and fail the run (nonzero exit) instead of being swallowed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +17,34 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // warm-up: codegen + parquet footers for the main fact/dim tables
+    Seq("a2_pricing_summary", "j2_revenue_by_region", "f_scalar_suite")
+      .foreach(run)
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.keys.toSeq.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try run(name)
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (failed.headOption.contains(name)) -1.0 else dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

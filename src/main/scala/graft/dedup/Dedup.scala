@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing
 import graft.text.TextFunctions
@@ -58,35 +59,49 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    minJaccard: Double = 0.2): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        TextFunctions.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // tokenize in its own projection (see shinglesFromTokens scaladoc), and
+    // filter on token count BEFORE the shingle projection — a filter on
+    // size(sh) would be pushed below it and recompute the shingles per row
+    val sh = docs
+      .select(col(idCol).as("id"), TextFunctions.wsTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
 
     // 128-bit content key over the shingle set (64-bit would collide at
     // billions of docs); one row per distinct content, min-id representative.
+    // Persisted: five downstream consumers (signature, two verify joins,
+    // two member-expansion joins) would otherwise each recompute the
+    // tokenize+shingle+aggregate subtree — exchange reuse does not cover
+    // the post-aggregate plan, and this is the table a production LSH job
+    // checkpoints anyway.
     val keyed = sh.withColumn("chash", Hashing.md5Hash(col("sh")))
     val groups = keyed.groupBy("chash").agg(
-      min(col("id")).as("rep"),
-      sort_array(collect_list(col("id"))).as("members"),
-      first(col("sh")).as("sh")) // all identical within a chash group
+        min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"),
+        first(col("sh")).as("sh")) // all identical within a chash group
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // band → (band, id) rows only; identical exchanges below are deduped by
-    // Catalyst's ReuseExchange, so `groups` is not recomputed per use.
+    // Candidates via bucket-collect: one pass computes the signature, one
+    // shuffle groups ids per band, pairs explode inside each bucket. (A
+    // band self-join would compute the signature once per join side.)
     val sig = groups.select(col("rep").as("id"),
-        explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
-    val cand = sig.select(col("id").as("id_a"), col("band"))
-      .join(sig.select(col("id").as("id_b"), col("band")), Seq("band"))
+      explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
+    val cand = sig.groupBy("band").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .distinct()
 
-    // verify: shingles join back once per surviving representative pair
+    // verify: shingles join back once per surviving representative pair;
+    // |A∪B| derived from sizes so only the intersection is materialized
     val shOnly = groups.select(col("rep"), col("sh"))
     val repPairs = cand
       .join(shOnly.select(col("rep").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shOnly.select(col("rep").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 

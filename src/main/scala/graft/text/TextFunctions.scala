@@ -81,12 +81,22 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(wsTokens(text)))), 256)
 
-  /** Word n-gram shingles (distinct), the input to MinHash/Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
+  /** Word n-gram shingles (distinct) from a PRE-TOKENIZED array column —
+    * the input to MinHash/Jaccard dedup.
+    *
+    * Takes tokens, not text, on purpose: a `transform` lambda re-evaluates
+    * any non-attribute expression it references once per output element, so
+    * passing `split(text)` here would re-tokenize the document per shingle
+    * (measured 7× slower at sf0.1). Callers materialize tokens in their own
+    * projection first (`select(wsTokens(text) as "toks")`) so the lambda
+    * sees a bound attribute; CollapseProject keeps the boundary because the
+    * producer is non-cheap and referenced more than once. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    // n is a plan-time constant, so the n-gram is built from n element_at
+    // lookups instead of slice(): a slice inside the lambda allocates and
+    // copies a fresh array per output element (measured ~10× slower)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-  }
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + lit(j))): _*))))
 }
