@@ -21,6 +21,8 @@ object SparkEntry {
   private val sets: Seq[QuerySet] = Seq(
     CoreRelational,
     RelationalExtended,
+    PivotAnalytics,
+    RecordsShaped,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

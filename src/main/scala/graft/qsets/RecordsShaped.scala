@@ -1,0 +1,169 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggOps
+import graft.records.{DatasetOps, RecordQueries, RecordQueryFilters, ServiceOps, TaskOps}
+
+/** Records-model operators driven through records/tasks/managers frames
+  * derived deterministically from the TPC-H-ish tables, so every one is
+  * oracle-checkable:
+  *
+  *  - A5 record_type × status counts (`qcfractal/qcfractal/components/
+  *    serverinfo/socket.py:682-689`)
+  *  - A11 overall status rollup (`components/dataset_socket.py:157-186`)
+  *  - J6 dataset-membership filter through the real query compiler
+  *    (`components/record_socket.py:316-322`)
+  *  - X4 waiting-reason diagnostics (`components/record_socket.py:
+  *    1574-1628`)
+  *  - ST2 service-iteration decisions (`components/services/socket.py:
+  *    136-285`)
+  *
+  * Derivation: orders → records (status O/P/F → waiting/running/complete),
+  * lineitem → dataset items / service dependencies, supplier → managers.
+  */
+object RecordsShaped extends QuerySet {
+
+  /** orders as the base_record table. */
+  private def records(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("record_id"),
+      concat(lit("type"), col("o_orderkey") % 3).as("record_type"),
+      when(col("o_orderstatus") === "F", "complete")
+        .when(col("o_orderstatus") === "P", "running")
+        .otherwise("waiting").as("status"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A5 — record_type × status count matrix (raw-SQL rollup shape).
+    "a5_type_status_matrix" -> ((s, dir) => {
+      AggOps.statusMatrix(records(s, dir), Seq("record_type", "status"))
+        .orderBy(col("record_type"), col("status"))
+    }),
+
+    // A11 — per-spec status matrix summed across specifications.
+    "a11_status_rollup" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("record_id"),
+        col("l_linestatus").as("specification_name"))
+      DatasetOps.statusRollup(items, records(s, dir))
+        .orderBy(col("status"))
+    }),
+
+    // J6 — dataset-membership semi-join through the record query compiler
+    // (conditional join construction + keyset page, §3.1 lifecycle).
+    "j6_dataset_membership" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").select(
+        (col("l_suppkey") % 5).as("dataset_id"),
+        col("l_orderkey").as("record_id"))
+      RecordQueries.query(records(s, dir),
+        RecordQueryFilters(datasetId = Seq(2L), limit = Some(100)),
+        datasetItems = Some(items))
+    }),
+
+    // X4 — per-task claimability vs the active manager fleet.
+    "x4_waiting_reasons" -> ((s, dir) => {
+      val tasks = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("task_id"),
+          lit(true).as("available"),
+          concat(lit("tag"), col("o_custkey") % 3).as("compute_tag"),
+          array(lit("prog0"), concat(lit("prog"), col("o_orderkey") % 4))
+            .as("required_programs"))
+      val managers = t(s, dir, "supplier").filter(col("s_suppkey") <= 40)
+        .select(col("s_name").as("name"),
+          when(col("s_suppkey") % 3 === 0, "inactive").otherwise("active").as("status"),
+          when(col("s_suppkey") % 5 === 0, array(lit("*")))
+            .otherwise(array(concat(lit("tag"), col("s_suppkey") % 3))).as("compute_tags"),
+          array(lit("prog0"), concat(lit("prog"), col("s_suppkey") % 4)).as("programs"))
+      TaskOps.waitingReasons(tasks, managers).orderBy(col("task_id"))
+    }),
+
+    // ST2 — service-iteration decision per service over dependency statuses.
+    "st2_service_decision" -> ((s, dir) => {
+      val deps = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("service_id"),
+          when(col("l_returnflag") === "A", "complete")
+            .when(col("l_returnflag") === "R", "error")
+            .otherwise("running").as("status"))
+      ServiceOps.iterationDecisions(deps).orderBy(col("service_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a5_type_status_matrix" ->
+      """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |  CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY record_type, status""".stripMargin,
+
+    "a11_status_rollup" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
+    "j6_dataset_membership" ->
+      """SELECT o_orderkey AS record_id,
+        |  'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |  CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_suppkey % 5 = 2)
+        |ORDER BY record_id DESC
+        |LIMIT 100""".stripMargin,
+
+    "x4_waiting_reasons" ->
+      """WITH tasks AS (
+        |  SELECT o_orderkey AS task_id,
+        |    'tag' || CAST(o_custkey % 3 AS VARCHAR) AS compute_tag,
+        |    ['prog0', 'prog' || CAST(o_orderkey % 4 AS VARCHAR)] AS required_programs
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 2000),
+        |managers AS (
+        |  SELECT
+        |    CASE WHEN s_suppkey % 5 = 0 THEN ['*']
+        |      ELSE ['tag' || CAST(s_suppkey % 3 AS VARCHAR)] END AS compute_tags,
+        |    ['prog0', 'prog' || CAST(s_suppkey % 4 AS VARCHAR)] AS programs
+        |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 3 <> 0),
+        |x AS (
+        |  SELECT t.task_id,
+        |    list_has_all(m.programs, t.required_programs) AS programs_ok,
+        |    (list_contains(m.compute_tags, '*')
+        |      OR list_contains(m.compute_tags, t.compute_tag)) AS tag_ok
+        |  FROM tasks t CROSS JOIN managers m)
+        |SELECT task_id,
+        |  MAX(programs_ok AND tag_ok) AS claimable,
+        |  CAST(SUM(CASE WHEN programs_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_program_matches,
+        |  CAST(SUM(CASE WHEN tag_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_matches
+        |FROM x
+        |GROUP BY task_id
+        |ORDER BY task_id""".stripMargin,
+
+    "st2_service_decision" ->
+      """WITH deps AS (
+        |  SELECT l_orderkey AS service_id,
+        |    CASE l_returnflag WHEN 'A' THEN 'complete'
+        |      WHEN 'R' THEN 'error' ELSE 'running' END AS status
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |agg AS (
+        |  SELECT service_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_deps,
+        |    CAST(SUM(CASE WHEN status IN ('complete','error') THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+        |    CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    array_to_string(list_sort(list_distinct(list(status))), ',') AS statuses
+        |  FROM deps GROUP BY service_id)
+        |SELECT service_id, n_deps, n_done, n_error, statuses,
+        |  CASE WHEN n_done < n_deps THEN 'wait'
+        |    WHEN n_error > 0 THEN 'error'
+        |    ELSE 'iterate' END AS decision
+        |FROM agg
+        |ORDER BY service_id""".stripMargin
+  )
+}
