@@ -23,6 +23,8 @@ object SparkEntry {
     RelationalExtended,
     PivotAnalytics,
     RecordsShaped,
+    SourcesSinks,
+    MoleculeQueries,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

@@ -25,8 +25,8 @@ import graft.records.{DatasetOps, RecordQueries, RecordQueryFilters, ServiceOps,
   */
 object RecordsShaped extends QuerySet {
 
-  /** orders as the base_record table. */
-  private def records(s: SparkSession, dir: String): DataFrame =
+  /** orders as the base_record table (shared by SourcesSinks S4). */
+  private[qsets] def records(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey").as("record_id"),
       concat(lit("type"), col("o_orderkey") % 3).as("record_type"),

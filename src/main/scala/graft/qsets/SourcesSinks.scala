@@ -1,0 +1,85 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Codec
+import graft.sources.{DatasetExport, JsonTables}
+
+/** SURVEY §2.1 sources/sinks beyond parquet scan: S3 JSON ingest, S4
+  * dataset export, F11/S6 compressed blob edge. Each query is a full
+  * round trip — write through the sink, read back through the source,
+  * and the oracle checks the result against the original tables, so a
+  * lossy codec/serializer cannot pass. */
+object SourcesSinks extends QuerySet {
+
+  private def scratch(dir: String, tag: String): String =
+    "/tmp/graft_export/" + tag + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3 — events → JSON lines → schema'd read-back → aggregate. JSON
+    // round-trips timestamps as ISO-8601 UTC and doubles via shortest
+    // round-trip rendering, so the aggregate must match parquet exactly.
+    "s3_json_roundtrip" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val path = scratch(dir, "s3_events")
+      JsonTables.writeJson(events, path)
+      JsonTables.readJson(s, path, events.schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    // S4 — records exported partitioned by record_type, read back with a
+    // type filter (pruned to one partition directory at listing time).
+    "s4_dataset_export" -> ((s, dir) => {
+      val path = scratch(dir, "s4_records")
+      DatasetExport.exportRecords(RecordsShaped.records(s, dir), path)
+      DatasetExport.readRecords(s, path)
+        .filter(col("record_type") === "type1")
+        .groupBy(col("record_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("record_type"), col("status"))
+    }),
+
+    // F11/S6 — compress text into a zstd blob column, decompress at the
+    // edge; output must be byte-identical to the source documents.
+    "f11_codec_roundtrip" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Codec.zstdCompress(col("text")).as("blob"))
+        .select(col("doc_id"),
+          Codec.zstdDecompressToString(col("blob")).as("text"),
+          length(col("blob")).cast("long").as("blob_bytes_nonzero"))
+        .select(col("doc_id"), col("text"),
+          (col("blob_bytes_nonzero") > 0).as("compressed"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s3_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "s4_dataset_export" ->
+      """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |  CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderkey % 3 = 1
+        |GROUP BY 1, 2
+        |ORDER BY record_type, status""".stripMargin,
+
+    "f11_codec_roundtrip" ->
+      """SELECT doc_id, text, TRUE AS compressed
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -20,13 +20,13 @@ object StreamingQueries extends QuerySet {
 
     // ST1/ST2 — flatMapGroupsWithState per-key state machine; final state
     // per key must equal the batch groupBy answer (count + argmax-ts type).
+    // n_events strictly increases per key per emission, so max-n_events is
+    // the converged state under any number of micro-batches.
     "st_stateful_counts" -> ((s, dir) => {
       val table = s"st_state_${System.nanoTime()}"
       val updates = EventStreams.statefulCounts(s, dir, table)
-      // last emission per key = converged state
       graft.operators.AggOps.distinctOn(
-          updates.withColumn("__seq", monotonically_increasing_id()),
-          Seq("user_id"), Seq(col("__seq").desc))
+          updates, Seq("user_id"), Seq(col("n_events").desc))
         .select(col("user_id"), col("n_events"), col("last_type"))
         .orderBy(col("user_id"))
     }),

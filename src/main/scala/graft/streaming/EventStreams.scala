@@ -58,38 +58,48 @@ object EventStreams {
   case class KeyState(n: Long, lastType: String, lastTs: Long)
   case class KeyUpdate(user_id: Long, n_events: Long, last_type: String)
 
+  /** The per-key fold: counts events and tracks the (ts, type)-max event.
+    * Streams the iterator — a hot key's batch is O(1) memory, never
+    * buffered or sorted (the last-event pick is an order-independent max,
+    * so arrival order inside the batch doesn't matter). */
+  private def fold(key: Long, rows: Iterator[(Long, String, Long)],
+                   state: GroupState[KeyState]): Iterator[KeyUpdate] = {
+    val st = state.getOption.getOrElse(KeyState(0L, "", Long.MinValue))
+    var n = st.n; var lastType = st.lastType; var lastTs = st.lastTs
+    while (rows.hasNext) {
+      val r = rows.next()
+      n += 1
+      if (r._3 > lastTs || (r._3 == lastTs && r._2 > lastType)) {
+        lastTs = r._3; lastType = r._2
+      }
+    }
+    state.update(KeyState(n, lastType, lastTs))
+    Iterator.single(KeyUpdate(key, n, lastType))
+  }
+
   /** ST1/ST2 — event-sourced per-key state machine via
-    * flatMapGroupsWithState: folds each user's events (in ts order) into
-    * running state, emitting the final state per key per batch. The same
-    * fold implements the reference's waiting→running→complete transitions
-    * when fed status-change events. */
-  def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame = {
-    import spark.implicits._
-    val events = readEvents(spark, dir)
+    * flatMapGroupsWithState over any (streaming) events frame. Emits one
+    * KeyUpdate per key per micro-batch that touched it; `n_events` is
+    * strictly increasing per key across emissions, so the converged state
+    * is the max-`n_events` row per key — a deterministic selection (a
+    * physical emission-order id would encode partition id, not time). The
+    * same fold implements the reference's waiting→running→complete
+    * transitions when fed status-change events. */
+  def statefulUpdates(events: DataFrame): Dataset[KeyUpdate] = {
+    import events.sparkSession.implicits._
+    events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, String, Long)]
-
-    def fold(key: Long, rows: Iterator[(Long, String, Long)],
-             state: GroupState[KeyState]): Iterator[KeyUpdate] = {
-      var st = state.getOption.getOrElse(KeyState(0L, "", Long.MinValue))
-      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { r =>
-        val last = if (r._3 > st.lastTs || (r._3 == st.lastTs && r._2 > st.lastType))
-          KeyState(st.n + 1, r._2, r._3)
-        else KeyState(st.n + 1, st.lastType, st.lastTs)
-        st = last
-      }
-      state.update(st)
-      Iterator.single(KeyUpdate(key, st.n, st.lastType))
-    }
-
-    val q = events.groupByKey(_._1)
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
-      .toDF()
+  }
+
+  /** Drive statefulUpdates over the events table into a memory sink. */
+  def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val q = statefulUpdates(readEvents(spark, dir)).toDF()
       .writeStream.format("memory").queryName(table)
       .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // Update mode may emit a key several times across micro-batches; the
-    // last emission per key is the current state.
     spark.table(table)
   }
 

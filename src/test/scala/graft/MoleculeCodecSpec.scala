@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Codec, Molecules}
+
+/** Hash-pinning + round-trip fixtures for the molecule fidelity and codec
+  * edges (SURVEY F8-F11) — the reference pins molecule hash values the
+  * same way (`qcarchivetesting/qcarchivetesting/helpers.py:233-241`). */
+class MoleculeCodecSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("molecule hash is pinned (canonicalization must never drift)") {
+    val df = Seq((Seq("C", "H", "H", "O"), (0 until 12).map(_ * 0.5), 0.0, 1))
+      .toDF("symbols", "geometry", "charge", "mult")
+    val h = df.select(Molecules.moleculeHash(
+      col("symbols"), col("geometry"), col("charge"), col("mult"))).collect()(0).getString(0)
+    // sha1 of "c,h,h,o|0.0|1|0.00000000,...,5.50000000"
+    assert(h === "13a68ef69638960292f0b6836095797f41a16734")
+  }
+
+  test("molecule hash ignores sub-1e-8 geometry noise, catches real moves") {
+    val base = (0 until 6).map(_ * 0.5)
+    val noisy = base.updated(2, base(2) + 1e-10)   // below the noise floor
+    val moved = base.updated(2, base(2) + 1e-4)    // a real change
+    val df = Seq(("a", base), ("b", noisy), ("c", moved)).toDF("id", "geometry")
+      .select(col("id"), Molecules.moleculeHash(
+        array(lit("C"), lit("O")), col("geometry"), lit(0.0), lit(1)).as("h"))
+    val hs = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hs("a") === hs("b"))
+    assert(hs("a") !== hs("c"))
+  }
+
+  test("hill formula: C, H, then alphabetical; singleton counts omitted") {
+    val cases = Seq(
+      (Seq("C", "H", "H", "H", "H"), "CH4"),
+      (Seq("H", "H", "O"), "H2O"),
+      (Seq("O", "C", "O"), "CO2"),
+      (Seq("N", "H", "H", "H"), "H3N"),
+      (Seq("Cl", "Na"), "ClNa"),
+      (Seq("C", "C", "H", "H", "H", "H", "H", "H", "O"), "C2H6O"))
+    val df = cases.toDF("symbols", "want")
+      .select(Molecules.hillFormula(col("symbols")).as("got"), col("want"))
+    df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("geometry reshape: (N,3) triples, flatten identity") {
+    val flat = (1 to 9).map(_.toDouble)
+    val df = Seq(Tuple1(flat)).toDF("geometry")
+      .select(Molecules.reshape3(col("geometry")).as("atoms"), col("geometry"))
+    val row = df.select(size(col("atoms")).as("n"),
+      element_at(element_at(col("atoms"), 2), 1).as("x2"),
+      (Molecules.flatten3(col("atoms")) === col("geometry")).as("ok")).collect()(0)
+    assert(row.getInt(0) === 3)
+    assert(row.getDouble(1) === 4.0)
+    assert(row.getBoolean(2))
+  }
+
+  test("zstd codec round-trips unicode text through a binary column") {
+    val texts = Seq("hello world", "tòkëns ünicode ✓", "a" * 10000, "")
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"), col("text"), Codec.zstdCompress(col("text")).as("blob"))
+      .select(col("id"), col("text"),
+        Codec.zstdDecompressToString(col("blob")).as("back"),
+        length(col("blob")).as("nblob"), length(col("text")).as("ntext"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(2))
+    }
+    // the 10k-run must actually compress
+    val big = df.filter(col("ntext") === 10000).collect()(0)
+    assert(big.getInt(3) < 200)
+  }
+}
