@@ -27,6 +27,13 @@ object FilterOps {
     required.map { case (k, v) => get_json_object(jsonCol, s"$$.$k") === lit(v) }
       .reduceOption(_ && _).getOrElse(lit(true))
 
+  /** P4/P5 — the reference ORs the containment test across the requested
+    * dicts (each dict internally ANDed): a record matches if ANY requested
+    * keyword/identifier dict is contained
+    * (`singlepoint/record_socket.py:355-359` builds `or_(*kw_filters)`). */
+  def jsonContainsAny(jsonCol: Column, anyOf: Seq[Map[String, String]]): Column =
+    anyOf.map(jsonContains(jsonCol, _)).reduceOption(_ || _).getOrElse(lit(true))
+
   /** P6 — array subset: `programs ?& keys` (column has ALL of `keys`)
     * (`managers/socket.py:308-319`). */
   def hasAll(arrCol: Column, keys: Seq[String]): Column =

@@ -80,6 +80,47 @@ object RecordsShaped extends QuerySet {
       TaskOps.waitingReasons(tasks, managers).orderBy(col("task_id"))
     }),
 
+    // S2 — polymorphic scan: per-type subtype frames (each with its own
+    // extra column) unioned into the wide table; counts of the non-null
+    // subtype columns prove the union aligned columns correctly.
+    "s2_polymorphic_scan" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def typed(m: Int, extra: String): DataFrame =
+        o.filter(col("o_orderkey") % 3 === m)
+          .select(col("o_orderkey").as("record_id"),
+            concat(lit("type"), lit(m)).as("record_type"),
+            when(col("o_orderstatus") === "F", "complete")
+              .when(col("o_orderstatus") === "P", "running")
+              .otherwise("waiting").as("status"),
+            col("o_totalprice").as(extra))
+      typed(0, "sp_energy")
+        .unionByName(typed(1, "opt_final"), allowMissingColumns = true)
+        .unionByName(typed(2, "td_angle"), allowMissingColumns = true)
+        .groupBy(col("record_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("sp_energy")).as("n_sp"),
+          count(col("opt_final")).as("n_opt"),
+          count(col("td_angle")).as("n_td"))
+        .orderBy(col("record_type"))
+    }),
+
+    // F5/A10 — property-key manifest: distinct JSON keys per group
+    // (jsonb_object_keys over per-spec properties,
+    // `base_dataset_socket.py:344-360`). The `extra` field only exists on
+    // some rows (to_json omits null fields), so manifests differ by group.
+    "a10_property_manifest" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          to_json(struct(col("value").as("v"),
+            when(col("value") > 90 && col("event_type").isin("click", "error"),
+              col("user_id")).as("extra"))).as("properties"))
+        .select(col("event_type"),
+          explode(expr("json_object_keys(properties)")).as("key"))
+        .groupBy(col("event_type"))
+        .agg(concat_ws(",", sort_array(collect_set(col("key")))).as("manifest"))
+        .orderBy(col("event_type"))
+    }),
+
     // ST2 — service-iteration decision per service over dependency statuses.
     "st2_service_decision" -> ((s, dir) => {
       val deps = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
@@ -145,6 +186,25 @@ object RecordsShaped extends QuerySet {
         |FROM x
         |GROUP BY task_id
         |ORDER BY task_id""".stripMargin,
+
+    "s2_polymorphic_scan" ->
+      """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sp,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opt,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_td
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY record_type""".stripMargin,
+
+    "a10_property_manifest" ->
+      """SELECT event_type,
+        |  array_to_string(list_sort(list_distinct(flatten(list(
+        |    CASE WHEN value > 90 AND event_type IN ('click', 'error')
+        |      THEN ['extra', 'v'] ELSE ['v'] END)))), ',') AS manifest
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "st2_service_decision" ->
       """WITH deps AS (

@@ -24,10 +24,12 @@ object RelationalExtended extends QuerySet {
         .select(col("pos"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
-    // P4/P5 — JSON key-value containment (JSONB @> analogue).
+    // P4/P5 — JSON key-value containment (JSONB @>), OR-ed across the
+    // requested dicts as the reference does.
     "p4_json_contains" -> ((s, dir) => {
       t(s, dir, "events")
-        .filter(FilterOps.jsonContains(col("props"), Map("k" -> "42")))
+        .filter(FilterOps.jsonContainsAny(col("props"),
+          Seq(Map("k" -> "42"), Map("k" -> "77"))))
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))
     }),
@@ -172,6 +174,7 @@ object RelationalExtended extends QuerySet {
       """SELECT event_id, user_id, event_type
         |FROM events
         |WHERE json_extract_string(props, '$.k') = '42'
+        |   OR json_extract_string(props, '$.k') = '77'
         |ORDER BY event_id""".stripMargin,
 
     "p6_array_hasall" ->

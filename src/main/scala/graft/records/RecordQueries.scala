@@ -88,13 +88,34 @@ object RecordQueries {
       Pagination.clampLimit(MaxLimit, filters.limit))
   }
 
+  /** P1 — include/exclude projection resolution with wildcards
+    * (`db_socket/helpers.py:135-231`, wildcard semantics 543-551):
+    * no include → the default column set; `*` → defaults plus any named
+    * extras; `**` → every column including lazy/blob ones; exclude is
+    * applied last and can remove anything except the pk, which is always
+    * kept (the reference always loads the id). */
+  def resolveProjection(allCols: Seq[String], defaultCols: Seq[String],
+                        pk: String, include: Seq[String],
+                        exclude: Seq[String]): Seq[String] = {
+    val named = include.filterNot(Set("*", "**"))
+    val base =
+      if (include.contains("**")) allCols
+      else if (include.contains("*")) (defaultCols ++ named).distinct
+      else if (include.isEmpty) defaultCols
+      else (pk +: named).distinct
+    val kept = base.filterNot(c => c != pk && exclude.contains(c))
+    if (kept.contains(pk)) kept else pk +: kept
+  }
+
   /** Hydration: fetch selected columns for an id page in request order
-    * (S1 + P1 include/exclude projection). */
+    * (S1 + P1 include/exclude projection). `defaultCols` models the
+    * non-deferred column set (all columns if unspecified). */
   def hydrate(records: DataFrame, ids: Seq[Long],
-              include: Seq[String] = Nil): DataFrame = {
-    val projected =
-      if (include.isEmpty) records
-      else records.select((("record_id" +: include).distinct).map(col): _*)
-    Pagination.fetchInOrder(projected, "record_id", ids)
+              include: Seq[String] = Nil, exclude: Seq[String] = Nil,
+              defaultCols: Seq[String] = Nil): DataFrame = {
+    val all = records.columns.toSeq
+    val defaults = if (defaultCols.isEmpty) all else defaultCols
+    val cols = resolveProjection(all, defaults, "record_id", include, exclude)
+    Pagination.fetchInOrder(records.select(cols.map(col): _*), "record_id", ids)
   }
 }

@@ -41,33 +41,36 @@ object Vectors {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
   }
 
-  /** Signed-random-projection signature: `bits` hyperplanes with ±1
-    * components derived from a deterministic seed — no data-dependent
-    * training, so corpus and queries bucket identically. */
+  /** Signed-random-projection signature: `bits` hyperplanes whose ±1
+    * components are derived per (seed, bit, index) by xxhash64 INSIDE the
+    * expression — no data-dependent training, corpus and queries bucket
+    * identically, and the plan carries no literal plane arrays (at
+    * dim 1024 × bits 16, literal planes would be ~16k constant nodes of
+    * plan bloat; this form is dimension-independent). */
   def srpSignature(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
-      (0 until dim).map { j =>
-        // splitmix-style bit mix of (seed, b, j) → ±1
-        var z = seed + b * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L
-        z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
-        z ^= z >>> 27; z *= 0x94d049bb133111ebL
-        z ^= z >>> 31
-        if ((z & 1L) == 1L) 1.0 else -1.0
-      }
-    }
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    val idx = sequence(lit(0), lit(dim - 1))
+    (0 until bits).map { b =>
+      val dotB = aggregate(
+        zip_with(v, idx, (x, j) =>
+          x * (pmod(xxhash64(lit(seed), lit(b), j), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotB >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: probe only the query's SRP bucket. Recall < 1;
-    * raise `bits` for smaller buckets, lower for higher recall. */
+  /** LSH-bucketed ANN. With `multiProbe` (default) each query also probes
+    * every bucket at Hamming distance 1 from its own — bits+1 cheap probe
+    * rows per query instead of the single-bucket recall cliff (a vector
+    * just across one hyperplane lands one bit-flip away). Corpus vectors
+    * live in exactly one bucket, so probes never duplicate a candidate. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, bits: Int,
-             k: Int, roundScale: Int = 6): DataFrame = {
+             k: Int, multiProbe: Boolean = true, roundScale: Int = 6): DataFrame = {
     val cb = corpus.withColumn("bucket", srpSignature(col("c_vec"), dim, bits))
-    val qb = queries.withColumn("bucket", srpSignature(col("q_vec"), dim, bits))
+    val qb0 = queries.withColumn("bucket0", srpSignature(col("q_vec"), dim, bits))
+    val probes = col("bucket0") +:
+      (if (multiProbe) (0 until bits).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
+       else Seq.empty[Column])
+    val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))

@@ -83,6 +83,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("lsh multi-probe recall dominates single-probe") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+    val brute = Vectors.bruteForceKnn(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(multi: Boolean): Set[(Long, Long)] =
+      Vectors.lshKnn(queries, corpus, dim = 8, bits = 4, k = 5, multiProbe = multi)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = hits(multi = false)
+    val multi = hits(multi = true)
+    assert(single.subsetOf(multi) || multi.size >= single.size)
+    assert((multi intersect brute).size >= (single intersect brute).size)
+    assert(multi.nonEmpty)
+  }
+
   test("text functions: counts and fingerprint invariance") {
     val df = Seq(
       (1L, "the quick brown fox"),

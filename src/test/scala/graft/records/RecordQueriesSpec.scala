@@ -92,4 +92,28 @@ class RecordQueriesSpec extends SparkSuite {
     assert(got.columns.toSeq === Seq("record_id", "status"))
     assert(got.select("record_id").collect().map(_.getLong(0)).toSeq === Seq(42L, 7L, 300L))
   }
+
+  test("P1 include/exclude wildcards resolve like the reference") {
+    import RecordQueries.resolveProjection
+    val all = Seq("record_id", "a", "b", "blob")
+    val defaults = Seq("record_id", "a", "b")
+    assert(resolveProjection(all, defaults, "record_id", Nil, Nil) === defaults)
+    assert(resolveProjection(all, defaults, "record_id", Seq("*"), Nil) === defaults)
+    assert(resolveProjection(all, defaults, "record_id", Seq("**"), Nil) === all)
+    assert(resolveProjection(all, defaults, "record_id", Seq("a"), Nil) ===
+      Seq("record_id", "a"))
+    assert(resolveProjection(all, defaults, "record_id", Seq("*", "blob"), Nil) === all)
+    // exclude wins over include, but never removes the pk
+    assert(resolveProjection(all, defaults, "record_id", Nil, Seq("b", "record_id")) ===
+      Seq("record_id", "a"))
+    assert(resolveProjection(all, defaults, "record_id", Seq("**"), Seq("blob")) ===
+      defaults)
+  }
+
+  test("hydrate honors exclude and default columns") {
+    val got = RecordQueries.hydrate(records, Seq(1L, 2L),
+      exclude = Seq("manager_name", "creator_user", "created_on", "modified_on",
+        "is_service", "specification_id", "molecule_id"))
+    assert(got.columns.toSeq === Seq("record_id", "record_type", "status"))
+  }
 }
