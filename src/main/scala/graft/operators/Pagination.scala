@@ -33,6 +33,43 @@ object Pagination {
   def clampLimit(maxLimit: Int, requested: Option[Int]): Int =
     requested.fold(maxLimit)(math.min(maxLimit, _))
 
+  /** O2 — client batch iterator (`qcportal/qcportal/base_models.py:
+    * 85-162`): lazily walk keyset pages, threading the cursor from each
+    * page's min id and honoring an optional total limit. Each `next()` is
+    * one bounded Spark job (a page), so the driver never holds more than
+    * a page — the reference's QueryIteratorBase contract. */
+  def batchIterator(df: DataFrame, idCol: String, pageSize: Int,
+                    totalLimit: Option[Int] = None)
+      : Iterator[Seq[org.apache.spark.sql.Row]] =
+    new Iterator[Seq[org.apache.spark.sql.Row]] {
+      private var cursor: Option[Long] = None
+      private var served = 0
+      private var nextPage: Option[Seq[org.apache.spark.sql.Row]] = None
+      private var exhausted = false
+
+      private def fetch(): Unit = if (nextPage.isEmpty && !exhausted) {
+        val want = totalLimit.fold(pageSize)(t => math.min(pageSize, t - served))
+        if (want <= 0) { exhausted = true }
+        else {
+          val page = keysetPage(df, idCol, cursor, want).collect().toSeq
+          if (page.isEmpty) exhausted = true
+          else {
+            cursor = Some(page.map(_.getAs[Long](idCol)).min)
+            served += page.length
+            nextPage = Some(page)
+          }
+        }
+      }
+
+      def hasNext: Boolean = { fetch(); nextPage.nonEmpty }
+      def next(): Seq[org.apache.spark.sql.Row] = {
+        fetch()
+        val p = nextPage.getOrElse(throw new NoSuchElementException)
+        nextPage = None
+        p
+      }
+    }
+
   /** Input-order restoration (S1/O5): fetch rows for `ids` preserving the
     * request order, missing ids dropped (the reference yields None — a
     * left join from the ids frame keeps that behavior if needed).

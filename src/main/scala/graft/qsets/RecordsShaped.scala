@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AggOps
-import graft.records.{DatasetOps, RecordQueries, RecordQueryFilters, ServiceOps, TaskOps}
+import graft.records.{CacheOps, DatasetOps, RecordQueries, RecordQueryFilters, ServiceOps, TaskOps}
 
 /** Records-model operators driven through records/tasks/managers frames
   * derived deterministically from the TPC-H-ish tables, so every one is
@@ -78,6 +78,47 @@ object RecordsShaped extends QuerySet {
             .otherwise(array(concat(lit("tag"), col("s_suppkey") % 3))).as("compute_tags"),
           array(lit("prog0"), concat(lit("prog"), col("s_suppkey") % 4)).as("programs"))
       TaskOps.waitingReasons(tasks, managers).orderBy(col("task_id"))
+    }),
+
+    // J12 — "join outside the relationship": filter tasks by record
+    // predicates without loading record payloads (left-semi join, only
+    // task columns survive).
+    "j12_manual_join" -> ((s, dir) => {
+      val tasks = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("task_id"),
+          concat(lit("tag"), col("o_custkey") % 3).as("compute_tag"),
+          col("o_orderkey").as("record_id"))
+      val wanted = records(s, dir)
+        .filter(col("status") === "waiting" && col("record_type") === "type1")
+        .select(col("record_id"))
+      tasks.join(wanted, Seq("record_id"), "left_semi")
+        .select(col("task_id"), col("compute_tag"))
+        .orderBy(col("task_id"))
+    }),
+
+    // P10 — status-reachability guard: only records in a cancellable
+    // status survive the revert/cancel filter.
+    "p10_status_guard" -> ((s, dir) => {
+      TaskOps.cancellable(records(s, dir))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // S5 — cache refresh: current cached rows are kept verbatim (value
+    // marker -1 proves no refetch), stale and missing keys take the
+    // server row.
+    "s5_cache_refresh" -> ((s, dir) => {
+      val server = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val cache = server.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          when(col("user_id") < 50, col("ts") - expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("ts"),
+          col("user_id"), lit(-1.0).as("value"))
+      CacheOps.refresh(cache, server, "event_id", "ts")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
     }),
 
     // S2 — polymorphic scan: per-type subtype frames (each with its own
@@ -186,6 +227,30 @@ object RecordsShaped extends QuerySet {
         |FROM x
         |GROUP BY task_id
         |ORDER BY task_id""".stripMargin,
+
+    "j12_manual_join" ->
+      """SELECT o_orderkey AS task_id,
+        |  'tag' || CAST(o_custkey % 3 AS VARCHAR) AS compute_tag
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderkey < 2000
+        |  AND o_orderkey % 3 = 1
+        |ORDER BY task_id""".stripMargin,
+
+    "p10_status_guard" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus IN ('P', 'O')
+        |GROUP BY 1
+        |ORDER BY status""".stripMargin,
+
+    "s5_cache_refresh" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 2 = 0 AND user_id >= 50
+        |    THEN -1.0 ELSE value END AS value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "s2_polymorphic_scan" ->
       """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,

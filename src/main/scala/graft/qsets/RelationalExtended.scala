@@ -84,6 +84,30 @@ object RelationalExtended extends QuerySet {
         .orderBy(col("l_suppkey"))
     }),
 
+    // J3 (assoc-table form) — traversal through a genuine association
+    // table: order ↔ lineitem(assoc) ↔ part, distinct partner attribute
+    // per left entity (record ↔ initial-molecules shape).
+    "j3_assoc_via_table" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(countDistinct(col("p_brand")).as("n_brands"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A1 — COUNT(*) over an arbitrary filtered subquery (get_count).
+    "a1_count_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_quantity") > 25)
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // J10/J11 — self-join via alias against a first-row-per-group subquery:
     // each order vs its customer's first order.
     "j10_self_join_first" -> ((s, dir) => {
@@ -212,6 +236,21 @@ object RelationalExtended extends QuerySet {
         |FROM lineitem
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
+
+    "j3_assoc_via_table" ->
+      """SELECT o_orderkey, COUNT(DISTINCT p_brand) AS n_brands
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE o_orderkey < 2000
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a1_count_subquery" ->
+      """SELECT COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND l_quantity > 25""".stripMargin,
 
     "j10_self_join_first" ->
       """WITH first AS (

@@ -93,6 +93,19 @@ class RecordQueriesSpec extends SparkSuite {
     assert(got.select("record_id").collect().map(_.getLong(0)).toSeq === Seq(42L, 7L, 300L))
   }
 
+  test("O2 batch iterator walks all pages lazily, honors total limit") {
+    import graft.operators.Pagination
+    val pages = Pagination.batchIterator(records, "record_id", 100).toSeq
+    assert(pages.map(_.size).sum === 327)
+    assert(pages.forall(_.size <= 100))
+    val ids = pages.flatten.map(_.getAs[Long]("record_id"))
+    assert(ids.toSet.size === 327, "no dups across pages")
+
+    val limited = Pagination.batchIterator(records, "record_id", 100,
+      totalLimit = Some(250)).toSeq
+    assert(limited.map(_.size).sum === 250)
+  }
+
   test("P1 include/exclude wildcards resolve like the reference") {
     import RecordQueries.resolveProjection
     val all = Seq("record_id", "a", "b", "blob")
