@@ -45,6 +45,15 @@ object SimilarityQueries extends QuerySet {
     "sim_knn_lsh" -> ((s, dir) => {
       Vectors.lshKnn(queriesDf(s, dir, 10), corpus(s, dir), dim = 64, bits = 4, k = 5)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF ANN: KMeans coarse quantizer, nprobe nearest cells scanned per
+    // query. Rows-only check (centroids are engine-specific); the unit
+    // suite pins nprobe=nlist ≡ brute-force equality.
+    "sim_knn_ivf" -> ((s, dir) => {
+      Vectors.ivfKnn(queriesDf(s, dir, 10), corpus(s, dir),
+          nlist = 16, nprobe = 4, k = 5)
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 

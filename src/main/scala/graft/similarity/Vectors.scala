@@ -1,5 +1,7 @@
 package graft.similarity
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -56,6 +58,49 @@ object Vectors {
         lit(0.0), (acc, x) => acc + x)
       when(dotB >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
+    * a KMeans coarse quantizer assigns every corpus vector to one of
+    * `nlist` cells (trained once, seeded, deterministic); each query
+    * scores only the vectors in its `nprobe` nearest cells. Cost is
+    * O(|Q|·nlist) for cell selection plus O(|Q|·|C|·nprobe/nlist) for
+    * scoring — with nprobe = nlist this degrades gracefully to exact
+    * brute force (the property the unit test pins). The centroid table is
+    * nlist rows — broadcast, never shuffled. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, nlist: Int, nprobe: Int,
+             k: Int, roundScale: Int = 6, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val feat = corpus.select(col("vec_id"),
+      array_to_vector(col("c_vec")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).fit(feat)
+    val cells = model.transform(feat)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    val assigned = corpus.join(cells, "vec_id")
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    // nprobe nearest cells per query by L2 to the centroid
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("q_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
   }
 
   /** LSH-bucketed ANN. With `multiProbe` (default) each query also probes

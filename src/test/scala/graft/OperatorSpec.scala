@@ -83,6 +83,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("ivf with nprobe = nlist equals exact brute force") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val brute = Vectors.bruteForceKnn(queries, corpus, k = 4).collect().map(keyOf).toSet
+    val ivfAll = Vectors.ivfKnn(queries, corpus, nlist = 4, nprobe = 4, k = 4)
+      .collect().map(keyOf).toSet
+    assert(ivfAll === brute)
+    // partial probing still returns at most k well-formed rows per query
+    val ivf1 = Vectors.ivfKnn(queries, corpus, nlist = 4, nprobe = 1, k = 4).collect()
+    assert(ivf1.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+    assert(ivf1.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("lsh multi-probe recall dominates single-probe") {
     val vecs = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
