@@ -25,6 +25,7 @@ object SparkEntry {
     RecordsShaped,
     SourcesSinks,
     MoleculeQueries,
+    SkewSafe,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

@@ -64,6 +64,24 @@ object AggOps {
   def sortedDistinctCsv(c: Column): Column =
     concat_ws(",", sort_array(collect_set(c)))
 
+  /** Skew-safe sorted-distinct-set aggregation: two-phase form of
+    * `sortedDistinctCsv` for hot keys. collect_set has no map-side
+    * combine benefit on a skewed key — every value of the hot key hits
+    * one reducer. Phase 1 groups by (key, salt-of-value) so a hot key's
+    * values spread across `salts` reducers; phase 2 merges the partial
+    * sets. Result is identical to the single-phase form. */
+  def sortedDistinctCsvSalted(df: DataFrame, keyCols: Seq[String],
+                              valueCol: String, salts: Int): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(collect_set(col(valueCol)).as("__part"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(concat_ws(",",
+        array_sort(array_distinct(flatten(collect_list(col("__part"))))))
+        .as("vals"))
+  }
+
   /** A10/W3 — DISTINCT ON: first row per group by explicit order
     * (`base_dataset_socket.py:344-360`). One shuffle, rank prune. */
   def distinctOn(df: DataFrame, partitionCols: Seq[String],

@@ -46,6 +46,23 @@ object JoinOps {
     (toInsert, matched)
   }
 
+  /** Skew-safe equi join: the big side is salted into `salts` sub-keys by
+    * hashing `spreadCol` (any well-distributed column of the big side);
+    * the small side is replicated once per salt, and the join key becomes
+    * (keys..., salt). A permanently-hot key's rows then land on `salts`
+    * reducers instead of one. AQE's skew-join split covers sort-merge
+    * skew it can observe at runtime; explicit salting is the plan-level
+    * tool when a hot key is known (a default/null-ish key, a mega-tenant)
+    * — and it composes with any join type the small side tolerates
+    * replication for. Results are identical to the plain join. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     spreadCol: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(col(spreadCol)), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** J13 — iterative parent/child closure (BFS to fixpoint), the Spark
     * form of the reference's Python BFS loop
     * (`qcfractal/components/record_socket.py:210-236`).

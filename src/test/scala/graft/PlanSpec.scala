@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan pinning: the properties that make these operators scale
+  * (pushdown, column pruning, broadcast dims, heap top-k, map-side partial
+  * aggregation) asserted against the executed plan text, so a regression
+  * to a full sort / shuffled dim / unpruned scan fails the build — at
+  * sf0.01 such a regression would be invisible in wall-time. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("keyset page: pushed parquet filter + heap top-k, no sort shuffle") {
+    val p = plan("o1_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"), "expected heap top-k")
+    assert(p.contains("LessThan(o_orderkey,1000)"), "cursor filter must reach the scan")
+    assert(!p.contains("rangepartitioning"), "a keyset page must never globally sort")
+  }
+
+  test("ordered claim: global top-k via per-task heaps, no global sort") {
+    val p = plan("w1_ordered_claim")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("revenue chain: all dims broadcast, fact columns pruned, partial agg") {
+    val p = plan("j2_revenue_by_region")
+    assert(count(p, "BroadcastHashJoin") === 3, "supplier/nation/region must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must read exactly the 3 needed columns")
+    assert(p.contains("partial_sum"), "aggregation must combine map-side")
+  }
+
+  test("date-range + IN filters push down to the parquet scan") {
+    val p = plan("p3_filter_in_daterange")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("In(o_orderstatus"))
+  }
+
+  test("brute-force knn broadcasts queries; corpus is never shuffled") {
+    val p = plan("sim_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "an un-broadcast cross join would shuffle the corpus")
+  }
+
+  test("exact dedup shuffles the content hash, not the documents") {
+    val p = plan("dd_exact")
+    assert(p.contains("hashpartitioning(content_hash"))
+  }
+
+  test("conditional dim join: filter reaches the dim scan under the broadcast") {
+    val p = plan("j1_conditional_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(p_brand,Brand#13)"),
+      "dim filter must push into the part scan, not evaluate post-join")
+  }
+}
