@@ -35,6 +35,39 @@ object Multimodal {
       length(col("content")).cast("long").as("n_bytes"),
       lower(hex(substring(col("content"), 1, 8))).as("magic_hex"))
 
+  /** Frame sampling (video-style): split the payload into fixed-size
+    * frames and keep every `every`-th one. The slicing itself is pure
+    * Catalyst (explode over a frame-index sequence + byte substring) —
+    * only the per-frame DECODE needs a codec, so at scale the sampler
+    * prunes frames before any expensive decode runs, and the decode stage
+    * receives (doc_id, frame_idx, frame_bytes) rows it can batch freely. */
+  def sampleFrames(bin: DataFrame, frameBytes: Int, every: Int): DataFrame =
+    bin.withColumn("__nf",
+        ceil(length(col("content")).cast("double") / frameBytes).cast("long"))
+      .filter(col("__nf") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("__nf") - 1)))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(content, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame_bytes"))
+
+  /** STUB thumbnail/resize: deterministic byte-level downsample to a fixed
+    * `outBytes` budget (every k-th byte). A real implementation decodes
+    * and resamples pixels here; the shape — map, fixed-width output,
+    * binary in/binary out — is the production shape. */
+  def thumbnailStub(spark: SparkSession, bin: DataFrame, outBytes: Int): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    bin.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val n = d.content.length
+        val out =
+          if (n <= outBytes) d.content
+          else Array.tabulate(outBytes)(i => d.content(i * n / outBytes))
+        BinaryDoc(d.doc_id, out)
+      }
+    }
+  }
+
   /** STUB decode: deterministic fake "feature extraction" — 8 block sums
     * over the payload bytes. Real implementation would decode the image /
     * resample the audio here; the batching shape (one iterator pass per

@@ -19,6 +19,18 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame sampling: fixed-size byte frames, every 2nd kept. The slicing
+    // is columnar, so sampling prunes frames BEFORE any decode stage.
+    "mm_frame_sample" -> ((s, dir) => {
+      val bin = Multimodal.withBinaryPayload(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.sampleFrames(bin, frameBytes = 256, every = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          lower(hex(substring(col("frame_bytes"), 1, 8))).as("frame_magic"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Stubbed decode → fixed-width feature vector via partition-batched
     // typed transform (the production plumbing shape, fake features).
     "mm_decode_stub" -> ((s, dir) => {
@@ -35,6 +47,24 @@ object MultimodalQueries extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB cannot slice BLOBs, but the builder's documents are ASCII
+    // (octet_length == length for every row), so char slicing on the text
+    // then encode() reproduces the byte slicing exactly.
+    "mm_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS frame_idx
+        |  FROM b)
+        |SELECT doc_id, frame_idx,
+        |  CAST(octet_length(encode(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256))) AS BIGINT) AS frame_len,
+        |  lower(hex(encode(substring(text, CAST(frame_idx * 256 + 1 AS INT), 8)))) AS frame_magic
+        |FROM idx
+        |WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

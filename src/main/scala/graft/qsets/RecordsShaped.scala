@@ -80,6 +80,26 @@ object RecordsShaped extends QuerySet {
       TaskOps.waitingReasons(tasks, managers).orderBy(col("task_id"))
     }),
 
+    // W1/W2 — per-tag claim loop flattened to one top-k: earlier manager
+    // tags win, then priority desc, sort_date asc, id asc.
+    "w2_tag_claim" -> ((s, dir) => {
+      val tasks = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") < 5000)
+        .select(col("o_orderkey").as("task_id"),
+          lit(true).as("available"),
+          concat(lit("tag"), col("o_custkey") % 3).as("compute_tag"),
+          (col("o_custkey") % 5).cast("int").as("compute_priority"),
+          col("o_orderdate").as("sort_date"),
+          array(lit("prog0"), concat(lit("prog"), col("o_orderkey") % 4))
+            .as("required_programs"))
+      TaskOps.claimTagOrdered(tasks,
+          managerPrograms = Seq("prog0", "prog1", "prog2", "prog3"),
+          managerTags = Seq("tag2", "tag0"), limit = 40)
+        .select(col("task_id"), col("compute_tag"), col("tag_rank"),
+          col("compute_priority"),
+          date_format(col("sort_date"), "yyyy-MM-dd").as("sort_date_s"))
+    }),
+
     // J12 — "join outside the relationship": filter tasks by record
     // predicates without loading record payloads (left-semi join, only
     // task columns survive).
@@ -227,6 +247,22 @@ object RecordsShaped extends QuerySet {
         |FROM x
         |GROUP BY task_id
         |ORDER BY task_id""".stripMargin,
+
+    "w2_tag_claim" ->
+      """WITH tasks AS (
+        |  SELECT o_orderkey AS task_id,
+        |    'tag' || CAST(o_custkey % 3 AS VARCHAR) AS compute_tag,
+        |    CAST(o_custkey % 5 AS INT) AS compute_priority,
+        |    o_orderdate AS sort_date
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 5000),
+        |r AS (
+        |  SELECT *, CASE compute_tag WHEN 'tag2' THEN 1 WHEN 'tag0' THEN 2 END AS tag_rank
+        |  FROM tasks WHERE compute_tag IN ('tag2', 'tag0'))
+        |SELECT task_id, compute_tag, CAST(tag_rank AS BIGINT) AS tag_rank,
+        |  compute_priority, strftime(sort_date, '%Y-%m-%d') AS sort_date_s
+        |FROM r
+        |ORDER BY tag_rank, compute_priority DESC, sort_date, task_id
+        |LIMIT 40""".stripMargin,
 
     "j12_manual_join" ->
       """SELECT o_orderkey AS task_id,

@@ -32,6 +32,31 @@ object TaskOps {
       col("task_id"), limit)
   }
 
+  /** W1 per-tag claim loop, flattened: the reference claims tag by tag in
+    * the manager's declared tag ORDER until the limit fills
+    * (`qcfractal/qcfractal/components/tasks/socket.py:303-365` loops tags,
+    * each inner query ordered by priority/sort_date/id). The observable
+    * contract — earlier tags win, then priority desc, sort_date asc, id
+    * asc — is a single global top-k over (tag_rank, ...), so the loop
+    * becomes one TakeOrderedAndProject. '*' serves all tags with equal
+    * rank, like the reference's wildcard manager. */
+  def claimTagOrdered(tasks: DataFrame, managerPrograms: Seq[String],
+                      managerTags: Seq[String], limit: Int): DataFrame = {
+    val eligible = tasks
+      .filter(col("available") === true)
+      .filter(size(array_except(col("required_programs"),
+        array(managerPrograms.map(lit): _*))) === 0)
+    val ranked =
+      if (managerTags.contains("*")) eligible.withColumn("tag_rank", lit(1L))
+      else eligible
+        .withColumn("tag_rank",
+          array_position(array(managerTags.map(lit): _*), col("compute_tag")))
+        .filter(col("tag_rank") > 0)
+    ranked.orderBy(col("tag_rank").asc, col("compute_priority").desc,
+        col("sort_date").asc, col("task_id").asc)
+      .limit(limit)
+  }
+
   /** Status transition legality guard (P10): which of `ids` may be
     * cancelled/reverted given current status. */
   def cancellable(records: DataFrame): DataFrame =

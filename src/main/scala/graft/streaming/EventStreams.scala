@@ -110,6 +110,46 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
 
+  case class HbState(lastHb: Long)
+  case class HbTimeout(name: String, last_hb_us: Long)
+
+  /** ST4 streaming form — heartbeat timeout via flatMapGroupsWithState
+    * with an EVENT-time timeout (`qcfractal/qcfractal/components/managers/
+    * socket.py:325+` deactivates managers missing N heartbeats): state
+    * holds each manager's max heartbeat; when the watermark passes
+    * last_hb + timeout the group times out and the dead manager is
+    * emitted exactly once. Event-time (not processing-time) timeout keeps
+    * replays deterministic. */
+  def heartbeatTimeoutStream(heartbeats: DataFrame, keyCol: String,
+                             tsCol: String, timeoutSeconds: Long): Dataset[HbTimeout] = {
+    import heartbeats.sparkSession.implicits._
+    heartbeats
+      .withWatermark(tsCol, s"$timeoutSeconds seconds")
+      // the watermark-tagged column must flow through untransformed —
+      // projecting it through a function strips the event-time metadata
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("hb_ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[HbState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get.lastHb
+            state.remove()
+            Iterator.single(HbTimeout(key, last))
+          } else {
+            var last = state.getOption.map(_.lastHb).getOrElse(Long.MinValue)
+            rows.foreach { r =>
+              val us = r._2.getTime * 1000L
+              if (us > last) last = us
+            }
+            state.update(HbState(last))
+            state.setTimeoutTimestamp(last / 1000 + timeoutSeconds * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** ST4 — heartbeat timeout: managers whose latest heartbeat is older
     * than `timeoutSeconds` relative to the stream's max heartbeat are
     * reported dead (batch form; the streaming form uses
