@@ -33,4 +33,21 @@ object Hashing {
     * string at 100 TB scale; use the hex variants only where a stable
     * human-readable id is required. */
   def contentKey64(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** F7 with REFERENCE PARITY for flat string dicts: sha256 of the
+    * Python-`json.dumps(d, sort_keys=True)` rendering of a
+    * Map[String,String] column — sorted keys, `", "` / `": "` separators
+    * (`qcportal/qcportal/utils.py:383-385` `hash_dict`). A spec stored by
+    * QCFractal and re-hashed here produces the same digest, so dedup keys
+    * survive a migration. Scope: flat dicts with string keys/values and no
+    * characters needing JSON escaping (the reference's spec fields —
+    * program/driver/method/basis — are lowercase identifiers); nested or
+    * escape-needing dicts fall back to [[canonicalHash256]]. */
+  def pyJsonHash256(m: Column): Column = {
+    val entries = array_sort(map_entries(m)) // struct(key,value) sorts by key
+    val body = concat_ws(", ", transform(entries, e =>
+      concat(lit("\""), e.getField("key"), lit("\": \""),
+        e.getField("value"), lit("\""))))
+    sha2(concat(lit("{"), body, lit("}")), 256)
+  }
 }

@@ -47,6 +47,19 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding near-dup at scale: SRP-bucketed candidate pairs verified
+    // by exact cosine. Planted duplicates (doubled ids) guarantee
+    // positives at score 1.0. Rows-only (buckets are engine-specific).
+    "dd_embcos_lsh" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val doubled = base.union(
+        base.withColumn("vec_id", col("vec_id") + 1000000L))
+      Vectors.cosinePairsLsh(doubled, "vec_id", "v",
+          dim = 64, bits = 10, minCosine = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // IVF ANN: KMeans coarse quantizer, nprobe nearest cells scanned per
     // query. Rows-only check (centroids are engine-specific); the unit
     // suite pins nprobe=nlist ≡ brute-force equality.

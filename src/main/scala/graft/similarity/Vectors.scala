@@ -60,6 +60,28 @@ object Vectors {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-dup pairs at scale: SRP-bucket the vectors,
+    * generate pairs only inside buckets (bucket-collect, no self-join —
+    * the signature is computed once), verify with exact cosine. The
+    * bounded all-pairs form (`sim_embcos_pairs`) is the oracle baseline
+    * this approximates; identical vectors always share a bucket, so exact
+    * duplicates have recall 1. */
+  def cosinePairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, bits: Int, minCosine: Double,
+                     roundScale: Int = 6): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpSignature(col("v"), dim, bits))
+    val cand = v.select(col("bucket"), struct(col("id"), col("v")).as("e"))
+      .groupBy("bucket").agg(collect_list(col("e")).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+    cand.withColumn("score", round(cosine(col("a.v"), col("b.v")), roundScale))
+      .filter(col("score") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
     * a KMeans coarse quantizer assigns every corpus vector to one of
     * `nlist` cells (trained once, seeded, deterministic); each query
@@ -75,7 +97,9 @@ object Vectors {
 
     val feat = corpus.select(col("vec_id"),
       array_to_vector(col("c_vec")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).fit(feat)
+    // coarse quantization needs rough cells, not converged clusters —
+    // cap iterations (each KMeans iter is a full pass over the corpus)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8).fit(feat)
     val cells = model.transform(feat)
       .select(col("vec_id"), col("prediction").as("cell"))
     val assigned = corpus.join(cells, "vec_id")

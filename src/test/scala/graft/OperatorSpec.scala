@@ -83,6 +83,27 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("python-json hash parity is pinned against json.dumps(sort_keys=True)") {
+    val df = Seq(Tuple1(Map(
+      "program" -> "psi4", "driver" -> "energy",
+      "method" -> "b3lyp", "basis" -> "def2-svp"))).toDF("spec")
+    val h = df.select(Hashing.pyJsonHash256(col("spec"))).collect()(0).getString(0)
+    // sha256 of '{"basis": "def2-svp", "driver": "energy", "method": "b3lyp", "program": "psi4"}'
+    assert(h === "b959e1827f37b9dcb2483c697d59df27dfef7edafb1048d7f73a052436d89b31")
+  }
+
+  test("cosine lsh pairs: planted duplicate vectors found at score 1.0") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 5 + j))))
+    val planted = vecs ++ vecs.map { case (id, v) => (id + 100L, v) }
+    val pairs = Vectors.cosinePairsLsh(
+        planted.toDF("vec_id", "v"), "vec_id", "v",
+        dim = 8, bits = 6, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactDups = pairs.filter(p => p._3 >= 1.0).map(p => (p._1, p._2)).toSet
+    assert((0 until 40).forall(i => exactDups.contains((i.toLong, i + 100L))))
+  }
+
   test("ivf with nprobe = nlist equals exact brute force") {
     val vecs = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
