@@ -53,6 +53,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("hashpartitioning(content_hash"))
   }
 
+  test("salted join: composite (key, salt) broadcast join, small side exploded") {
+    val p = plan("skew_salted_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("__salt"), "join keys must include the salt")
+    assert(p.contains("explode"), "small side must replicate via explode")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("salted collect: phase-1 shuffle on (key, salt), phase-2 on key") {
+    val p = plan("skew_salted_collect")
+    assert("hashpartitioning\\(l_suppkey#\\d+L, __salt".r.findFirstIn(p).isDefined,
+      "hot key's values must spread across salt sub-partitions first")
+    assert(count(p, "Exchange hashpartitioning") === 2,
+      "exactly two shuffle phases")
+  }
+
   test("conditional dim join: filter reaches the dim scan under the broadcast") {
     val p = plan("j1_conditional_join")
     assert(p.contains("BroadcastHashJoin"))
