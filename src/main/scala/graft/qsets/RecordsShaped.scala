@@ -182,6 +182,23 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // A4 — children status counts: filter the parent/child edge view to
+    // the requested parents, join child records, count per status
+    // (`qcfractal/qcfractal/components/base_record_socket.py:468-476`).
+    "a4_children_status" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val edges = customer.select(
+        concat(lit("n"), col("c_nationkey")).as("parent"),
+        col("c_custkey").as("child_id"))
+      val recs = customer.select(col("c_custkey").as("child_id"),
+        col("c_mktsegment").as("status"))
+      edges.filter(col("parent").isin("n3", "n7"))
+        .join(recs, "child_id")
+        .groupBy(col("parent"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("parent"), col("status"))
+    }),
+
     // ST2 — service-iteration decision per service over dependency statuses.
     "st2_service_decision" -> ((s, dir) => {
       val deps = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
@@ -306,6 +323,14 @@ object RecordsShaped extends QuerySet {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "a4_children_status" ->
+      """SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS parent,
+        |  c_mktsegment AS status, COUNT(*) AS n
+        |FROM customer
+        |WHERE c_nationkey IN (3, 7)
+        |GROUP BY 1, 2
+        |ORDER BY parent, status""".stripMargin,
 
     "st2_service_decision" ->
       """WITH deps AS (

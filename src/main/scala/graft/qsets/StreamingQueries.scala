@@ -2,6 +2,7 @@ package graft.qsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
 
@@ -29,6 +30,22 @@ object StreamingQueries extends QuerySet {
           updates, Seq("user_id"), Seq(col("n_events").desc))
         .select(col("user_id"), col("n_events"), col("last_type"))
         .orderBy(col("user_id"))
+    }),
+
+    // ST/dedup — streaming exact dedup with watermark-bounded state; the
+    // deduped stream's per-type counts must equal batch DISTINCT.
+    "st5_stream_dedup" -> ((s, dir) => {
+      val table = s"st_dedup_${System.nanoTime()}"
+      val q = EventStreams.streamingDedup(
+          EventStreams.readEvents(s, dir), Seq("user_id", "event_type"),
+          "ts", "30 days")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(table)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     }),
 
     // ST3 — incremental refresh: only rows past the last sync point.
@@ -65,6 +82,12 @@ object StreamingQueries extends QuerySet {
         |SELECT c.user_id, n_events, last_type
         |FROM counts c JOIN last l ON c.user_id = l.user_id
         |ORDER BY c.user_id""".stripMargin,
+
+    "st5_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "st3_incremental_refresh" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -12,7 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DatasetExport {
 
   def exportRecords(records: DataFrame, path: String): Unit =
-    records.write.mode("overwrite").partitionBy("record_type").parquet(path)
+    records
+      // cluster rows inside each partition file so parquet row-group
+      // min/max stats skip data on the hot (status, record_id) predicates
+      .sortWithinPartitions("status", "record_id")
+      .write.mode("overwrite").partitionBy("record_type").parquet(path)
 
   def readRecords(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -110,6 +110,15 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
 
+  /** Streaming exact dedup: first arrival per key wins; state for a key
+    * is dropped once the watermark passes it, so dedup state is bounded
+    * by the watermark horizon instead of growing forever — the
+    * training-pipeline form of exact dedup over a document stream. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class HbState(lastHb: Long)
   case class HbTimeout(name: String, last_hb_us: Long)
 
