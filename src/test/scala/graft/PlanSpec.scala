@@ -69,6 +69,12 @@ class PlanSpec extends SparkSuite {
       "exactly two shuffle phases")
   }
 
+  test("dataset export read-back prunes partitions by record_type") {
+    val p = plan("s4_dataset_export")
+    assert("PartitionFilters: \\[[^\\]]*record_type".r.findFirstIn(p).isDefined,
+      "the type filter must prune partition directories at listing time")
+  }
+
   test("conditional dim join: filter reaches the dim scan under the broadcast") {
     val p = plan("j1_conditional_join")
     assert(p.contains("BroadcastHashJoin"))
