@@ -45,13 +45,23 @@ object FilterOps {
 
   /** P7 — tuple-IN over multiple columns via OR-of-ANDs (null-safe like the
     * reference's fallback, `db_socket/helpers.py:257-293`). For large tuple
-    * sets, join against a literal DataFrame instead. */
+    * sets use [[tupleInJoin]] — a literal OR-chain grows the plan linearly
+    * in |tuples|. */
   def tupleIn(cols: Seq[Column], tuples: Seq[Seq[Any]]): Column =
     tuples.map { t =>
       cols.zip(t).map { case (c, v) =>
         if (v == null) c.isNull else c <=> lit(v)
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** P7 scale form: tuple-IN as a left-semi join against a tuples frame
+    * (null-safe equality, so NULL components match like the reference's
+    * OR-of-ANDs fallback). The tuples frame's columns must be named after
+    * the target columns. */
+  def tupleInJoin(df: DataFrame, cols: Seq[String], tuples: DataFrame): DataFrame = {
+    val cond = cols.map(c => df(c) <=> tuples(c)).reduce(_ && _)
+    df.join(broadcast(tuples), cond, "left_semi")
+  }
 
   /** P9 — lowercase normalization at compare time. */
   def lowerEq(c: Column, v: String): Column = lower(c) === v.toLowerCase

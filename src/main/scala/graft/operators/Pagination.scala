@@ -83,4 +83,22 @@ object Pagination {
       .orderBy(col("__pos"))
       .drop("__pos")
   }
+
+  /** fetchInOrder's scale form: the id list as a (id, pos) DataFrame
+    * instead of plan literals — a million-id request as literals would
+    * bloat the plan and defeat codegen; as a frame it is one broadcast
+    * join. The position column is explicit (never inferred from physical
+    * row order, which is undefined for a distributed frame). */
+  def fetchInOrderJoin(df: DataFrame, idCol: String,
+                       idsWithPos: DataFrame): DataFrame =
+    df.join(broadcast(idsWithPos), Seq(idCol))
+      .orderBy(col("pos"))
+      .drop("pos")
+
+  /** Build the (id, pos) request frame from a driver-side id list. */
+  def idsFrame(spark: org.apache.spark.sql.SparkSession, idCol: String,
+               ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.zipWithIndex.map { case (id, i) => (id, i.toLong) }.toDF(idCol, "pos")
+  }
 }

@@ -83,6 +83,28 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("join-based fetchInOrder and tupleIn agree with their literal forms") {
+    import graft.operators.{FilterOps, Pagination}
+    val orders = Tables.load(spark, sfDir, "orders")
+    val ids = Seq(42L, 7L, 999L, 123L, 5L)
+    val viaLit = Pagination.fetchInOrder(orders, "o_orderkey", ids)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val viaJoin = Pagination.fetchInOrderJoin(orders, "o_orderkey",
+        Pagination.idsFrame(spark, "o_orderkey", ids))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(viaJoin === viaLit)
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val tuples = Seq(("A", "F"), ("N", "O"))
+    val litCount = li.filter(FilterOps.tupleIn(
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      tuples.map(t => Seq(t._1, t._2)))).count()
+    val joinCount = FilterOps.tupleInJoin(li,
+      Seq("l_returnflag", "l_linestatus"),
+      tuples.toDF("l_returnflag", "l_linestatus")).count()
+    assert(joinCount === litCount && litCount > 0)
+  }
+
   test("python-json hash parity is pinned against json.dumps(sort_keys=True)") {
     val df = Seq(Tuple1(Map(
       "program" -> "psi4", "driver" -> "energy",
