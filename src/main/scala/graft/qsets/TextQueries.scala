@@ -47,6 +47,17 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition quality signals (Gopher-style): duplicate-sentence
+    // fraction and most-frequent-token fraction.
+    "tx_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          dupSentenceRatio(col("text")).as("dup_sentence_ratio"),
+          topTokenRatio(col("toks")).as("top_token_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Order-insensitive document fingerprint (sorted distinct token sha).
     "tx_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -101,6 +112,21 @@ object TextQueries extends QuerySet {
         |       WHEN score_es >= score_de THEN 'es'
         |       ELSE 'de' END AS predicted
         |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split(text, '. ') AS sents,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE) / len(sents)
+        |    AS dup_sentence_ratio,
+        |  CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks)
+        |    AS top_token_ratio
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
 
     "tx_fingerprint" ->

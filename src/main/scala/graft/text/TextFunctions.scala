@@ -75,6 +75,20 @@ object TextFunctions {
       .otherwise(lit("de"))
   }
 
+  /** Gopher-style repetition signal: fraction of duplicate sentences
+    * ('. '-split). High values flag boilerplate/templated documents. */
+  def dupSentenceRatio(text: Column): Column = {
+    val sents = split(text, "\\. ")
+    (size(sents) - size(array_distinct(sents))).cast("double") / size(sents)
+  }
+
+  /** Fraction of all tokens taken by the single most frequent token —
+    * takes a PRE-TOKENIZED column (same HOF re-evaluation rule as
+    * [[shinglesFromTokens]]). */
+  def topTokenRatio(toks: Column): Column =
+    array_max(transform(array_distinct(toks), t => size(filter(toks, x => x === t))))
+      .cast("double") / size(toks)
+
   /** Document fingerprint: sha256 over the sorted distinct token set —
     * an order-insensitive content key (OpenRefine-style fingerprint).
     * Word-order-insensitive cousin of the exact-dup hash. */
