@@ -126,6 +126,46 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc in a component converges to the component's
+    * minimum id. Pairs in, (id, cluster_id) out. Each iteration is one
+    * join + hash-agg; frontiers are localCheckpointed so lineage stays
+    * flat (same discipline as JoinOps.closure). Iterations needed =
+    * graph diameter, which for near-dup clusters is small (they are
+    * dense cliques-ish, not paths). */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val viaNeighbor = e.join(labels, e("dst") === labels("id"))
+        .select(e("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup survivors: one representative (min id) per component;
+    * docs in no pair survive untouched. The standard last step of a
+    * training-data dedup pass. */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val dropped = comp.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact token-set Jaccard over all pairs (bounded input!) — the
     * oracle-checkable baseline that MinHash approximates. Explode tokens,
     * self-join per token to count intersections, then compute

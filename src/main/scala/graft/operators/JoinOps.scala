@@ -76,7 +76,10 @@ object JoinOps {
     */
   def closure(edges: DataFrame, roots: DataFrame, rootCol: String,
               parentCol: String, childCol: String, maxIter: Int = 30): DataFrame = {
+    // edges are probed every iteration — materialize once instead of
+    // re-running the edge-view union/scan per hop
     val e = edges.select(col(parentCol), col(childCol))
+      .localCheckpoint(eager = true)
     var frontier = roots.select(col(rootCol).as("root"), col(rootCol).as("node"))
       .localCheckpoint(eager = true)
     var acc = frontier.filter(lit(false)) // empty (root, node)

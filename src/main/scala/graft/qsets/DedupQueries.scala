@@ -49,6 +49,18 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup clusters + survivors: pairs → connected components → one
+    // representative per cluster. Planted copies mean every original doc
+    // survives and every +1000000 copy is dropped, plus any natural
+    // near-dup merges. Rows-only (inherits minhash's engine hashes).
+    "dd_survivors" -> ((s, dir) => {
+      val docs = doubled(s, dir)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      Dedup.survivors(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: native simhash64 expression, 16-bit band join,
     // Hamming <= 4 verify. No SQL oracle (FNV/simhash is engine-specific).
     "dd_simhash" -> ((s, dir) => {

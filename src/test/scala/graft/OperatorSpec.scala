@@ -59,6 +59,21 @@ class OperatorSpec extends SparkSuite {
     assert((0 until 20).forall(i => exact.contains((i.toLong, i + 100L))))
   }
 
+  test("components: chains merge to min label, singletons keep their own") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("survivors: one representative per near-dup cluster") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivors(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 7L))
+  }
+
   test("iterative closure reaches all descendants and terminates") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)).toDF("parent", "child")
     val roots = Seq(Tuple1(1L)).toDF("root_id")
