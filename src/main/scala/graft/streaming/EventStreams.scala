@@ -21,6 +21,12 @@ import graft.Tables
   * run against an object-store landing zone with checkpointing; state is
   * hash-partitioned by key, so state size per executor is bounded by
   * |active keys| / executors.
+  *
+  * Production sizing note: a stateful query's state partitioning is set
+  * by spark.sql.shuffle.partitions at FIRST run and then frozen by the
+  * checkpoint — size it for projected STATE (|keys|), not CPU count;
+  * the local harness's cpu-count setting is a test-only convenience.
+  * AQE is disabled in stateful workloads, so there is no runtime rescue.
   */
 object EventStreams {
 
