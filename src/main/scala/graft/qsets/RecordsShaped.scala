@@ -100,6 +100,23 @@ object RecordsShaped extends QuerySet {
           date_format(col("sort_date"), "yyyy-MM-dd").as("sort_date_s"))
     }),
 
+    // W1 concurrency redesign — SKIP LOCKED becomes deterministic
+    // assignment: the claimed top-k is round-robined over m claimers;
+    // per-claimer counts prove the partition is balanced and total.
+    "w3_claim_assign" -> ((s, dir) => {
+      val tasks = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") < 5000)
+        .select(col("o_orderkey").as("task_id"),
+          (col("o_custkey") % 5).cast("int").as("compute_priority"),
+          col("o_orderdate").as("sort_date"))
+      val topk = graft.operators.TopK.orderedClaim(tasks,
+        col("compute_priority"), col("sort_date"), col("task_id"), 100)
+      graft.operators.TopK.assignRoundRobin(topk, col("task_id"), 4)
+        .groupBy(col("__claimer").as("claimer"))
+        .agg(count(lit(1)).as("n"), min(col("task_id")).as("min_task"))
+        .orderBy(col("claimer"))
+    }),
+
     // J12 — "join outside the relationship": filter tasks by record
     // predicates without loading record payloads (left-semi join, only
     // task columns survive).
@@ -280,6 +297,18 @@ object RecordsShaped extends QuerySet {
         |FROM r
         |ORDER BY tag_rank, compute_priority DESC, sort_date, task_id
         |LIMIT 40""".stripMargin,
+
+    "w3_claim_assign" ->
+      """WITH topk AS (
+        |  SELECT o_orderkey AS task_id
+        |  FROM orders
+        |  WHERE o_orderstatus = 'O' AND o_orderkey < 5000
+        |  ORDER BY CAST(o_custkey % 5 AS INT) DESC, o_orderdate, o_orderkey
+        |  LIMIT 100)
+        |SELECT task_id % 4 AS claimer, COUNT(*) AS n, MIN(task_id) AS min_task
+        |FROM topk
+        |GROUP BY 1
+        |ORDER BY claimer""".stripMargin,
 
     "j12_manual_join" ->
       """SELECT o_orderkey AS task_id,

@@ -19,6 +19,20 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L) === 5)
   }
 
+  test("json source FAILFAST rejects corrupt rows instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part-0.json"),
+      """{"id": 1, "v": "ok"}""" + "\n" + """{"id": 2, "v": BROKEN""" + "\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.JsonTables.readJson(spark, dir.toString, schema).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed")
+      || Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("frame sampling: ceil(n/frame) frames, every 2nd kept, sizes right") {
     val docs = Seq((1L, "a" * 700)).toDF("doc_id", "text") // 3 frames of 256
     val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
