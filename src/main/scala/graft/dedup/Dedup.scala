@@ -126,6 +126,58 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** SimHash near-dup pairs: 64-bit simhash (native codegen'd
+    * expression), split into `bands` 16-bit chunks; docs sharing a chunk
+    * are candidates, verified by Hamming distance. Same scale shape as
+    * [[minhashPairs]]: identical simhash values collapse to one
+    * representative BEFORE banding (an m-way identical cluster would
+    * otherwise emit m²·bands candidate rows), candidates come from
+    * bucket-collect (hash computed once, no self-join), pairs expand back
+    * to members at the end. Hamming depends only on the two hash values,
+    * so the expansion is exact, with 0 for same-hash members. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxHamming: Long = 4L): DataFrame = {
+    import graft.functions.SimHash64
+    val sh = docs.select(col(idCol).as("id"), SimHash64(col(textCol)).as("sh"))
+    val groups = sh.groupBy("sh").agg(
+        min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val chunks = groups.select(col("rep"), col("sh"),
+        explode(array((0 until bands).map(i => struct(
+          lit(i).as("band"),
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("c"))
+      .select(col("rep"), col("sh"), col("c.band"), col("c.bh"))
+    val repPairs = chunks
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("rep"), col("sh"))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .filter(col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("a.sh").as("sh_a"),
+        col("b.rep").as("rep_b"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", SimHash64.hamming(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+
+    val membersOf = groups.select(col("rep"), col("members"))
+    val cross = repPairs
+      .join(membersOf.select(col("rep").as("rep_a"), col("members").as("m_a")), "rep_a")
+      .join(membersOf.select(col("rep").as("rep_b"), col("members").as("m_b")), "rep_b")
+      .select(explode(col("m_a")).as("pa"), col("m_b"), col("hamming"))
+      .select(col("pa"), explode(col("m_b")).as("pb"), col("hamming"))
+      .select(least(col("pa"), col("pb")).as("id_a"),
+        greatest(col("pa"), col("pb")).as("id_b"), col("hamming"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("pa"), col("members"))
+      .select(col("pa"), explode(col("members")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("id_a"), col("pb").as("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: every doc in a component converges to the component's
     * minimum id. Pairs in, (id, cluster_id) out. Each iteration is one

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.functions.SimHash64
+
 
 /** Deduplication queries over `documents`. The doubled batch (each doc
   * unioned with a shifted-id copy) plants exact duplicates so every dedup
@@ -61,22 +61,12 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup: native simhash64 expression, 16-bit band join,
-    // Hamming <= 4 verify. No SQL oracle (FNV/simhash is engine-specific).
+    // SimHash near-dup: native simhash64 expression, 16-bit banding with
+    // exact-dup collapse + bucket-collect (see Dedup.simhashPairs).
+    // No SQL oracle (FNV/simhash is engine-specific).
     "dd_simhash" -> ((s, dir) => {
-      val sh = doubled(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))
-      val chunks = sh.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band"),
-            shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("c"))
-        .select(col("doc_id"), col("sh"), col("c.band"), col("c.bh"))
-      val a = chunks.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bh"))
-      val b = chunks.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bh"))
-      a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          SimHash64.hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 4)
+      Dedup.simhashPairs(doubled(s, dir), "doc_id", "text",
+          bands = 4, maxHamming = 4L)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
