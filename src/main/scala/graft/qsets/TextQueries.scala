@@ -58,6 +58,23 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction: emails and long digit runs planted per doc, scrubbed
+    // to typed tags; residual count must be zero and the redacted text
+    // hash-compares across engines.
+    "tx_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555123"), col("doc_id")).as("ptext"))
+      planted.select(
+          col("doc_id"),
+          emailCount(col("ptext")).as("emails_found"),
+          redactLongNumbers(redactEmails(col("ptext"))).as("clean"))
+        .select(col("doc_id"), col("emails_found"),
+          emailCount(col("clean")).as("residual"),
+          sha2(col("clean"), 256).as("clean_sha"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Order-insensitive document fingerprint (sorted distinct token sha).
     "tx_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -112,6 +129,27 @@ object TextQueries extends QuerySet {
         |       WHEN score_es >= score_de THEN 'es'
         |       ELSE 'de' END AS predicted
         |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call 555123' || CAST(doc_id AS VARCHAR) AS ptext
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails_found,
+        |    regexp_replace(regexp_replace(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{7,}', '<NUM>', 'g') AS clean
+        |  FROM p)
+        |SELECT doc_id, emails_found,
+        |  CAST(len(regexp_extract_all(clean,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS residual,
+        |  sha256(clean) AS clean_sha
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "tx_repetition" ->

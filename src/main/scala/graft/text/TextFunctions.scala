@@ -75,6 +75,21 @@ object TextFunctions {
       .otherwise(lit("de"))
   }
 
+  /** PII scrubbing: the redaction pass a training corpus gets before
+    * release. Patterns are RE2-compatible (no alternation/backtracking)
+    * so they behave identically across engines. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailRe, "<EMAIL>")
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)).cast("long")
+
+  /** Digit runs of `minDigits`+ (phone/account/ssn-ish). */
+  def redactLongNumbers(text: Column, minDigits: Int = 7): Column =
+    regexp_replace(text, s"\\d{$minDigits,}", "<NUM>")
+
   /** Gopher-style repetition signal: fraction of duplicate sentences
     * ('. '-split). High values flag boilerplate/templated documents. */
   def dupSentenceRatio(text: Column): Column = {
