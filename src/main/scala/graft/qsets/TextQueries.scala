@@ -58,6 +58,30 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Context-window chunking: 40-token chunks, 8-token overlap; chunk
+    // count, sizes, and content all hash-compared.
+    "tx_chunk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          wsTokenCount(col("col")).as("n_chunk_tokens"),
+          sha2(col("col"), 256).as("chunk_sha"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Corpus n-gram stats: top-50 bigrams by frequency over a bounded
+    // subset (count desc, gram asc for determinism).
+    "tx_top_bigrams" -> ((s, dir) => {
+      val grams = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(wsTokens(col("text")).as("toks"))
+        .select(explode(shinglesFromTokens(col("toks"), 2)).as("gram"))
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(50)
+    }),
+
     // PII redaction: emails and long digit runs planted per doc, scrubbed
     // to typed tags; residual count must be zero and the redacted text
     // hash-compares across engines.
@@ -130,6 +154,38 @@ object TextQueries extends QuerySet {
         |       ELSE 'de' END AS predicted
         |FROM sc
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_chunk" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(CAST(ceil((len(toks) - 8) / 32.0) AS BIGINT), 1)))
+        |      AS chunk_idx
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(toks[CAST(chunk_idx * 32 + 1 AS INT)
+        |      : CAST(chunk_idx * 32 + 40 AS INT)], ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(regexp_split_to_array(trim(chunk), '\s+')) AS BIGINT) AS n_chunk_tokens,
+        |  sha256(chunk) AS chunk_sha
+        |FROM s
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "tx_top_bigrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 300))
+        |SELECT gram, COUNT(*) AS n
+        |FROM g
+        |GROUP BY gram
+        |ORDER BY n DESC, gram
+        |LIMIT 50""".stripMargin,
 
     "tx_pii_redact" ->
       """WITH p AS (

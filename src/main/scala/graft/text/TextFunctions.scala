@@ -110,6 +110,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(wsTokens(text)))), 256)
 
+  /** Context-window chunking: split a PRE-TOKENIZED document into
+    * `maxTokens`-token chunks with `overlap` tokens of left context —
+    * the packing step before training-sequence assembly. Pure Catalyst;
+    * the per-chunk slice copy is the output itself, so the cost is
+    * O(output), not O(n²). Always yields ≥1 chunk. */
+  def chunkTokens(toks: Column, maxTokens: Int, overlap: Int): Column = {
+    require(overlap < maxTokens, "overlap must be smaller than maxTokens")
+    val step = maxTokens - overlap
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / step).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * step + 1, lit(maxTokens)), " "))
+  }
+
   /** Word n-gram shingles (distinct) from a PRE-TOKENIZED array column —
     * the input to MinHash/Jaccard dedup.
     *
