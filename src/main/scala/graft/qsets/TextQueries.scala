@@ -22,15 +22,29 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
-    // Quality scoring: length/stopword/punctuation heuristics.
+    // Quality scoring: length/stopword/punctuation heuristics. Tokenized
+    // once, components computed from the materialized columns, composite
+    // built in a third projection — the HOF lambdas put this projection
+    // on the interpreted path where common subexpressions are NOT
+    // eliminated, so inline composition re-tokenized per component.
     "tx_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        wsTokenCount(col("text")).as("n_tokens"),
-        avgTokenLen(col("text")).as("avg_tok_len"),
-        stopwordRatio(col("text"), stops).as("stop_ratio"),
-        punctCount(col("text")).as("punct_cnt"),
-        qualityScore(col("text"), stops).as("quality"))
+      val stopsArr = array(stops.map(lit): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            size(col("toks"))).as("avg_tok_len"),
+          (size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("double") /
+            size(col("toks"))).as("stop_ratio"),
+          punctCount(col("text")).as("punct_cnt"),
+          length(col("text")).cast("double").as("__len"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
+          col("stop_ratio"), col("punct_cnt"),
+          (least(col("__len") / 500.0, lit(1.0)) * 0.4 +
+            least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - least(col("punct_cnt") / col("__len") * 10.0, lit(1.0))) * 0.2
+            ).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
