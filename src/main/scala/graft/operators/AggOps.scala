@@ -83,11 +83,27 @@ object AggOps {
   }
 
   /** A10/W3 — DISTINCT ON: first row per group by explicit order
-    * (`base_dataset_socket.py:344-360`). One shuffle, rank prune. */
+    * (`base_dataset_socket.py:344-360`). Window-rank form: one shuffle
+    * plus a per-group sort; use when rank > 1 is also needed. For the
+    * pick-first case itself prefer [[distinctOnAgg]]. */
   def distinctOn(df: DataFrame, partitionCols: Seq[String],
                  orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** DISTINCT ON as a hash aggregate: `min_by(struct(row), struct(key))`
+    * keeps the order-minimal row per group with MAP-SIDE partial
+    * aggregation and no sort — at scale each hot group ships one row per
+    * map task instead of all its rows into a sorted window partition.
+    * `orderCols` compare lexicographically (struct ordering), ascending;
+    * wrap a column in `desc`-semantics by negating it at the call site. */
+  def distinctOnAgg(df: DataFrame, partitionCols: Seq[String],
+                    orderCols: Seq[Column]): DataFrame = {
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(min_by(struct(dataCols.map(col): _*), struct(orderCols: _*)).as("__row"))
+      .select(partitionCols.map(col) ++ dataCols.map(c => col(s"__row.$c")): _*)
   }
 }

@@ -100,8 +100,9 @@ object CoreRelational extends QuerySet {
 
     // A10/W3 — DISTINCT ON: first row per group by explicit order.
     "a10_distinct_on" -> ((s, dir) => {
-      AggOps.distinctOn(t(s, dir, "lineitem"), Seq("l_partkey"),
-          Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+      // hash-agg min_by form: map-side partial pick, no window sort
+      AggOps.distinctOnAgg(t(s, dir, "lineitem"), Seq("l_partkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
                 day(col("l_shipdate")).as("ship_day"))
         .orderBy(col("l_partkey"))

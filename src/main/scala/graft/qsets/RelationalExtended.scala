@@ -112,8 +112,8 @@ object RelationalExtended extends QuerySet {
     // each order vs its customer's first order.
     "j10_self_join_first" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val first = AggOps.distinctOn(o, Seq("o_custkey"),
-          Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+      val first = AggOps.distinctOnAgg(o, Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
         .select(col("o_custkey").as("fc"), col("o_orderkey").as("first_key"),
                 col("o_orderdate").as("first_date"))
       o.join(first, col("o_custkey") === col("fc"))

@@ -69,6 +69,13 @@ class PlanSpec extends SparkSuite {
       "exactly two shuffle phases")
   }
 
+  test("distinct-on runs as a hash aggregate, not a window sort") {
+    val p = plan("a10_distinct_on")
+    assert(p.contains("min_by"), "expected the min_by aggregate form")
+    assert(!p.contains("Window"), "a pick-first must not pay a per-group sort")
+    assert(p.contains("partial_min_by"), "the pick must combine map-side")
+  }
+
   test("dataset export read-back prunes partitions by record_type") {
     val p = plan("s4_dataset_export")
     assert("PartitionFilters: \\[[^\\]]*record_type".r.findFirstIn(p).isDefined,
