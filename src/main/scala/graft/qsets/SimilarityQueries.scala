@@ -21,9 +21,11 @@ object SimilarityQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact brute-force cosine top-5 per query vector.
+    // Exact brute-force cosine top-5 per query vector, via the bounded
+    // top-k aggregate (map-side partial heaps cap the shuffle at k rows
+    // per query per task).
     "sim_knn_brute" -> ((s, dir) => {
-      Vectors.bruteForceKnn(queriesDf(s, dir, 10), corpus(s, dir), k = 5)
+      Vectors.bruteForceKnnHeap(queriesDf(s, dir, 10), corpus(s, dir), k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
 

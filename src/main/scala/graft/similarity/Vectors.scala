@@ -60,6 +60,27 @@ object Vectors {
     }.reduce(_ + _)
   }
 
+  /** Exact brute-force top-k via the bounded TopKByScore aggregate:
+    * same contract and output as [[bruteForceKnn]], but each map task
+    * ships at most k candidates per query into the shuffle instead of
+    * every candidate row into a sorted window partition. */
+  def bruteForceKnnHeap(queries: DataFrame, corpus: DataFrame, k: Int,
+                        roundScale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
+      .select(col("q_id"), col("score"), col("vec_id"))
+      .as[(Long, Double, Long)]
+    scored.groupByKey(_._1)
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("score"))
+  }
+
   /** Embedding-cosine near-dup pairs at scale: SRP-bucket the vectors,
     * generate pairs only inside buckets (bucket-collect, no self-join —
     * the signature is computed once), verify with exact cosine. The

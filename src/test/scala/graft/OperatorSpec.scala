@@ -141,6 +141,20 @@ class OperatorSpec extends SparkSuite {
     assert((0 until 40).forall(i => exactDups.contains((i.toLong, i + 100L))))
   }
 
+  test("heap top-k aggregate equals the window-rank form exactly") {
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = df.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val window = rows(Vectors.bruteForceKnn(queries, corpus, k = 5))
+    val heap = rows(Vectors.bruteForceKnnHeap(queries, corpus, k = 5))
+    assert(heap === window)
+  }
+
   test("ivf with nprobe = nlist equals exact brute force") {
     val vecs = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat)))
