@@ -60,26 +60,32 @@ object Vectors {
     }.reduce(_ + _)
   }
 
-  /** Exact brute-force top-k via the bounded TopKByScore aggregate:
-    * same contract and output as [[bruteForceKnn]], but each map task
-    * ships at most k candidates per query into the shuffle instead of
-    * every candidate row into a sorted window partition. */
-  def bruteForceKnnHeap(queries: DataFrame, corpus: DataFrame, k: Int,
-                        roundScale: Int = 6): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Rank scored candidates (q_id, score, vec_id) to per-query top-k via
+    * the bounded TopKByScore aggregate: each map task ships at most k
+    * candidates per query into the shuffle instead of every candidate
+    * row into a sorted window partition. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
-      .select(col("q_id"), col("score"), col("vec_id"))
+    scored.select(col("q_id"), col("score"), col("vec_id"))
       .as[(Long, Double, Long)]
-    scored.groupByKey(_._1)
+      .groupByKey(_._1)
       .agg(new TopKByScore(k).toColumn.name("top"))
       .toDF("q_id", "top")
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("vec_id"), col("col._1").as("score"))
   }
+
+  /** Exact brute-force top-k via the bounded aggregate: same contract and
+    * output as [[bruteForceKnn]] (the window-rank reference form). */
+  def bruteForceKnnHeap(queries: DataFrame, corpus: DataFrame, k: Int,
+                        roundScale: Int = 6): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale)),
+      k)
 
   /** Embedding-cosine near-dup pairs at scale: SRP-bucket the vectors,
     * generate pairs only inside buckets (bucket-collect, no self-join —
@@ -142,10 +148,7 @@ object Vectors {
     val joined = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
+    rankTopK(joined, k)
   }
 
   /** LSH-bucketed ANN. With `multiProbe` (default) each query also probes
@@ -164,9 +167,6 @@ object Vectors {
     val joined = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
+    rankTopK(joined, k)
   }
 }
