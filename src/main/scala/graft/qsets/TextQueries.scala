@@ -85,6 +85,30 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Sequence packing: chunks are assigned to fixed 512-token bins by
+    // running-token-offset within a shard (offset-based packing — the
+    // distributed-friendly form; a global greedy first-fit would be a
+    // sequential fold). The cumulative window sum partitions by shard so
+    // packing parallelizes; production shards are the output files.
+    "tx_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          wsTokenCount(col("col")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // Corpus n-gram stats: top-50 bigrams by frequency over a bounded
     // subset (count desc, gram asc for determinism).
     "tx_top_bigrams" -> ((s, dir) => {
@@ -188,6 +212,34 @@ object TextQueries extends QuerySet {
         |  sha256(chunk) AS chunk_sha
         |FROM s
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "tx_pack_sequences" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(CAST(ceil((len(toks) - 8) / 32.0) AS BIGINT), 1)))
+        |      AS chunk_idx
+        |  FROM b),
+        |n AS (
+        |  SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(array_to_string(
+        |      toks[CAST(chunk_idx * 32 + 1 AS INT) : CAST(chunk_idx * 32 + 40 AS INT)],
+        |      ' ')), '\s+')) AS BIGINT) AS n_tok
+        |  FROM c),
+        |x AS (
+        |  SELECT shard, n_tok,
+        |    CAST(floor((SUM(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512)
+        |      AS BIGINT) AS bin
+        |  FROM n)
+        |SELECT shard, bin, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        |FROM x
+        |GROUP BY shard, bin
+        |ORDER BY shard, bin""".stripMargin,
 
     "tx_top_bigrams" ->
       """WITH g AS (
