@@ -20,9 +20,12 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     // raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    // configure()). Values are µs-grain, so ns→µs truncation is lossless.
+    // configure()). Values are µs-grain, so ns→µs truncation is lossless —
+    // but it must be INTEGRAL division: `col / 1000` is double division,
+    // and an epoch-nanos value (~1.7e18) exceeds a double's 53-bit
+    // mantissa, silently perturbing timestamps by up to ±1 µs.
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df
     }
   }

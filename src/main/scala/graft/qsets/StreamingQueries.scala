@@ -48,6 +48,33 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // Sessionization (batch form): a >30-minute gap starts a new session;
+    // lag + conditional running count assign session ids per user, then
+    // sessions aggregate to length/duration. Windows partition by user,
+    // so the computation shards across the cluster.
+    "st6_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // gaps compared at microsecond grain — second-truncation would
+        // misclassify sub-second boundary gaps vs the oracle
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ST3 — incremental refresh: only rows past the last sync point.
     "st3_incremental_refresh" -> ((s, dir) => {
       EventStreams.incrementalRefresh(t(s, dir, "events"), "2024-01-25 00:00:00")
@@ -82,6 +109,26 @@ object StreamingQueries extends QuerySet {
         |SELECT c.user_id, n_events, last_type
         |FROM counts c JOIN last l ON c.user_id = l.user_id
         |ORDER BY c.user_id""".stripMargin,
+
+    "st6_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        |FROM x
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "st5_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n

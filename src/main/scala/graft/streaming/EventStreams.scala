@@ -40,7 +40,9 @@ object EventStreams {
     val raw = spark.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/events.[p]arquet")
     if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral ns→µs division (see Tables.load: `/ 1000` is double
+      // division and perturbs epoch-nanos beyond double precision)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
