@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AggOps
-import graft.records.{CacheOps, DatasetOps, RecordQueries, RecordQueryFilters, ServiceOps, TaskOps}
+import graft.records.{CacheOps, DatasetOps, RecordOps, RecordQueries, RecordQueryFilters, ServiceOps, TaskOps}
 
 /** Records-model operators driven through records/tasks/managers frames
   * derived deterministically from the TPC-H-ish tables, so every one is
@@ -199,6 +199,37 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // ST1 return path — update_finished: a result batch (every waiting
+    // record with key%4==1 completes, %4==3 errors) merges into the
+    // records view; the post-transition status matrix is checked.
+    "st1_return_path" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val results = recs.filter(col("status") === "waiting")
+        .filter(col("record_id") % 4 === 1 || col("record_id") % 4 === 3)
+        .select(col("record_id"),
+          when(col("record_id") % 4 === 1, "complete").otherwise("error")
+            .as("new_status"))
+      RecordOps.applyFinished(recs, results)
+        .groupBy(col("record_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("record_type"), col("status"))
+    }),
+
+    // Revert/undo stack — the previous status per record is the rank-2
+    // history entry (lineitem as the per-record seq'd history log).
+    "st7_revert_prev" -> ((s, dir) => {
+      val history = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("record_id"),
+          col("l_linenumber").as("seq"),
+          when(col("l_returnflag") === "A", "complete")
+            .when(col("l_returnflag") === "R", "error")
+            .otherwise("running").as("status"))
+      RecordOps.revertToPrevious(history)
+        .groupBy(col("reverted_status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("reverted_status"))
+    }),
+
     // A4 — children status counts: filter the parent/child edge view to
     // the requested parents, join child records, count per status
     // (`qcfractal/qcfractal/components/base_record_socket.py:468-476`).
@@ -352,6 +383,32 @@ object RecordsShaped extends QuerySet {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "st1_return_path" ->
+      """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |  CASE WHEN o_orderstatus IN ('F') THEN 'complete'
+        |    WHEN o_orderstatus = 'P' THEN 'running'
+        |    WHEN o_orderkey % 4 = 1 THEN 'complete'
+        |    WHEN o_orderkey % 4 = 3 THEN 'error'
+        |    ELSE 'waiting' END AS status,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY record_type, status""".stripMargin,
+
+    "st7_revert_prev" ->
+      """WITH h AS (
+        |  SELECT l_orderkey AS record_id, l_linenumber AS seq,
+        |    CASE l_returnflag WHEN 'A' THEN 'complete'
+        |      WHEN 'R' THEN 'error' ELSE 'running' END AS status
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |r AS (
+        |  SELECT record_id, status FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY record_id ORDER BY seq DESC) = 2)
+        |SELECT status AS reverted_status, COUNT(*) AS n
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY reverted_status""".stripMargin,
 
     "a4_children_status" ->
       """SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS parent,
