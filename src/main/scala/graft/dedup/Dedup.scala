@@ -19,8 +19,8 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per content hash.
-    * Returns (survivors, dropped-duplicate count column name is "dups"). */
+  /** Exact dedup: keep the lowest-id row per content hash. Returns the
+    * surviving rows with their `content_hash` attached. */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[Column]): DataFrame = {
     val hashed = df.withColumn("content_hash", Hashing.md5Hash(contentCols: _*))
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
@@ -47,8 +47,8 @@ object Dedup {
     * exact-Jaccard verify once per surviving pair → expand back to members.
     * Returns candidate pairs (id_a, id_b, jaccard) with jaccard >= minJaccard.
     *
-    * Scale shape: the band self-join carries only (band, id) — two longs —
-    * never the shingle arrays, and the distinct that collapses the
+    * Scale shape: candidate generation carries only (band, id) — two longs
+    * — never the shingle arrays, and the distinct that collapses the
     * bands-per-pair multiplicity runs over (id_a, id_b) long pairs. Exact
     * duplicates (the dominant cluster type in web corpora) are collapsed to
     * one representative BEFORE banding, so an m-way identical cluster costs
