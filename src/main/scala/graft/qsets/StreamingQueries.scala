@@ -75,6 +75,16 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Native streaming session windows: must converge to the same
+    // sessions as the batch lag-based construction in st6 (no exact-gap
+    // boundary events exist in the data, so the >gap vs >=gap edge is
+    // moot and the definitions coincide).
+    "st8_session_window" -> ((s, dir) => {
+      EventStreams.sessionWindowAgg(s, dir,
+          s"st_sess_${System.nanoTime()}", "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ST3 — incremental refresh: only rows past the last sync point.
     "st3_incremental_refresh" -> ((s, dir) => {
       EventStreams.incrementalRefresh(t(s, dir, "events"), "2024-01-25 00:00:00")
@@ -129,6 +139,26 @@ object StreamingQueries extends QuerySet {
         |FROM x
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "st8_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM x
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "st5_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n

@@ -118,6 +118,25 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts"))
 
+  /** Streaming sessionization via the native session_window: events within
+    * `gap` of each other merge into one session per key. Complete mode
+    * (bounded key space under AvailableNow) so every final session is in
+    * the sink — update mode is unsupported for session windows, and append
+    * under AvailableNow would need a watermark-advancing extra batch. */
+  def sessionWindowAgg(spark: SparkSession, dir: String, table: String,
+                       gap: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName(table)
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
   /** Streaming exact dedup: first arrival per key wins; state for a key
     * is dropped once the watermark passes it, so dedup state is bounded
     * by the watermark horizon instead of growing forever — the
