@@ -199,6 +199,17 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // A2+ — the status matrix with CUBE subtotals (SURVEY §2.4 notes the
+    // engine gets grouping sets free; the reference computes rollups
+    // client-side in Python). grouping_id disambiguates subtotal rows.
+    "a13_cube_matrix" -> ((s, dir) => {
+      records(s, dir)
+        .cube(col("record_type"), col("status"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .na.fill("<all>", Seq("record_type", "status"))
+        .orderBy(col("gid"), col("record_type"), col("status"))
+    }),
+
     // ST1 return path — update_finished: a result batch (every waiting
     // record with key%4==1 completes, %4==3 errors) merges into the
     // records view; the post-transition status matrix is checked.
@@ -383,6 +394,20 @@ object RecordsShaped extends QuerySet {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "a13_cube_matrix" ->
+      """WITH r AS (
+        |  SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
+        |    CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |      WHEN 'P' THEN 'running' ELSE 'waiting' END AS status
+        |  FROM orders)
+        |SELECT COALESCE(record_type, '<all>') AS record_type,
+        |  COALESCE(status, '<all>') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(record_type) * 2 + GROUPING(status) AS BIGINT) AS gid
+        |FROM r
+        |GROUP BY CUBE (record_type, status)
+        |ORDER BY gid, record_type, status""".stripMargin,
 
     "st1_return_path" ->
       """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
