@@ -134,6 +134,16 @@ object CoreRelational extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // U — INTERSECT: customers who ordered in BOTH 1997 and 1998 (the
+    // reference does intersection client-side with Python sets; the
+    // engine form is one shuffle per side + hash semi-match).
+    "u5_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def buyers(y: Int): DataFrame =
+        o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+      buyers(1997).intersect(buyers(1998)).orderBy(col("o_custkey"))
+    }),
+
     // U1+U3 — union of per-segment selections, set-minus recent purchasers.
     "u3_union_except" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -256,6 +266,14 @@ object CoreRelational extends QuerySet {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "u5_intersect" ->
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |) t
+        |ORDER BY o_custkey""".stripMargin,
 
     "u3_union_except" ->
       """SELECT c_custkey FROM (
