@@ -44,6 +44,18 @@ object AggOps {
       expr(s"percentile($valueCol, 0.95D)").as("p95"))
   }
 
+  /** A6 at 100 TB — approx_percentile (KLL-style sketch, mergeable,
+    * bounded memory) replaces the exact sort-based percentile, whose
+    * per-group sort is the scale bottleneck. `accuracy` trades memory for
+    * rank error ≤ 1/accuracy. The exact form stays for oracle parity and
+    * small groups; the unit suite bounds the sketch's error against it. */
+  def approxPercentileSummary(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String, accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile($valueCol, array(0.25D, 0.5D, 0.75D, 0.95D), $accuracy)")
+        .as("pcts"))
+
   /** A7/F2 — time-bucketed group key: UTC day or hour string
     * (`serverinfo/socket.py:477-492`). */
   def timeBucket(ts: Column, perHour: Boolean): Column =

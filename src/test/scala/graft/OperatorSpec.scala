@@ -98,6 +98,23 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("approx percentile tracks exact within rank-error bound") {
+    import graft.operators.AggOps
+    val events = Tables.load(spark, sfDir, "events")
+    val exact = AggOps.percentileSummary(events, Seq("event_type"), "value")
+      .select(col("event_type"), col("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = AggOps.approxPercentileSummary(events, Seq("event_type"), "value")
+      .select(col("event_type"), element_at(col("pcts"), 2).as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // value range is bounded; at accuracy 10000 over ~1-2k rows/group the
+    // sketch is near-exact — allow a loose absolute tolerance
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(1.0, math.abs(v) * 0.05),
+        s"$k: exact $v vs approx ${approx(k)}")
+    }
+  }
+
   test("join-based fetchInOrder and tupleIn agree with their literal forms") {
     import graft.operators.{FilterOps, Pagination}
     val orders = Tables.load(spark, sfDir, "orders")
