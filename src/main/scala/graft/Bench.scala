@@ -8,6 +8,21 @@ import org.apache.spark.sql.SparkSession
   * first timed query isn't charged for it. Per-query failures are recorded
   * as -1 and fail the run (nonzero exit) instead of being swallowed. */
 object Bench {
+  /** One throwaway AvailableNow micro-query: absorbs structured-streaming
+    * engine init so the first timed st_* query isn't charged for it. */
+  private def warmUpStreaming(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("bench-warm").toString
+    spark.range(8).withColumn("k", col("id") % 2)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    spark.readStream.schema("id LONG, k LONG").parquet(s"$tmp/in")
+      .groupBy(col("k")).count()
+      .writeStream.format("noop").outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,9 +37,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warm-up: codegen + parquet footers for the main fact/dim tables
+    // warm-up: codegen + parquet footers for the main fact/dim tables,
+    // plus one throwaway streaming micro-query so the first timed st_*
+    // query isn't charged for structured-streaming engine init
     Seq("a2_pricing_summary", "j2_revenue_by_region", "f_scalar_suite")
       .foreach(run)
+    warmUpStreaming(spark)
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.keys.toSeq.map { name =>

@@ -42,6 +42,59 @@ object Dedup {
       xxhash64(lit(b), slice(sigCol, b * r + 1, r))): _*)
   }
 
+  /** Bounded bucket-collect pair generation — the shared candidate
+    * generator for every LSH family (minhash bands, simhash chunks, SRP
+    * buckets), hardened against hot buckets.
+    *
+    * The naive `groupBy(bucket).agg(collect_list(...))` has an unbounded
+    * reducer row: a boilerplate-heavy corpus puts millions of near-dup ids
+    * into one band value, so a single task collects them all and then
+    * explodes ~n² pairs. Here buckets whose size exceeds `cap` are
+    * sub-salted FIRST (size pass → salt = hash(payload) mod ceil(n/cap)),
+    * so no collected row ever exceeds ~cap elements and no group explodes
+    * more than ~cap² pairs. Nothing is silently dropped: the salt groups
+    * of an oversized bucket are re-linked by "bridge" pairs chaining the
+    * per-group minimum payloads in order (≤ groups-1 extra candidates), so
+    * downstream connected components see the bucket as one linked family
+    * even though its all-pairs expansion was capped.
+    *
+    * Cost: the size pass shuffles only (bucket, partial-count) rows —
+    * map-side combine makes it a fraction of the payload volume — and the
+    * oversized-bucket list it produces is at most items/cap rows (tiny in
+    * any non-degenerate corpus), so the join back is a broadcast under AQE
+    * and the payload itself is shuffled exactly once, same as the naive
+    * form. `payload` must be an orderable column (a scalar id, or a struct
+    * whose FIRST field is the unique ordering key); pairs come back as
+    * (a, b) with a < b in payload order.
+    */
+  def boundedBucketPairs(items: DataFrame, bucketCols: Seq[Column],
+                         payload: Column, cap: Int = 1024): DataFrame = {
+    require(cap >= 2, s"bucket cap must be >= 2, got $cap")
+    val it = items.select(struct(bucketCols: _*).as("__bkt"), payload.as("e"))
+    val oversized = it.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+    val salted = it.join(oversized, Seq("__bkt"), "left_outer")
+      .withColumn("__g", when(col("__n").isNull, lit(1L))
+        .otherwise(ceil(col("__n").cast("double") / cap).cast("long")))
+      .withColumn("__salt", pmod(xxhash64(lit(0x5a17L), col("e")), col("__g")))
+    val groups = salted.groupBy(col("__bkt"), col("__salt"))
+      .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
+        first(col("__g")).as("__g"))
+    val within = groups.filter(size(col("es")) > 1)
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val bridges = groups.filter(col("__g") > 1)
+      .groupBy(col("__bkt")).agg(array_sort(collect_list(col("rep"))).as("reps"))
+      .filter(size(col("reps")) > 1)
+      .select(explode(transform(sequence(lit(1), size(col("reps")) - 1),
+        i => struct(element_at(col("reps"), i).as("a"),
+          element_at(col("reps"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    within.unionByName(bridges)
+  }
+
   /** Full MinHash+LSH near-dup pipeline over (id, text):
     * shingle → collapse exact dups → sign → band → bucket-join on ids only →
     * exact-Jaccard verify once per surviving pair → expand back to members.
@@ -58,7 +111,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                   minJaccard: Double = 0.2): DataFrame = {
+                   minJaccard: Double = 0.2, bucketCap: Int = 1024): DataFrame = {
     // tokenize in its own projection (see shinglesFromTokens scaladoc), and
     // filter on token count BEFORE the shingle projection — a filter on
     // size(sh) would be pushed below it and recompute the shingles per row
@@ -81,16 +134,15 @@ object Dedup {
         first(col("sh")).as("sh")) // all identical within a chash group
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Candidates via bucket-collect: one pass computes the signature, one
-    // shuffle groups ids per band, pairs explode inside each bucket. (A
-    // band self-join would compute the signature once per join side.)
+    // Candidates via bounded bucket-collect: one pass computes the
+    // signature, one shuffle groups ids per band (sub-salted past
+    // `bucketCap` — see boundedBucketPairs), pairs explode inside each
+    // bounded bucket. (A band self-join would compute the signature once
+    // per join side.)
     val sig = groups.select(col("rep").as("id"),
       explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
-    val cand = sig.groupBy("band").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = boundedBucketPairs(sig, Seq(col("band")), col("id"), bucketCap)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
 
     // verify: shingles join back once per surviving representative pair;
@@ -136,7 +188,8 @@ object Dedup {
     * to members at the end. Hamming depends only on the two hash values,
     * so the expansion is exact, with 0 for same-hash members. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 4, maxHamming: Long = 4L): DataFrame = {
+                   bands: Int = 4, maxHamming: Long = 4L,
+                   bucketCap: Int = 1024): DataFrame = {
     import graft.functions.SimHash64
     val sh = docs.select(col(idCol).as("id"), SimHash64(col(textCol)).as("sh"))
     val groups = sh.groupBy("sh").agg(
@@ -149,13 +202,8 @@ object Dedup {
           lit(i).as("band"),
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("c"))
       .select(col("rep"), col("sh"), col("c.band"), col("c.bh"))
-    val repPairs = chunks
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("rep"), col("sh"))).as("es"))
-      .filter(size(col("es")) > 1)
-      .select(explode(col("es")).as("a"), col("es"))
-      .select(col("a"), explode(col("es")).as("b"))
-      .filter(col("a.rep") < col("b.rep"))
+    val repPairs = boundedBucketPairs(chunks, Seq(col("band"), col("bh")),
+        struct(col("rep"), col("sh")), bucketCap)
       .select(col("a.rep").as("rep_a"), col("a.sh").as("sh_a"),
         col("b.rep").as("rep_b"), col("b.sh").as("sh_b"))
       .distinct()
@@ -186,8 +234,11 @@ object Dedup {
     * graph diameter, which for near-dup clusters is small (they are
     * dense cliques-ish, not paths). */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the pairs plan (often a full LSH pipeline) is materialized exactly
+    // once; both edge directions and the seed labels read the checkpoint
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(eager = true)
+    val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -195,14 +246,18 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // convergence detection is folded into the propagation aggregate:
+      // the self row carries the previous label, so "did anything change"
+      // is a cheap scan of the checkpointed result — no extra join+job
       val viaNeighbor = e.join(labels, e("dst") === labels("id"))
-        .select(e("src").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(e("src").as("id"), col("label"), lit(false).as("self"))
+      val next = labels.withColumn("self", lit(true)).union(viaNeighbor)
+        .groupBy(col("id")).agg(
+          min(col("label")).as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint(eager = true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))

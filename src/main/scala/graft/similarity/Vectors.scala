@@ -87,26 +87,37 @@ object Vectors {
         .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale)),
       k)
 
-  /** Embedding-cosine near-dup pairs at scale: SRP-bucket the vectors,
-    * generate pairs only inside buckets (bucket-collect, no self-join —
-    * the signature is computed once), verify with exact cosine. The
-    * bounded all-pairs form (`sim_embcos_pairs`) is the oracle baseline
-    * this approximates; identical vectors always share a bucket, so exact
-    * duplicates have recall 1. */
+  /** Embedding-cosine near-dup pairs at scale: `bands` INDEPENDENT SRP
+    * signatures (distinct hyperplane seeds) OR'd minhash-style — a pair is
+    * a candidate if it collides in ANY band, so near-identical-but-not-
+    * identical vectors (which straddle a hyperplane of any single
+    * signature with probability ≈ bits·θ/π) still get caught: recall is
+    * 1-(1-(1-θ/π)^bits)^bands instead of the single-band (1-θ/π)^bits
+    * cliff. Candidate generation carries ids only through the bounded
+    * bucket-collect ([[graft.dedup.Dedup.boundedBucketPairs]] — hot
+    * buckets sub-salted, never one giant reducer row); vectors are joined
+    * back once per distinct surviving pair for exact-cosine verification.
+    * Identical vectors always share every bucket, so exact duplicates
+    * have recall 1. */
   def cosinePairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
                      dim: Int, bits: Int, minCosine: Double,
+                     bands: Int = 4, bucketCap: Int = 1024,
                      roundScale: Int = 6): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", srpSignature(col("v"), dim, bits))
-    val cand = v.select(col("bucket"), struct(col("id"), col("v")).as("e"))
-      .groupBy("bucket").agg(collect_list(col("e")).as("es"))
-      .filter(size(col("es")) > 1)
-      .select(explode(col("es")).as("a"), col("es"))
-      .select(col("a"), explode(col("es")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-    cand.withColumn("score", round(cosine(col("a.v"), col("b.v")), roundScale))
+    val sigs = v.select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          srpSignature(col("v"), dim, bits, seed = 42L + 1000L * b).as("sig"))): _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = graft.dedup.Dedup.boundedBucketPairs(
+        sigs, Seq(col("band"), col("sig")), col("id"), bucketCap)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("score", round(cosine(col("va"), col("vb")), roundScale))
       .filter(col("score") >= minCosine)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+      .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
@@ -124,9 +135,20 @@ object Vectors {
 
     val feat = corpus.select(col("vec_id"),
       array_to_vector(col("c_vec")).as("features"))
-    // coarse quantization needs rough cells, not converged clusters —
-    // cap iterations (each KMeans iter is a full pass over the corpus)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8).fit(feat)
+    // coarse quantization needs rough cells, not converged clusters:
+    // cap iterations AND train on a seeded bounded sample (~256·nlist
+    // rows, the standard IVF train-set size). Fitting on the full corpus
+    // would be 8 driver-coordinated full passes before the first query —
+    // the sample costs one counting pass and caps each KMeans iteration
+    // at a constant-size input regardless of corpus scale.
+    val targetRows = 256L * nlist
+    val total = feat.count()
+    val trainFeat =
+      if (total > targetRows)
+        feat.sample(withReplacement = false,
+          fraction = math.min(1.0, 1.1 * targetRows / total), seed = seed)
+      else feat
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8).fit(trainFeat)
     val cells = model.transform(feat)
       .select(col("vec_id"), col("prediction").as("cell"))
     val assigned = corpus.join(cells, "vec_id")

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Vectors
+import graft.text.TextFunctions
+
+/** Scale-guard specs: the behaviors that only matter at 100 TB — hot-bucket
+  * capping, multi-band LSH recall on non-identical near-dups, sampled IVF
+  * determinism, linear-time repetition scoring. */
+class ScaleGuardSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Driver-side union-find over a small collected pair set. */
+  private def componentCount(n: Long, pairs: Seq[(Long, Long)]): Int = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (0L until n).foreach(i => parent(i) = i)
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    (0L until n).map(find).distinct.size
+  }
+
+  test("bounded bucket pairs: small buckets produce exactly the all-pairs set") {
+    // buckets: 10 → {1}, 20 → {2,3}, 30 → {4,5,6}; cap well above sizes
+    val items = Seq((10L, 1L), (20L, 2L), (20L, 3L), (30L, 4L), (30L, 5L), (30L, 6L))
+      .toDF("bucket", "id")
+    val got = Dedup.boundedBucketPairs(items, Seq(col("bucket")), col("id"), cap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
+  test("bounded bucket pairs: a mega-bucket stays bounded and connected") {
+    val n = 1000L
+    val cap = 100
+    val items = spark.range(n).select(lit(777L).as("bucket"), col("id"))
+    val pairs = Dedup.boundedBucketPairs(items, Seq(col("bucket")), col("id"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // naive all-pairs would emit n(n-1)/2 = 499500 rows; sub-salting caps
+    // each of the ~10 groups at ~cap²/2 pairs plus the bridge chain
+    assert(pairs.length < 150000, s"pairs not bounded: ${pairs.length}")
+    assert(pairs.length > n, "suspiciously few pairs")
+    // no silent fragmentation: bridges keep the bucket one component
+    assert(componentCount(n, pairs.toSeq) === 1)
+    // and no duplicate or self pairs
+    assert(pairs.distinct.length === pairs.length)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("minhash with tiny bucket cap: exact dups unaffected, near-dup family stays one cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // 120 near-identical docs (unique suffix defeats exact-dup collapse):
+    // pairwise 2-shingle jaccard = 11/13 ≈ 0.846
+    val family = (0 until 120).map(i => (i.toLong, s"$base uniq$i"))
+    // plus planted exact copies of 10 unrelated docs (collapse path)
+    val others = (0 until 10).map(i =>
+      (1000L + i, s"other$i one two three four five six seven eight nine"))
+    val docs = (family ++ others ++ others.map { case (id, t) => (id + 500L, t) })
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, minJaccard = 0.8, bucketCap = 16)
+    val collected = pairs.collect()
+    // exact copies never touch the banding path — recall 1.0 regardless of cap
+    val exact = collected.filter(_.getAs[Double]("jaccard") == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 10).forall(i => exact.contains((1000L + i, 1500L + i))))
+    // the capped near-dup family still resolves to a single survivor
+    val survivors = Dedup.survivors(
+        docs.filter(col("doc_id") < 1000L), "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L))
+  }
+
+  test("multi-band cosine lsh: noisy near-dups (not identical) recalled >= 95%") {
+    // 100 base vectors, each with a slightly perturbed copy (cosine > 0.99
+    // but < 1.0) — the case a single SRP signature misses when the pair
+    // straddles one hyperplane
+    val dim = 16
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toDouble)
+    def noisy(i: Int): Array[Double] = {
+      val v = vec(i)
+      Array.tabulate(dim)(j => v(j) + 0.04 * math.cos(i * 13 + j * 5))
+    }
+    val rows = (0 until 100).flatMap(i =>
+      Seq((i.toLong, vec(i)), (i + 1000L, noisy(i))))
+    val df = rows.toDF("vec_id", "v")
+    val got = Vectors.cosinePairsLsh(df, "vec_id", "v",
+        dim = dim, bits = 10, minCosine = 0.98, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0 until 100).count(i => got.contains((i.toLong, i + 1000L)))
+    assert(recalled >= 95, s"recall only $recalled/100")
+  }
+
+  test("sampled ivf quantizer: deterministic across runs, nprobe=nlist stays exact") {
+    // corpus large enough to trigger the bounded-sample path (256*nlist=1024)
+    val vecs = (0 until 1500).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * 3 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("q_vec"))
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val run1 = Vectors.ivfKnn(queries, corpus, nlist = 4, nprobe = 2, k = 4)
+      .collect().map(keyOf).toSet
+    val run2 = Vectors.ivfKnn(queries, corpus, nlist = 4, nprobe = 2, k = 4)
+      .collect().map(keyOf).toSet
+    assert(run1 === run2, "sample-trained quantizer must be seed-deterministic")
+    val brute = Vectors.bruteForceKnn(queries, corpus, k = 4).collect().map(keyOf).toSet
+    val ivfAll = Vectors.ivfKnn(queries, corpus, nlist = 4, nprobe = 4, k = 4)
+      .collect().map(keyOf).toSet
+    assert(ivfAll === brute)
+  }
+
+  test("topTokenRatio: matches hand counts and handles a 100k-token document") {
+    val df = Seq(
+      (1L, "a b a c a"),        // 'a' 3 of 5
+      (2L, "x y z"),            // all distinct: 1 of 3
+      (3L, "t t t t"))          // single token: 4 of 4
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.wsTokens(col("text")).as("toks"))
+      .select(col("id"), TextFunctions.topTokenRatio(col("toks")).as("r"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.6) < 1e-12)
+    assert(math.abs(got(2L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(3L) - 1.0) < 1e-12)
+    // 100k tokens over a 1000-token vocabulary: the naive distinct×filter
+    // form is ~10⁸ lambda evaluations for this one row; the sorted-run
+    // form must return the exact ratio (100/100000) in bounded time
+    val big = (0 until 100000).map(i => s"tok${i % 1000}").mkString(" ")
+    val r = Seq((1L, big)).toDF("id", "text")
+      .select(TextFunctions.topTokenRatio(TextFunctions.wsTokens(col("text"))).as("r"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 0.001) < 1e-12)
+  }
+}
