@@ -13,14 +13,27 @@ object Bench {
   private def warmUpStreaming(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("bench-warm").toString
-    spark.range(8).withColumn("k", col("id") % 2)
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    spark.readStream.schema("id LONG, k LONG").parquet(s"$tmp/in")
-      .groupBy(col("k")).count()
-      .writeStream.format("noop").outputMode("complete")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val tmpPath = java.nio.file.Files.createTempDirectory("bench-warm")
+    val tmp = tmpPath.toString
+    // a warm-up failure or hang must not abort the bench: bounded wait,
+    // swallow errors (timed st_* queries just pay the init cost instead)
+    try {
+      spark.range(8).withColumn("k", col("id") % 2)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      spark.readStream.schema("id LONG, k LONG").parquet(s"$tmp/in")
+        .groupBy(col("k")).count()
+        .writeStream.format("noop").outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000L)
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warm-up failed (ignored): ${e.getMessage}")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      try Files.walk(tmpPath).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_: Path))
+      catch { case _: Throwable => () }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,7 +71,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's recorded stdout tail can truncate; also persist the full
+    // per-query JSON to a stable file so rounds compare completely
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

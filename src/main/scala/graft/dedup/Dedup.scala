@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing
@@ -19,13 +18,20 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: keep the lowest-id row per content hash. Returns the
-    * surviving rows with their `content_hash` attached. */
+    * surviving rows with their `content_hash` attached.
+    *
+    * Uses the `min_by` hash-aggregate form (AggOps.distinctOnAgg), not a
+    * window sort: map-side partial aggregation collapses duplicates
+    * before the shuffle (one surviving row per hash per map task) and
+    * nothing is sorted — a `row_number() over (partition by hash)` would
+    * move every document through a sort shuffle instead. */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[Column]): DataFrame = {
     val hashed = df.withColumn("content_hash", Hashing.md5Hash(contentCols: _*))
-    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
-    hashed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    graft.operators.AggOps.distinctOnAgg(hashed, Seq("content_hash"), Seq(col(idCol)))
+      .select(df.columns.map(col) :+ col("content_hash"): _*)
   }
 
   /** MinHash signature: k minimums of per-seed 64-bit hashes over the
@@ -66,20 +72,65 @@ object Dedup {
     * form. `payload` must be an orderable column (a scalar id, or a struct
     * whose FIRST field is the unique ordering key); pairs come back as
     * (a, b) with a < b in payload order.
+    *
+    * CONTRACT under downstream verification: bridges guarantee CANDIDATE
+    * connectivity only. Every caller verifies candidate pairs afterwards
+    * (jaccard / hamming / cosine), and a bridge pair must pass that verify
+    * like any other — so a HETEROGENEOUS hot bucket (several unrelated
+    * families colliding in one bucket) may fragment into at most
+    * ceil(n/cap) components per family when the chained reps fail
+    * pairwise verification. Fragmentation is the documented behavior
+    * (bridges are NOT exempt from verify): a capped bucket trades exact
+    * transitive linkage for boundedness, never correctness of the pairs
+    * it does emit. Capping is observable at runtime: every call logs the
+    * oversized-bucket count and the capped pair volume when capping
+    * occurred (see the WARN from this class's logger).
     */
   def boundedBucketPairs(items: DataFrame, bucketCols: Seq[Column],
                          payload: Column, cap: Int = 1024): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
+    // `it` has two consumers (the size pass and the salted probe side) and
+    // in every caller the bucket key is the expensive projection of the
+    // whole pipeline (minhash/SRP signature, simhash) — persist so it
+    // computes ONCE; exchange reuse would not cover the two distinct
+    // consumers. The persisted rows are only (bucket, payload) — the
+    // narrow candidate shape, never the documents.
     val it = items.select(struct(bucketCols: _*).as("__bkt"), payload.as("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val oversized = it.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
     val salted = it.join(oversized, Seq("__bkt"), "left_outer")
       .withColumn("__g", when(col("__n").isNull, lit(1L))
         .otherwise(ceil(col("__n").cast("double") / cap).cast("long")))
       .withColumn("__salt", pmod(xxhash64(lit(0x5a17L), col("e")), col("__g")))
+    // `groups` also has two consumers (within + bridges); eager
+    // localCheckpoint materializes it in one job (reading the cached `it`
+    // twice, not recomputing it) and lets `it` be dropped immediately —
+    // nothing upstream of this point is ever evaluated again.
     val groups = salted.groupBy(col("__bkt"), col("__salt"))
       .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
         first(col("__g")).as("__g"))
+      .localCheckpoint(eager = true)
+    it.unpersist(blocking = false)
+    // hot-bucket degradation is observable: one cheap scan of the
+    // checkpointed groups reports how many buckets were capped and how
+    // many all-pairs candidates the cap suppressed (replaced by bridges)
+    val hot = groups.filter(col("__g") > 1)
+      .groupBy(col("__bkt"))
+      .agg(sum(size(col("es")).cast("long")).as("n"),
+        // n·(n−1)/2 via shiftright: Column `/` is double division
+        sum(shiftright(size(col("es")).cast("long") * (size(col("es")).cast("long") - 1L), 1))
+          .as("kept"),
+        count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(sum(shiftright(col("n") * (col("n") - 1L), 1) - col("kept") - (col("g") - 1L)),
+          lit(0L)).as("capped_pairs"))
+      .collect()(0)
+    if (hot.getLong(0) > 0)
+      log.warn(s"boundedBucketPairs: capped ${hot.getLong(0)} oversized bucket(s) " +
+        s"(cap=$cap), suppressing ${hot.getLong(1)} all-pairs candidates " +
+        "(salt groups re-linked by bridge pairs; families may fragment if " +
+        "bridge reps fail downstream verification)")
     val within = groups.filter(size(col("es")) > 1)
       .select(explode(col("es")).as("a"), col("es"))
       .select(col("a"), explode(col("es")).as("b"))
@@ -108,6 +159,13 @@ object Dedup {
     * one signature instead of m²·bands candidate rows; its pairs are
     * reconstructed at the end with jaccard 1.0. Shingle sets are joined back
     * exactly once per surviving candidate pair for verification.
+    *
+    * Recall under capping: candidates from a capped hot bucket include
+    * bridge pairs, which must still pass the jaccard verify — a
+    * heterogeneous hot bucket can therefore fragment per family (see the
+    * [[boundedBucketPairs]] contract). True near-dup pairs split across
+    * salt groups of a capped bucket are only compared if they co-occur in
+    * another band's bucket — the standard LSH multi-band redundancy.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
@@ -134,11 +192,11 @@ object Dedup {
         first(col("sh")).as("sh")) // all identical within a chash group
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Candidates via bounded bucket-collect: one pass computes the
-    // signature, one shuffle groups ids per band (sub-salted past
-    // `bucketCap` — see boundedBucketPairs), pairs explode inside each
-    // bounded bucket. (A band self-join would compute the signature once
-    // per join side.)
+    // Candidates via bounded bucket-collect: the signature computes once
+    // (boundedBucketPairs persists its (bucket, id) input before the size
+    // pass and salted join), one shuffle groups ids per band (sub-salted
+    // past `bucketCap`), pairs explode inside each bounded bucket. (A band
+    // self-join would compute the signature once per join side.)
     val sig = groups.select(col("rep").as("id"),
       explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
     val cand = boundedBucketPairs(sig, Seq(col("band")), col("id"), bucketCap)

@@ -136,18 +136,15 @@ object Vectors {
     val feat = corpus.select(col("vec_id"),
       array_to_vector(col("c_vec")).as("features"))
     // coarse quantization needs rough cells, not converged clusters:
-    // cap iterations AND train on a seeded bounded sample (~256·nlist
-    // rows, the standard IVF train-set size). Fitting on the full corpus
-    // would be 8 driver-coordinated full passes before the first query —
-    // the sample costs one counting pass and caps each KMeans iteration
-    // at a constant-size input regardless of corpus scale.
-    val targetRows = 256L * nlist
-    val total = feat.count()
-    val trainFeat =
-      if (total > targetRows)
-        feat.sample(withReplacement = false,
-          fraction = math.min(1.0, 1.1 * targetRows / total), seed = seed)
-      else feat
+    // cap iterations AND train on a bounded pseudo-random sample
+    // (~256·nlist rows, the standard IVF train-set size). Fitting on the
+    // full corpus would be 8 driver-coordinated full passes before the
+    // first query. The sample is top-targetRows by id-hash — uniform,
+    // deterministic, and taken with per-partition heaps
+    // (TakeOrderedAndProject) in ONE scan; no dedicated counting pass
+    // over the corpus. Smaller corpora pass through whole.
+    val targetRows = 256 * nlist
+    val trainFeat = feat.orderBy(xxhash64(col("vec_id"))).limit(targetRows)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8).fit(trainFeat)
     val cells = model.transform(feat)
       .select(col("vec_id"), col("prediction").as("cell"))

@@ -51,6 +51,10 @@ class PlanSpec extends SparkSuite {
   test("exact dedup shuffles the content hash, not the documents") {
     val p = plan("dd_exact")
     assert(p.contains("hashpartitioning(content_hash"))
+    assert(p.contains("partial_min_by"),
+      "duplicates must collapse map-side before the shuffle")
+    assert(!p.contains("Window"),
+      "pick-first must be a hash aggregate, not a window sort over full rows")
   }
 
   test("salted join: composite (key, salt) broadcast join, small side exploded") {

@@ -75,6 +75,33 @@ class ScaleGuardSpec extends SparkSuite {
     assert(survivors === Set(0L))
   }
 
+  test("heterogeneous hot bucket: families fragment boundedly after verification") {
+    // One hot bucket holding TWO unrelated families (ids 0..399 and
+    // 400..799). Candidates keep the bucket one component (bridges), but a
+    // caller's verify step rejects cross-family pairs — the documented
+    // contract is fragmentation bounded by the salt-group count per
+    // family, never a silent total drop.
+    val n = 800L
+    val cap = 100
+    val g = math.ceil(n.toDouble / cap).toInt
+    val items = spark.range(n).select(lit(9L).as("bucket"), col("id"))
+    val cand = Dedup.boundedBucketPairs(items, Seq(col("bucket")), col("id"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(componentCount(n, cand.toSeq) === 1, "candidates must be one component")
+    // every id is a candidate in at least one pair — nothing silently dropped
+    assert(cand.flatMap(p => Seq(p._1, p._2)).distinct.length === n)
+    // caller-style verification: only same-family pairs are "real"
+    val verified = cand.filter(p => (p._1 < 400L) == (p._2 < 400L))
+    val compA = componentCount(400L, verified.filter(_._2 < 400L).toSeq)
+    val compB = componentCount(400L,
+      verified.filter(_._1 >= 400L).map(p => (p._1 - 400L, p._2 - 400L)).toSeq)
+    assert(compA <= g, s"family A fragmented into $compA > $g components")
+    assert(compB <= g, s"family B fragmented into $compB > $g components")
+    // fragmentation is real for at least one family (the reps chained by
+    // bridges are min-ids, i.e. family-A-heavy, so B loses its bridges)
+    assert(compA + compB > 2, "expected bounded fragmentation to be observable")
+  }
+
   test("multi-band cosine lsh: noisy near-dups (not identical) recalled >= 95%") {
     // 100 base vectors, each with a slightly perturbed copy (cosine > 0.99
     // but < 1.0) — the case a single SRP signature misses when the pair
