@@ -37,6 +37,30 @@ object MoleculeQueries extends QuerySet {
         .orderBy(col("formula"))
     }),
 
+    // Molecule search (`molecules/socket.py:238-262`): the reference
+    // composes a Hill-formula IN-list (folded into the identifiers
+    // containment query as `molecular_formula`), an OR-of-containment per
+    // identifier name ANDed across names, a keyset cursor (id < cursor),
+    // and id-descending order. Composed here from the existing primitives
+    // (Molecules.hillFormula + FilterOps.jsonContainsAny) — all plain
+    // Catalyst predicates, no UDF.
+    "mol_search" -> ((s, dir) => {
+      import graft.operators.FilterOps
+      val m = molecules(s, dir)
+        .withColumn("formula", Molecules.hillFormula(col("symbols")))
+        .withColumn("source", concat(lit("src"), col("molecule_id") % 4))
+        .withColumn("identifiers", to_json(struct(
+          col("formula").as("molecular_formula"), col("source"))))
+      m.filter(
+          FilterOps.jsonContainsAny(col("identifiers"),
+            Seq("C2H3NO2", "C3HO2").map(f => Map("molecular_formula" -> f))) &&
+          FilterOps.jsonContainsAny(col("identifiers"),
+            Seq(Map("source" -> "src1"), Map("source" -> "src3"))) &&
+          col("molecule_id") < 15000)
+        .select(col("molecule_id"), col("formula"), col("source"))
+        .orderBy(col("molecule_id").desc)
+    }),
+
     // F9 — (N,3) reshape: atom count, per-atom coordinate access, and the
     // flatten∘reshape identity.
     "mol_geometry_reshape" -> ((s, dir) => {
@@ -76,6 +100,33 @@ object MoleculeQueries extends QuerySet {
         |FROM f
         |GROUP BY formula
         |ORDER BY formula""".stripMargin,
+
+    // independent reconstruction, same arithmetic as mol_hill_formula
+    "mol_search" ->
+      """WITH m AS (
+        |  SELECT p_partkey AS molecule_id,
+        |    (p_size % 3 + 1) AS nc, (p_size % 5) AS nh,
+        |    (p_partkey % 2 + 1) AS no_, (p_partkey % 3) AS nn,
+        |    'src' || CAST(p_partkey % 4 AS VARCHAR) AS source
+        |  FROM part),
+        |f AS (
+        |  SELECT molecule_id, source,
+        |    'C' || (CASE WHEN nc > 1 THEN CAST(nc AS VARCHAR) ELSE '' END) ||
+        |    (CASE WHEN nh = 0 THEN ''
+        |          WHEN nh = 1 THEN 'H'
+        |          ELSE 'H' || CAST(nh AS VARCHAR) END) ||
+        |    (CASE WHEN nn = 0 THEN ''
+        |          WHEN nn = 1 THEN 'N'
+        |          ELSE 'N' || CAST(nn AS VARCHAR) END) ||
+        |    (CASE WHEN no_ = 1 THEN 'O'
+        |          ELSE 'O' || CAST(no_ AS VARCHAR) END) AS formula
+        |  FROM m)
+        |SELECT molecule_id, formula, source
+        |FROM f
+        |WHERE formula IN ('C2H3NO2', 'C3HO2')
+        |  AND source IN ('src1', 'src3')
+        |  AND molecule_id < 15000
+        |ORDER BY molecule_id DESC""".stripMargin,
 
     "mol_geometry_reshape" ->
       """WITH m AS (

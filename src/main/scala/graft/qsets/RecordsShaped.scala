@@ -182,6 +182,45 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("record_type"))
     }),
 
+    // S2 depth — per-type nested payload structs, the wide-table form of
+    // the reference's joined-table polymorphism: singlepoint /
+    // optimization / torsiondrive each get a typed nullable StructType
+    // column (`components/singlepoint/record_db_models.py:95-147`,
+    // `optimization/record_db_models.py:90-145`,
+    // `torsiondrive/record_db_models.py:148-210`). Exported partitioned
+    // by record_type and read back selecting ONE subtype: the plan must
+    // prune both sibling partitions (listing time) and sibling structs
+    // (nested-schema pruning) — pinned in PlanSpec.
+    "s2_typed_payload" -> ((s, dir) => {
+      val typed = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey").as("record_id"),
+          element_at(array(lit("singlepoint"), lit("optimization"), lit("torsiondrive")),
+            (col("o_orderkey") % 3 + 1).cast("int")).as("record_type"),
+          when(col("o_orderstatus") === "F", "complete")
+            .when(col("o_orderstatus") === "P", "running")
+            .otherwise("waiting").as("status"),
+          when(col("o_orderkey") % 3 === 0, struct(
+            col("o_custkey").as("molecule_id"),
+            lit("energy").as("driver"),
+            (-col("o_totalprice") / 1000.0).as("return_energy"))).as("singlepoint"),
+          when(col("o_orderkey") % 3 === 1, struct(
+            col("o_custkey").as("initial_molecule_id"),
+            (col("o_custkey") + 1).as("final_molecule_id"),
+            array(col("o_totalprice"), col("o_totalprice") / 2).as("energies"))).as("optimization"),
+          when(col("o_orderkey") % 3 === 2, struct(
+            (col("o_custkey") % 24).cast("int").as("n_angles"),
+            array(col("o_custkey"), col("o_custkey") + 1).as("initial_molecule_ids"))).as("torsiondrive"))
+      val path = "/tmp/graft_export/s2_typed_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.DatasetExport.exportRecords(typed, path)
+      graft.sources.DatasetExport.readRecords(s, path)
+        .filter(col("record_type") === "optimization")
+        .select(col("record_id"),
+          col("optimization.initial_molecule_id").as("init_mol"),
+          col("optimization.final_molecule_id").as("final_mol"),
+          element_at(col("optimization.energies"), 1).as("e0"))
+        .orderBy(col("record_id"))
+    }),
+
     // F5/A10 — property-key manifest: distinct JSON keys per group
     // (jsonb_object_keys over per-spec properties,
     // `base_dataset_socket.py:344-360`). The `extra` field only exists on
@@ -239,6 +278,68 @@ object RecordsShaped extends QuerySet {
         .groupBy(col("reverted_status"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("reverted_status"))
+    }),
+
+    // ST1 integrated lifecycle — the full task chain the reference runs as
+    // one flow (`tasks/socket.py:243-392` claim → task spec payload →
+    // `record_socket.py:684-738` update_finished → history append →
+    // revert): claim the per-tag ordered top-50, build each task's JSON
+    // payload (X5 shape, dims broadcast), return results through
+    // RecordOps.applyFinished (records %4==3 error out), append the
+    // event-sourced history (waiting → running → returned), and revert
+    // errored records to their rank-2 history status. One row per claimed
+    // task carries every stage's output, so a break anywhere in the chain
+    // fails the oracle.
+    "st1_lifecycle" -> ((s, dir) => {
+      // 1. claim (W2 semantics: earlier manager tag wins, then priority
+      //    desc, sort_date asc, id asc)
+      val tasks = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderkey") < 5000)
+        .select(col("o_orderkey").as("task_id"),
+          col("o_orderkey").as("record_id"),
+          col("o_custkey").as("cust_id"),
+          lit(true).as("available"),
+          concat(lit("tag"), col("o_custkey") % 3).as("compute_tag"),
+          (col("o_custkey") % 5).cast("int").as("compute_priority"),
+          col("o_orderdate").as("sort_date"),
+          array(lit("prog0"), concat(lit("prog"), col("o_orderkey") % 4))
+            .as("required_programs"))
+      val claimed = TaskOps.claimTagOrdered(tasks,
+        managerPrograms = Seq("prog0", "prog1", "prog2", "prog3"),
+        managerTags = Seq("tag2", "tag0"), limit = 50)
+      // 2. task spec payload per claimed task (X5; dims broadcast)
+      val withPayload = claimed
+        .join(broadcast(t(s, dir, "customer")), col("cust_id") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("task_id"), col("record_id"), col("compute_tag"),
+          col("tag_rank"),
+          to_json(struct(col("record_id").as("id"),
+            col("compute_tag").as("tag"),
+            col("c_name").as("customer"),
+            col("n_name").as("nation"))).as("payload"))
+      // 3. return path: manager results merge into the records view
+      val results = withPayload.select(col("record_id"),
+        when(col("record_id") % 4 === 3, "error").otherwise("complete")
+          .as("new_status"))
+      val updated = RecordOps.applyFinished(records(s, dir), results)
+      val returned = withPayload.join(
+        updated.select(col("record_id"), col("status").as("returned_status")),
+        "record_id")
+      // 4+5. event-sourced history per claimed record, then revert errored
+      //      records to the previous (rank-2) status
+      val history = returned
+        .select(col("record_id"), lit(1L).as("seq"), lit("waiting").as("status"))
+        .unionByName(returned
+          .select(col("record_id"), lit(2L).as("seq"), lit("running").as("status")))
+        .unionByName(returned
+          .select(col("record_id"), lit(3L).as("seq"), col("returned_status").as("status")))
+      val prev = RecordOps.revertToPrevious(history)
+      returned.join(prev, Seq("record_id"), "left")
+        .select(col("task_id"), col("compute_tag"), col("tag_rank"),
+          col("payload"), col("returned_status"),
+          when(col("returned_status") === "error", col("reverted_status"))
+            .otherwise(col("returned_status")).as("final_status"))
+        .orderBy(col("task_id"))
     }),
 
     // A4 — children status counts: filter the parent/child edge view to
@@ -434,6 +535,46 @@ object RecordsShaped extends QuerySet {
         |FROM r
         |GROUP BY 1
         |ORDER BY reverted_status""".stripMargin,
+
+    "s2_typed_payload" ->
+      """SELECT o_orderkey AS record_id,
+        |  o_custkey AS init_mol,
+        |  o_custkey + 1 AS final_mol,
+        |  o_totalprice AS e0
+        |FROM orders
+        |WHERE o_orderkey < 5000 AND o_orderkey % 3 = 1
+        |ORDER BY record_id""".stripMargin,
+
+    "st1_lifecycle" ->
+      """WITH tasks AS (
+        |  SELECT o_orderkey AS task_id, o_orderkey AS record_id,
+        |    o_custkey AS cust_id,
+        |    'tag' || CAST(o_custkey % 3 AS VARCHAR) AS compute_tag,
+        |    CAST(o_custkey % 5 AS INT) AS compute_priority,
+        |    o_orderdate AS sort_date
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey < 5000),
+        |claimed AS (
+        |  SELECT *, CASE compute_tag WHEN 'tag2' THEN 1 WHEN 'tag0' THEN 2 END AS tag_rank
+        |  FROM tasks WHERE compute_tag IN ('tag2', 'tag0')
+        |  ORDER BY tag_rank, compute_priority DESC, sort_date, task_id
+        |  LIMIT 50),
+        |ret AS (
+        |  SELECT c.*,
+        |    CASE WHEN record_id % 4 = 3 THEN 'error' ELSE 'complete' END AS returned_status
+        |  FROM claimed c)
+        |SELECT r.task_id, r.compute_tag, CAST(r.tag_rank AS BIGINT) AS tag_rank,
+        |  to_json(struct_pack(
+        |    id := r.record_id,
+        |    tag := r.compute_tag,
+        |    customer := c_name,
+        |    nation := n_name)) AS payload,
+        |  r.returned_status,
+        |  CASE WHEN r.returned_status = 'error' THEN 'running'
+        |    ELSE r.returned_status END AS final_status
+        |FROM ret r
+        |JOIN customer ON r.cust_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY r.task_id""".stripMargin,
 
     "a4_children_status" ->
       """SELECT 'n' || CAST(c_nationkey AS VARCHAR) AS parent,

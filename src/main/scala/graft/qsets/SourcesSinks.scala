@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Codec
-import graft.sources.{DatasetExport, JsonTables}
+import graft.sources.{DatasetExport, JsonTables, Msgpack}
 
 /** SURVEY §2.1 sources/sinks beyond parquet scan: S3 JSON ingest, S4
   * dataset export, F11/S6 compressed blob edge. Each query is a full
@@ -44,6 +44,38 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("record_type"), col("status"))
     }),
 
+    // S3 (msgpack half) — documents → per-row msgpack bodies → typed
+    // decode through the declared schema. Exercises the str8/16/32 and
+    // int families; output must be identical to the source table, so a
+    // lossy or misframed codec cannot pass.
+    "s3_msgpack_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val packed = docs.select(
+        Msgpack.packStruct(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("body"))
+      Msgpack.readMsgpack(packed, col("body"),
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .orderBy(col("doc_id"))
+    }),
+
+    // S3 (msgpack arrays) — embeddings through the flattened-numpy-array
+    // path (`serialization.py:73-84`): float32 vectors ride the wire as
+    // float64 msgpack arrays (exact widening); first/last elements and
+    // length are compared exactly against the parquet source.
+    "s3_msgpack_arrays" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val packed = emb.select(
+        Msgpack.packStruct(struct(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("embedding"))).as("body"))
+      Msgpack.readMsgpack(packed, col("body"),
+        "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>")
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          element_at(col("embedding"), 1).as("first_v"),
+          element_at(col("embedding"), -1).as("last_v"))
+        .orderBy(col("vec_id"))
+    }),
+
     // F11/S6 — compress text into a zstd blob column, decompress at the
     // edge; output must be byte-identical to the source documents.
     "f11_codec_roundtrip" -> ((s, dir) => {
@@ -66,6 +98,19 @@ object SourcesSinks extends QuerySet {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "s3_msgpack_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "s3_msgpack_arrays" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_v
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
 
     "s4_dataset_export" ->
       """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,

@@ -86,6 +86,16 @@ class PlanSpec extends SparkSuite {
       "the type filter must prune partition directories at listing time")
   }
 
+  test("typed payload read-back prunes sibling partitions AND sibling structs") {
+    val p = plan("s2_typed_payload")
+    assert("PartitionFilters: \\[[^\\]]*record_type".r.findFirstIn(p).isDefined,
+      "the record_type filter must prune partition directories at listing time")
+    assert(p.contains("optimization:struct"),
+      "the selected subtype struct must be read")
+    assert(!p.contains("singlepoint") && !p.contains("torsiondrive"),
+      "unselected subtype structs must be pruned from the scan schema")
+  }
+
   test("conditional dim join: filter reaches the dim scan under the broadcast") {
     val p = plan("j1_conditional_join")
     assert(p.contains("BroadcastHashJoin"))
