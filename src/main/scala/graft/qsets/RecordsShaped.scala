@@ -158,6 +158,27 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("event_id"))
     }),
 
+    // S5 depth — cache write-back + eviction: locally-newer rows survive
+    // the write-back (user_id%7==0 planted +1h ahead), stale rows take
+    // the server version, same-version rows resolve by payload size with
+    // incoming winning ties (`cache.py:159-188`), then ids %10==7 evict.
+    "s5_cache_writeback" -> ((s, dir) => {
+      val server = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type").as("status"), col("props").as("record"))
+      val cache = server
+        .withColumn("ts",
+          when(col("user_id") % 7 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .when(col("user_id") < 50, col("ts") - expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")))
+        .withColumn("record", substring(col("record"), 1, 10))
+      val merged = CacheOps.writeBack(cache, server, "event_id", "ts", "record")
+      CacheOps.evict(merged,
+          server.filter(col("event_id") % 10 === 7).select(col("event_id")),
+          "event_id")
+        .select(col("event_id"), col("user_id"), col("status"), col("record"))
+        .orderBy(col("event_id"))
+    }),
+
     // S2 — polymorphic scan: per-type subtype frames (each with its own
     // extra column) unioned into the wide table; counts of the non-null
     // subtype columns prove the union aligned columns correctly.
@@ -535,6 +556,14 @@ object RecordsShaped extends QuerySet {
         |FROM r
         |GROUP BY 1
         |ORDER BY reverted_status""".stripMargin,
+
+    "s5_cache_writeback" ->
+      """SELECT event_id, user_id, event_type AS status,
+        |  CASE WHEN user_id % 7 = 0 THEN substr(props, 1, 10)
+        |    ELSE props END AS record
+        |FROM events
+        |WHERE event_id % 10 <> 7
+        |ORDER BY event_id""".stripMargin,
 
     "s2_typed_payload" ->
       """SELECT o_orderkey AS record_id,

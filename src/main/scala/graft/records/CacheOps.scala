@@ -28,4 +28,28 @@ object CacheOps {
     val current = cache.join(stale.select(col(key)), Seq(key), "left_anti")
     current.unionByName(stale)
   }
+
+  /** Write-back merge (`qcportal/qcportal/cache.py:159-173`
+    * `writeback_record`): an incoming row replaces the cached row UNLESS
+    * the cached one is strictly newer, or same-version and strictly
+    * larger — i.e. per key the winner is max by (version, payload size,
+    * incoming-wins-ties). One `max_by` hash aggregate with map-side
+    * partial combine — no window sort, no per-record statement loop. */
+  def writeBack(cache: DataFrame, updates: DataFrame,
+                key: String, version: String, payload: String): DataFrame = {
+    val all = cache.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    val dataCols = all.columns.filterNot(_ == key).toSeq
+    all.groupBy(col(key))
+      .agg(max_by(struct(dataCols.map(col): _*),
+        struct(col(version), length(col(payload)), col("__upd"))).as("__row"))
+      .select(col(key) +: dataCols.filterNot(_ == "__upd")
+        .map(c => col(s"__row.$c")): _*)
+  }
+
+  /** Eviction (`cache.py:175-188` `delete_records`): drop the given keys.
+    * The id list rides a broadcast anti-join — the cache itself is never
+    * shuffled. */
+  def evict(cache: DataFrame, ids: DataFrame, key: String): DataFrame =
+    cache.join(broadcast(ids), Seq(key), "left_anti")
 }

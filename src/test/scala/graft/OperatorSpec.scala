@@ -209,6 +209,35 @@ class OperatorSpec extends SparkSuite {
     assert(multi.nonEmpty)
   }
 
+  test("cache write-back: newer-cached wins, stale replaced, size breaks version ties") {
+    import graft.records.CacheOps
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val older = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val newer = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")
+    val cache = Seq(
+      (1L, newer, "local-edit"),   // cached strictly newer -> cached kept
+      (2L, older, "stale"),        // cached older -> update wins
+      (3L, ts, "short"),           // same ts, update larger -> update wins
+      (4L, ts, "much-longer-row")) // same ts, cached larger -> cached kept
+      .toDF("id", "ver", "rec")
+    val updates = Seq(
+      (1L, ts, "server-row"),
+      (2L, ts, "server-row"),
+      (3L, ts, "server-longer"),
+      (4L, ts, "tiny"),
+      (5L, ts, "brand-new"))       // missing key -> inserted
+      .toDF("id", "ver", "rec")
+    val got = CacheOps.writeBack(cache, updates, "id", "ver", "rec")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(1L -> "local-edit", 2L -> "server-row",
+      3L -> "server-longer", 4L -> "much-longer-row", 5L -> "brand-new"))
+    val left = CacheOps.evict(
+        CacheOps.writeBack(cache, updates, "id", "ver", "rec"),
+        Seq(2L, 5L).toDF("id"), "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(1L, 3L, 4L))
+  }
+
   test("text functions: counts and fingerprint invariance") {
     val df = Seq(
       (1L, "the quick brown fox"),
