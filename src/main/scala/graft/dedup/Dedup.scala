@@ -35,13 +35,17 @@ object Dedup {
   }
 
   /** MinHash signature: k minimums of per-seed 64-bit hashes over the
-    * shingle set. Pure Catalyst array exprs — codegen'd, no UDF. */
+    * shingle set. Composable HOF form — correct but interpreted
+    * (CodegenFallback) and k-pass; the pipeline uses the one-pass native
+    * [[graft.functions.MinHashBands]] expression instead. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
 
   /** LSH band hashes: split the k-length signature into `bands` bands and
-    * hash each; docs sharing any band hash become candidate pairs. */
+    * hash each; docs sharing any band hash become candidate pairs.
+    * HOF form — see [[graft.functions.MinHashBands]] for the fused
+    * native path. */
   def lshBandHashes(sigCol: Column, k: Int, bands: Int): Column = {
     val r = k / bands
     array((0 until bands).map(b =>
@@ -196,9 +200,12 @@ object Dedup {
     // (boundedBucketPairs persists its (bucket, id) input before the size
     // pass and salted join), one shuffle groups ids per band (sub-salted
     // past `bucketCap`), pairs explode inside each bounded bucket. (A band
-    // self-join would compute the signature once per join side.)
+    // self-join would compute the signature once per join side.) The
+    // signature+banding itself is the one-pass codegen'd MinHashBands
+    // native expression — each shingle's bytes are hashed once, not k
+    // times.
     val sig = groups.select(col("rep").as("id"),
-      explode(lshBandHashes(minhashSignature(col("sh"), k), k, bands)).as("band"))
+      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
     val cand = boundedBucketPairs(sig, Seq(col("band")), col("id"), bucketCap)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()

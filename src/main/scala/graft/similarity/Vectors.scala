@@ -48,7 +48,9 @@ object Vectors {
     * expression — no data-dependent training, corpus and queries bucket
     * identically, and the plan carries no literal plane arrays (at
     * dim 1024 × bits 16, literal planes would be ~16k constant nodes of
-    * plan bloat; this form is dimension-independent). */
+    * plan bloat; this form is dimension-independent). Composable HOF
+    * form, interpreted and bits-pass; the pipelines use the one-pass
+    * native [[graft.functions.SrpBands]] expression instead. */
   def srpSignature(v: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val idx = sequence(lit(0), lit(dim - 1))
     (0 until bits).map { b =>
@@ -104,10 +106,11 @@ object Vectors {
                      bands: Int = 4, bucketCap: Int = 1024,
                      roundScale: Int = 6): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = v.select(col("id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          srpSignature(col("v"), dim, bits, seed = 42L + 1000L * b).as("sig"))): _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // all `bands` signatures in one codegen'd pass over the vector
+    // (SrpBands) — the HOF form would traverse it bits×bands times
+    val sigs = v.select(col("id"),
+        posexplode(graft.functions.SrpBands(col("v"), bits, bands, seed = 42L)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
     val cand = graft.dedup.Dedup.boundedBucketPairs(
         sigs, Seq(col("band"), col("sig")), col("id"), bucketCap)
       .select(col("a").as("id_a"), col("b").as("id_b"))
@@ -177,8 +180,10 @@ object Vectors {
     * live in exactly one bucket, so probes never duplicate a candidate. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, bits: Int,
              k: Int, multiProbe: Boolean = true, roundScale: Int = 6): DataFrame = {
-    val cb = corpus.withColumn("bucket", srpSignature(col("c_vec"), dim, bits))
-    val qb0 = queries.withColumn("bucket0", srpSignature(col("q_vec"), dim, bits))
+    def sig(c: Column): Column =
+      element_at(graft.functions.SrpBands(c, bits, bands = 1), 1)
+    val cb = corpus.withColumn("bucket", sig(col("c_vec")))
+    val qb0 = queries.withColumn("bucket0", sig(col("q_vec")))
     val probes = col("bucket0") +:
       (if (multiProbe) (0 until bits).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
        else Seq.empty[Column])

@@ -102,6 +102,26 @@ class ScaleGuardSpec extends SparkSuite {
     assert(compA + compB > 2, "expected bounded fragmentation to be observable")
   }
 
+  test("native MinHashBands: deterministic, jaccard-sensitive, band-count stable") {
+    import graft.functions.MinHashBands
+    def bandsOf(tokens: Seq[String]): Seq[Long] =
+      Seq(Tuple1(tokens)).toDF("sh")
+        .select(MinHashBands(col("sh"), 16, 8).as("b"))
+        .collect()(0).getSeq[Long](0)
+    val a = (0 until 40).map(i => s"sh$i")
+    // identical sets -> identical band hashes (exact-dup recall 1)
+    assert(bandsOf(a) === bandsOf(a))
+    assert(bandsOf(a).length === 8)
+    // high-jaccard neighbor (39/41 ≈ 0.95) shares at least one band;
+    // a disjoint set shares none
+    val near = a.drop(1) :+ "extra"
+    assert(bandsOf(a).intersect(bandsOf(near)).nonEmpty,
+      "0.95-jaccard pair must collide in some band")
+    val far = (0 until 40).map(i => s"zz$i")
+    assert(bandsOf(a).intersect(bandsOf(far)).isEmpty,
+      "disjoint sets should not share a band")
+  }
+
   test("multi-band cosine lsh: noisy near-dups (not identical) recalled >= 95%") {
     // 100 base vectors, each with a slightly perturbed copy (cosine > 0.99
     // but < 1.0) — the case a single SRP signature misses when the pair
