@@ -174,22 +174,25 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    minJaccard: Double = 0.2, bucketCap: Int = 1024): DataFrame = {
-    // tokenize in its own projection (see shinglesFromTokens scaladoc), and
-    // filter on token count BEFORE the shingle projection — a filter on
-    // size(sh) would be pushed below it and recompute the shingles per row
+    // ONE native pass per document: tokenize + shingle + hash fused in
+    // HashedShingles, so the pipeline never materializes shingle strings —
+    // grouping, banding and the exact-Jaccard verify all run on the
+    // array<long> of shingle hashes (exact up to ~2⁻⁶⁴ collisions).
     val sh = docs
-      .select(col(idCol).as("id"), TextFunctions.wsTokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleN)
-      .select(col("id"), TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
+      .select(col(idCol).as("id"),
+        graft.functions.HashedShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
 
-    // 128-bit content key over the shingle set (64-bit would collide at
-    // billions of docs); one row per distinct content, min-id representative.
-    // Persisted: five downstream consumers (signature, two verify joins,
-    // two member-expansion joins) would otherwise each recompute the
-    // tokenize+shingle+aggregate subtree — exchange reuse does not cover
-    // the post-aggregate plan, and this is the table a production LSH job
+    // 128-bit content key over the shingle-hash array (two seeded
+    // xxhash64s; a single 64-bit key would collide at billions of docs);
+    // one row per distinct content, min-id representative. Persisted:
+    // five downstream consumers (signature, two verify joins, two
+    // member-expansion joins) would otherwise each recompute the
+    // shingle+aggregate subtree — exchange reuse does not cover the
+    // post-aggregate plan, and this is the table a production LSH job
     // checkpoints anyway.
-    val keyed = sh.withColumn("chash", Hashing.md5Hash(col("sh")))
+    val keyed = sh.withColumn("chash",
+      struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
     val groups = keyed.groupBy("chash").agg(
         min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"),

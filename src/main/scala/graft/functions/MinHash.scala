@@ -32,15 +32,38 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
   require(k > 0 && bands > 0 && k % bands == 0,
     s"k ($k) must be a positive multiple of bands ($bands)")
 
+  // resolved only after analysis — the Column-API constructor sees an
+  // unresolved attribute, so element-type dispatch is lazy: array<string>
+  // shingles are byte-hashed per element; array<long> (pre-hashed, e.g.
+  // from HashedShingles) skip straight to the per-seed mixing
+  private lazy val childIsString: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) |
+           ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"minhash_bands needs array<string|long>, got $other")
+    }
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_bands"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashBands.compute(input.asInstanceOf[ArrayData], k, bands)
+    MinHashBands.compute(input.asInstanceOf[ArrayData], k, bands, childIsString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashBands.compute($c, $k, $bands)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashBands.compute($c, $k, $bands, $childIsString)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
@@ -65,19 +88,22 @@ object MinHashBands {
   }
 
   /** Static helper invoked from both interpreted eval and generated code. */
-  def compute(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+  def compute(arr: ArrayData, k: Int, bands: Int, isString: Boolean): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s: UTF8String = arr.getUTF8String(i)
-      // hash the shingle bytes ONCE...
-      val bytes = s.getBytes
-      var h = FNV_OFFSET
-      var bi = 0
-      while (bi < bytes.length) { h ^= (bytes(bi) & 0xffL); h *= FNV_PRIME; bi += 1 }
-      val base = fmix64(h)
+      // hash the shingle ONCE (or take the pre-hashed long)...
+      val base =
+        if (isString) {
+          val s: UTF8String = arr.getUTF8String(i)
+          val bytes = s.getBytes
+          var h = FNV_OFFSET
+          var bi = 0
+          while (bi < bytes.length) { h ^= (bytes(bi) & 0xffL); h *= FNV_PRIME; bi += 1 }
+          fmix64(h)
+        } else fmix64(arr.getLong(i))
       // ...then derive the k per-seed variants with one xor+fmix each
       var j = 0
       while (j < k) {
