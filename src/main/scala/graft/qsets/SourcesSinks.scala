@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Codec
-import graft.sources.{DatasetExport, JsonTables, Msgpack}
+import graft.sources.{BucketedTables, DatasetExport, JsonTables, Msgpack}
 
 /** SURVEY §2.1 sources/sinks beyond parquet scan: S3 JSON ingest, S4
   * dataset export, F11/S6 compressed blob edge. Each query is a full
@@ -76,6 +76,29 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("vec_id"))
     }),
 
+    // Bucketed co-located join: orders and lineitem each written bucketed
+    // by their join key (same bucket count), then joined straight off the
+    // layout — the join runs WITHOUT an exchange on either side (pinned
+    // in PlanSpec); only the tiny final rollup shuffles. The merge hint
+    // keeps the sort-merge path even when one side would broadcast at
+    // toy scale, since the exchange-free property is the thing pinned.
+    "j14_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = scratch(dir, "bucketed")
+      BucketedTables.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        s"orders_b_$tag", s"$base/orders", "o_orderkey", buckets = 8)
+      BucketedTables.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        s"lineitem_b_$tag", s"$base/lineitem", "l_orderkey", buckets = 8)
+      val o = s.table(s"orders_b_$tag")
+      val l = s.table(s"lineitem_b_$tag")
+      o.join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // F11/S6 — compress text into a zstd blob column, decompress at the
     // edge; output must be byte-identical to the source documents.
     "f11_codec_roundtrip" -> ((s, dir) => {
@@ -121,6 +144,13 @@ object SourcesSinks extends QuerySet {
         |WHERE o_orderkey % 3 = 1
         |GROUP BY 1, 2
         |ORDER BY record_type, status""".stripMargin,
+
+    "j14_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "f11_codec_roundtrip" ->
       """SELECT doc_id, text, TRUE AS compressed

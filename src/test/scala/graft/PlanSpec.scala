@@ -96,6 +96,14 @@ class PlanSpec extends SparkSuite {
       "unselected subtype structs must be pruned from the scan schema")
   }
 
+  test("bucketed join consumes the layout: no exchange on either join side") {
+    val p = plan("j14_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed layout should sort-merge")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "only the final rollup may shuffle; the join must read buckets directly")
+    assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
+  }
+
   test("conditional dim join: filter reaches the dim scan under the broadcast") {
     val p = plan("j1_conditional_join")
     assert(p.contains("BroadcastHashJoin"))
