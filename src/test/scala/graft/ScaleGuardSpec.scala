@@ -102,6 +102,34 @@ class ScaleGuardSpec extends SparkSuite {
     assert(compA + compB > 2, "expected bounded fragmentation to be observable")
   }
 
+  test("hashed shingles: window count matches the string form; prefix-sharing docs overlap") {
+    import graft.functions.HashedShingles
+    import graft.text.TextFunctions
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f"), (3L, "x"), (4L, "  p   q  "))
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        size(HashedShingles(col("text"), 2)).as("n_hashed"),
+        greatest(size(TextFunctions.wsTokens(col("text"))) - 1, lit(0)).as("n_expected"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"id ${r.getLong(0)}: ${r.getInt(1)} hashed vs ${r.getInt(2)} expected"))
+    // docs 1 and 2 share all 4 of doc 1's 2-shingles; doc 3 has none
+    val hs = docs.select(col("id"), HashedShingles(col("text"), 2).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hs(1L).toSet.subsetOf(hs(2L).toSet))
+    assert(hs(3L).isEmpty)
+    assert(hs(1L).toSet.intersect(hs(4L).toSet).isEmpty)
+  }
+
+  test("bounded bucket pairs: minimum cap still connects and never self-pairs") {
+    val items = spark.range(20L).select(lit(1L).as("bucket"), col("id"))
+    val pairs = Dedup.boundedBucketPairs(items, Seq(col("bucket")), col("id"), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.distinct.length === pairs.length)
+    assert(componentCount(20L, pairs.toSeq) === 1)
+  }
+
   test("native MinHashBands: deterministic, jaccard-sensitive, band-count stable") {
     import graft.functions.MinHashBands
     def bandsOf(tokens: Seq[String]): Seq[Long] =
