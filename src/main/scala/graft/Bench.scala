@@ -20,11 +20,16 @@ object Bench {
     try {
       spark.range(8).withColumn("k", col("id") % 2)
         .write.mode("overwrite").parquet(s"$tmp/in")
-      spark.readStream.schema("id LONG, k LONG").parquet(s"$tmp/in")
+      val q = spark.readStream.schema("id LONG, k LONG").parquet(s"$tmp/in")
         .groupBy(col("k")).count()
         .writeStream.format("noop").outputMode("complete")
         .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000L)
+        .trigger(Trigger.AvailableNow()).start()
+      // stop() unconditionally: if the bounded wait expired the query is
+      // still running and must not compete with (or crash under the
+      // deleted temp dir during) the timed queries; after completion it
+      // is a no-op
+      try q.awaitTermination(120000L) finally q.stop()
       ()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming warm-up failed (ignored): ${e.getMessage}")
@@ -76,9 +81,12 @@ object Bench {
     println(json)
     // the driver's recorded stdout tail can truncate; also persist the full
     // per-query JSON to a stable file so rounds compare completely
+    // (cwd-relative by default — override via SPARK_GRAFT_BENCH_JSON when
+    // launching from outside the repo root)
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")

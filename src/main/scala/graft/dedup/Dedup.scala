@@ -174,14 +174,20 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    minJaccard: Double = 0.2, bucketCap: Int = 1024): DataFrame = {
-    // ONE native pass per document: tokenize + shingle + hash fused in
-    // HashedShingles, so the pipeline never materializes shingle strings —
-    // grouping, banding and the exact-Jaccard verify all run on the
-    // array<long> of shingle hashes (exact up to ~2⁻⁶⁴ collisions).
+    // ONE native hashing pass per document: tokenize + shingle + hash
+    // fused in HashedShingles (sorted DISTINCT hashes — set semantics,
+    // same as the string form's array_distinct), so the pipeline never
+    // materializes shingle strings — grouping, banding and the exact
+    // set-Jaccard verify all run on the array<long> (exact up to ~2⁻⁶⁴
+    // collisions). Short docs are dropped BEFORE the projection on the
+    // allocation-free TokenCount byte scan: a filter on size(sh) would be
+    // pushed below the projection and re-evaluate the shingle expression
+    // per row, and unfiltered empty-set docs would all share one content
+    // key — an unbounded reducer row at corpus scale.
     val sh = docs
+      .filter(graft.functions.TokenCount(col(textCol)) >= shingleN)
       .select(col(idCol).as("id"),
         graft.functions.HashedShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
 
     // 128-bit content key over the shingle-hash array (two seeded
     // xxhash64s; a single 64-bit key would collide at billions of docs);

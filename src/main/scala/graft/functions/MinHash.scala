@@ -94,6 +94,10 @@ object MinHashBands {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
+      // null elements contribute nothing (the HOF form propagated them
+      // harmlessly through array_min; skipping matches that net effect)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       // hash the shingle ONCE (or take the pre-hashed long)...
       val base =
         if (isString) {
@@ -112,6 +116,7 @@ object MinHashBands {
         j += 1
       }
       i += 1
+      }
     }
     // band hash = fmix-chained combine of that band's r signature mins
     val r = k / bands

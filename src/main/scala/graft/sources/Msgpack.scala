@@ -97,12 +97,14 @@ object Msgpack {
       m.foreach { case (k, x) => write(out, k); write(out, x) }
     case MsgMap(entries) =>
       if (entries.length < 16) out.write(0x80 | entries.length)
-      else { out.write(0xde); writeBE(out, entries.length.toLong, 2) }
+      else if (entries.length < 65536) { out.write(0xde); writeBE(out, entries.length.toLong, 2) }
+      else { out.write(0xdf); writeBE(out, entries.length.toLong, 4) }
       entries.foreach { case (k, x) => write(out, k); write(out, x) }
     case r: Row => // struct → map in declared field order
       val fields = r.schema.fieldNames
       if (fields.length < 16) out.write(0x80 | fields.length)
-      else { out.write(0xde); writeBE(out, fields.length.toLong, 2) }
+      else if (fields.length < 65536) { out.write(0xde); writeBE(out, fields.length.toLong, 2) }
+      else { out.write(0xdf); writeBE(out, fields.length.toLong, 4) }
       var i = 0
       while (i < fields.length) { write(out, fields(i)); write(out, r.get(i)); i += 1 }
     case other =>

@@ -119,6 +119,13 @@ class ScaleGuardSpec extends SparkSuite {
     assert(hs(1L).toSet.subsetOf(hs(2L).toSet))
     assert(hs(3L).isEmpty)
     assert(hs(1L).toSet.intersect(hs(4L).toSet).isEmpty)
+    // SET semantics (matches shinglesFromTokens' array_distinct): repeated
+    // windows collapse, output is sorted canonical
+    val rep = Seq(Tuple1("a b a b a")).toDF("text")
+      .select(HashedShingles(col("text"), 2).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(rep.length === 2, s"'a b','b a' expected, got ${rep.length}")
+    assert(rep === rep.sorted)
   }
 
   test("bounded bucket pairs: minimum cap still connects and never self-pairs") {
