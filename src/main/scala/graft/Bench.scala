@@ -28,7 +28,9 @@ object Bench {
       // stop() unconditionally: if the bounded wait expired the query is
       // still running and must not compete with (or crash under the
       // deleted temp dir during) the timed queries; after completion it
-      // is a no-op
+      // is a no-op. stop() itself is bounded by the stopTimeout conf set
+      // in main() — a stream thread that ignores interrupts must not
+      // convert the bounded wait into an unbounded join.
       try q.awaitTermination(120000L) finally q.stop()
       ()
     } catch { case e: Throwable =>
@@ -47,6 +49,7 @@ object Bench {
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stopTimeout", "10s")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,7 +92,8 @@ object Bench {
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json")
+      System.err.println(s"[bench] could not write $p: ${e.getMessage}")
     }
     spark.stop()
     if (failed.nonEmpty) {

@@ -94,8 +94,10 @@ object MinHashBands {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      // null elements contribute nothing (the HOF form propagated them
-      // harmlessly through array_min; skipping matches that net effect)
+      // null elements are IGNORED — a deliberate choice: a null shingle
+      // carries no content. (The HOF form differs: xxhash64(seed, null)
+      // folds the seed-only hash into array_min, treating null as a
+      // concrete value. The native semantics are the intended ones.)
       if (arr.isNullAt(i)) { i += 1 }
       else {
       // hash the shingle ONCE (or take the pre-hashed long)...

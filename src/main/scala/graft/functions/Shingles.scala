@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * as `shinglesFromTokens`' `array_distinct`, in canonical order, so the
   * downstream set-Jaccard (|A∩B| / (|A|+|B|−|A∩B|)) is exact and a
   * content key over the array is a canonical SET key. Tokenization
-  * matches Java's `\s` class on the ASCII range (space, \t, \n, \x0B,
-  * \f, \r), like `wsTokens`' `split("\\s+")`.
+  * splits on Java's `\s` class on the ASCII range (space, \t, \n, \x0B,
+  * \f, \r) and NEVER emits empty tokens — deliberately stricter than
+  * `wsTokens`' `split(trim(text), "\\s+")`, whose space-only trim leaks
+  * an empty first token when text starts with a tab/newline; the two
+  * forms agree on any text whose leading whitespace is spaces.
   *
   * 64-bit shingle hashes make the Jaccard exact up to hash collisions
   * (~n²·2⁻⁶⁴ per pair — negligible at any corpus size). Output length =
@@ -78,7 +81,12 @@ object HashedShingles {
   private[functions] def isWs(b: Byte): Boolean =
     b == ' ' || (b >= 9 && b <= 13)
 
-  private[functions] def countTokens(bytes: Array[Byte]): Int = {
+  /** Public (not package-private) deliberately: generated Java from
+    * [[TokenCount]].doGenCode calls this as a static method, and scalac
+    * only emits a static forwarder on the companion class for PUBLIC
+    * members — a package-private one makes Janino compilation fail and
+    * silently drops the whole stage out of codegen. */
+  def countTokens(bytes: Array[Byte]): Int = {
     val len = bytes.length
     var tokens = 0
     var i = 0

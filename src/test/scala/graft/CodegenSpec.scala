@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types._
+
+/** Janino-compiles the generated code of every native expression — a
+  * package-private static helper (no forwarder on the companion class),
+  * a bad cast, or a malformed code template would otherwise fail
+  * SILENTLY at runtime: Spark logs the Janino error and drops the whole
+  * stage back to interpreted execution, erasing the perf the native
+  * expressions exist to provide while results stay correct. */
+class CodegenSpec extends SparkSuite {
+
+  test("all native expressions survive codegen compilation") {
+    val str = BoundReference(0, StringType, nullable = true)
+    val arrS = BoundReference(1, ArrayType(StringType), nullable = true)
+    val arrD = BoundReference(2, ArrayType(DoubleType), nullable = true)
+    val arrF = BoundReference(3, ArrayType(FloatType), nullable = true)
+    val arrL = BoundReference(4, ArrayType(LongType), nullable = true)
+    // generate() throws on Janino compile failure (unlike
+    // UnsafeProjection.create, which falls back to interpreted silently)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.SimHash64(str),
+      graft.functions.TokenCount(str),
+      graft.functions.HashedShingles(str, 3),
+      graft.functions.MinHashBands(arrS, 16, 4),
+      graft.functions.MinHashBands(arrL, 16, 4),
+      graft.functions.SrpBands(arrD, 8, 2, 42L),
+      graft.functions.SrpBands(arrF, 8, 2, 42L)))
+    assert(proj != null)
+  }
+}
