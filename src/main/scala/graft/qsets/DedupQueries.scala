@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.functions.Hashing
 
 
 /** Deduplication queries over `documents`. The doubled batch (each doc
@@ -61,6 +62,25 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Connected-components + survivors anchored to a SQL oracle: exact-dup
+    // pairs (same md5) are oracle-expressible, so feeding them through the
+    // SAME min-label-propagation components() and survivors() code path
+    // the minhash pipeline uses gives the clustering machinery a
+    // hash-checked row — the rows-only dd_survivors then only adds the
+    // engine-specific candidate generation on top.
+    "dd_survivors_exact" -> ((s, dir) => {
+      val docs = doubled(s, dir)
+      val hashed = docs.withColumn("content_hash", Hashing.md5Hash(col("text")))
+      val grouped = hashed.groupBy(col("content_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val pairs = grouped.filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.survivors(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: native simhash64 expression, 16-bit banding with
     // exact-dup collapse + bucket-collect (see Dedup.simhashPairs).
     // No SQL oracle (FNV/simhash is engine-specific).
@@ -78,6 +98,16 @@ object DedupQueries extends QuerySet {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
         |SELECT doc_id, md5(text) AS content_hash
+        |FROM batch
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_survivors_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id
         |FROM batch
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
