@@ -120,6 +120,47 @@ object TextQueries extends QuerySet {
         .limit(50)
     }),
 
+    // End-to-end curation pipeline — the composed form a training-data
+    // run actually executes: quality gate (tx_quality formula) → exact
+    // dedup first-id-wins over a doubled batch with planted duplicates →
+    // chunk 40/8 → pack into 512-token bins per shard. Every stage is
+    // SQL-expressible, so one oracle row checks the whole chain: a break
+    // in any stage (threshold drift, dedup order, chunk boundary, bin
+    // arithmetic) shifts the final bin stats.
+    "pipe_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      val stopsArr = array(stops.map(lit): _*)
+      val scored = docs
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          (least(length(col("text")).cast("double") / 500.0, lit(1.0)) * 0.4 +
+            least(size(filter(col("toks"), t => array_contains(stopsArr, t)))
+              .cast("double") / size(col("toks")) * 5.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - least(punctCount(col("text")).cast("double") /
+              length(col("text")) * 10.0, lit(1.0))) * 0.2).as("quality"))
+      val kept = scored.filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("text"))
+      val deduped = graft.dedup.Dedup
+        .exactDedup(kept, "doc_id", Seq(col("text")))
+      val chunks = deduped
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          wsTokenCount(col("col")).as("n_tok"))
+        .withColumn("shard", col("doc_id") % 8)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // PII redaction: emails and long digit runs planted per doc, scrubbed
     // to typed tags; residual count must be zero and the redacted text
     // hash-compares across engines.
@@ -252,6 +293,51 @@ object TextQueries extends QuerySet {
         |GROUP BY gram
         |ORDER BY n DESC, gram
         |LIMIT 50""".stripMargin,
+
+    "pipe_curate" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
+        |    + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0)*0.4
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT)
+        |      / CAST(length(text) AS DOUBLE) * 10.0, 1.0))*0.2 AS quality
+        |  FROM batch),
+        |kept AS (SELECT doc_id, text FROM scored WHERE quality >= 0.5),
+        |deduped AS (
+        |  SELECT doc_id, text FROM kept
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM deduped),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, GREATEST(CAST(ceil((len(toks) - 8) / 32.0) AS BIGINT), 1)))
+        |      AS chunk_idx
+        |  FROM b),
+        |n AS (
+        |  SELECT doc_id, chunk_idx, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(array_to_string(
+        |      toks[CAST(chunk_idx * 32 + 1 AS INT) : CAST(chunk_idx * 32 + 40 AS INT)],
+        |      ' ')), '\s+')) AS BIGINT) AS n_tok
+        |  FROM c),
+        |x AS (
+        |  SELECT shard, n_tok,
+        |    CAST(floor((SUM(n_tok) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512)
+        |      AS BIGINT) AS bin
+        |  FROM n)
+        |SELECT shard, bin, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        |FROM x
+        |GROUP BY shard, bin
+        |ORDER BY shard, bin""".stripMargin,
 
     "tx_pii_redact" ->
       """WITH p AS (
