@@ -178,6 +178,24 @@ class ScaleGuardSpec extends SparkSuite {
     assert(recalled >= 95, s"recall only $recalled/100")
   }
 
+  test("lsh knn: bits=1 with multi-probe covers both buckets and equals brute force") {
+    // one hyperplane + Hamming-1 probing means every query scans the
+    // whole corpus — the graceful-degradation anchor for the LSH path,
+    // like nprobe=nlist for IVF
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 7 + j * 3))))
+    val df = vecs.toDF("vec_id", "v")
+    val corpus = df.select(col("vec_id"), col("v").as("c_vec"))
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .collect().map(keyOf).toSet
+    val lsh = Vectors.lshKnn(queries, corpus, dim = 8, bits = 1, k = 5)
+      .collect().map(keyOf).toSet
+    assert(lsh === brute)
+  }
+
   test("sampled ivf quantizer: deterministic across runs, nprobe=nlist stays exact") {
     // corpus large enough to trigger the bounded-sample path (256*nlist=1024)
     val vecs = (0 until 1500).map(i =>
