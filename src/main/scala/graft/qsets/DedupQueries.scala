@@ -62,6 +62,25 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Incremental (daily-ingest) near-dup dedup: originals arrive as batch
+    // one, their exact copies as batch two; the copies must all match the
+    // survivor index and the final survivor set must equal dd_survivors'
+    // global batch pass (first-wins ≡ min-id under id-ascending batches —
+    // unit-proven in ScaleGuardSpec). Rows-only (engine hashes); the index
+    // holds signatures, never documents.
+    "dd_incremental" -> ((s, dir) => {
+      import graft.dedup.IncrementalDedup
+      val idx = "/tmp/graft_export/incdedup_" +
+        java.util.UUID.randomUUID().toString.take(8) + "/index"
+      val docs = doubled(s, dir)
+      val s1 = IncrementalDedup.addBatch(docs.filter(col("doc_id") < COPY_OFFSET),
+        "doc_id", "text", idx, shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      val s2 = IncrementalDedup.addBatch(docs.filter(col("doc_id") >= COPY_OFFSET),
+        "doc_id", "text", idx, shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      s1.select(col("doc_id")).unionByName(s2.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Connected-components + survivors anchored to a SQL oracle: exact-dup
     // pairs (same md5) are oracle-expressible, so feeding them through the
     // SAME min-label-propagation components() and survivors() code path

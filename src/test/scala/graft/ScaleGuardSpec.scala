@@ -178,6 +178,35 @@ class ScaleGuardSpec extends SparkSuite {
     assert(recalled >= 95, s"recall only $recalled/100")
   }
 
+  test("incremental dedup: id-ascending batches converge to the batch survivor set") {
+    import graft.dedup.IncrementalDedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // dense near-dup family + unique docs, then exact copies of everything
+    // at +500 (the second batch): first-wins over id-ascending batches
+    // must equal one global min-id batch pass
+    val family = (0 until 30).map(i => (i.toLong, s"$base uniq$i"))
+    val others = (0 until 10).map(i =>
+      (100L + i, s"distinct$i one two three four five six seven eight nine ten"))
+    val firstBatch = family ++ others
+    val all = firstBatch ++ firstBatch.map { case (id, t) => (id + 500L, t) }
+    val docs = all.toDF("doc_id", "text")
+
+    val batchSurv = Dedup.survivors(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 2, k = 16, bands = 8, minJaccard = 0.8))
+      .collect().map(_.getLong(0)).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("incdedup").toString + "/index"
+    def inc(b: org.apache.spark.sql.DataFrame) =
+      IncrementalDedup.addBatch(b, "doc_id", "text", idx,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.8)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = inc(docs.filter(col("doc_id") < 500L))
+    val s2 = inc(docs.filter(col("doc_id") >= 500L))
+    assert(s2.isEmpty, s"every second-batch doc duplicates an indexed survivor: $s2")
+    assert(s1 ++ s2 === batchSurv)
+  }
+
   test("lsh knn: bits=1 with multi-probe covers both buckets and equals brute force") {
     // one hyperplane + Hamming-1 probing means every query scans the
     // whole corpus — the graceful-degradation anchor for the LSH path,
