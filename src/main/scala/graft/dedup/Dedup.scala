@@ -188,7 +188,16 @@ object Dedup {
       .filter(graft.functions.TokenCount(col(textCol)) >= shingleN)
       .select(col(idCol).as("id"),
         graft.functions.HashedShingles(col(textCol), shingleN).as("sh"))
+    minhashPairsFromShingles(sh, k, bands, minJaccard, bucketCap)
+  }
 
+  /** [[minhashPairs]] from PRECOMPUTED shingle-hash sets — for callers
+    * that already hold (id, sh array<long>) rows (e.g. the incremental
+    * index path, which computes signatures once per batch and reuses
+    * them for both the index join and within-batch pairing). */
+  def minhashPairsFromShingles(sh: DataFrame, k: Int = 16, bands: Int = 4,
+                               minJaccard: Double = 0.2,
+                               bucketCap: Int = 1024): DataFrame = {
     // 128-bit content key over the shingle-hash array (two seeded
     // xxhash64s; a single 64-bit key would collide at billions of docs);
     // one row per distinct content, min-id representative. Persisted:

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.{HashedShingles, MinHashBands, TokenCount}
 
@@ -12,93 +13,162 @@ import graft.functions.{HashedShingles, MinHashBands, TokenCount}
   *
   * The index is a parquet table of surviving documents' shingle-hash sets
   * and LSH band hashes (id, sh array<long>, bands array<long>) — ~tens of
-  * bytes per doc, NOT the documents. Per batch:
+  * bytes per doc, NOT the documents — laid out one partition directory
+  * per batch (`batch=<id>`). Per batch:
   *
-  *  1. batch docs → hashed shingles + bands (one native pass each);
-  *  2. batch×index candidates by band join (ids only), verified by exact
-  *     set-Jaccard on the stored shingle hashes — batch docs matching an
-  *     indexed survivor are dropped (FIRST-WINS, like the reference's
-  *     insert dedup J9: what's already in wins);
+  *  1. batch docs → hashed shingles + bands (ONE native pass, reused by
+  *     the index join, the within-batch pairing, and the index append);
+  *  2. batch×index candidates by band join (ids only; batch-side exact
+  *     duplicates collapse to one representative first), verified by
+  *     exact set-Jaccard on the stored shingle hashes — batch docs
+  *     matching an indexed survivor are dropped (FIRST-WINS, like the
+  *     reference's insert dedup J9: what's already in wins);
   *  3. remaining batch docs near-dup-dedup against each other through the
-  *     same [[Dedup.minhashPairs]]/[[Dedup.survivors]] path as the batch
-  *     form (min-id per component);
-  *  4. the batch's survivors append their signatures to the index.
+  *     same pairing/clustering path as the batch form
+  *     ([[Dedup.minhashPairsFromShingles]] + [[Dedup.survivors]],
+  *     min-id per component);
+  *  4. the batch's survivors overwrite their own `batch=<id>` partition
+  *     of the index — so a Structured-Streaming retry of the same
+  *     batchId is idempotent: the index read excludes the current
+  *     batchId's partition, and the write replaces it.
+  *
+  * Hot-band guard: bands whose INDEX frequency exceeds `bandCap` are
+  * stop-listed out of candidate generation (logged) — a band shared by
+  * ~everything is non-informative and would otherwise explode the
+  * batch×index join quadratically; the doc's other bands still probe
+  * (multi-band redundancy), which is the standard recall trade.
   *
   * Equivalence contract (unit-proven): feeding a corpus in id-ascending
-  * batches yields the same final survivor set as one global batch pass,
-  * because first-wins over earlier batches coincides with min-id when
-  * earlier batches hold smaller ids. Like every greedy incremental dedup,
-  * cross-batch TRANSITIVE closure is not re-evaluated: a doc that only
-  * links to an already-dropped doc (not to its surviving representative)
-  * survives — at near-dup thresholds ≥0.8 components are dense and this
-  * is the standard accepted trade.
+  * batches yields the same final survivor set as one global batch pass
+  * when near-dup components are DENSE (every member links to the
+  * surviving representative — true at thresholds ≥0.8 for
+  * boilerplate-style duplication). Like every greedy incremental dedup,
+  * cross-batch TRANSITIVE closure is not re-evaluated: a doc linking
+  * only to an already-dropped doc (not to its surviving representative)
+  * survives.
   *
-  * Streaming: drive `addBatch` from `foreachBatch` — the index read/write
-  * is the per-batch state commit. Docs shorter than `shingleN` tokens
-  * have no shingles, can match nothing, and pass through unindexed.
+  * Streaming: drive `addBatch` from `foreachBatch(batchDf, batchId)` —
+  * the partition overwrite is the per-batch state commit. Docs shorter
+  * than `shingleN` tokens have no shingles, can match nothing, and pass
+  * through unindexed. The index records its (shingleN, k, bands)
+  * parameters in a `_graft_params` sidecar and refuses a mismatched
+  * batch — signatures from different parameters silently match nothing.
   */
 object IncrementalDedup {
 
-  private def emptyIndex(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("id", LongType, nullable = false),
-        StructField("sh", ArrayType(LongType, containsNull = false), nullable = false),
-        StructField("bands", ArrayType(LongType, containsNull = false), nullable = false))))
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private val indexSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("batch", LongType, nullable = false)))
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Validate or record the index's signature parameters: mixed
+    * parameters would silently match nothing, so fail loudly instead. */
+  private def checkParams(spark: SparkSession, indexDir: String,
+                          shingleN: Int, k: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "_graft_params")
+    val hfs = fs(spark, indexDir)
+    val want = s"shingleN=$shingleN,k=$k,bands=$bands"
+    if (hfs.exists(p)) {
+      val in = hfs.open(p)
+      val got = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      require(got == want,
+        s"index at $indexDir was built with [$got]; this batch uses [$want]")
+    } else {
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
+      val out = hfs.create(p, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
   }
 
-  private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(indexDir) else emptyIndex(spark)
-  }
+  /** Read every batch partition EXCEPT `excludeBatch` (idempotent retry:
+    * a rerun must not see its own previous append). The explicit schema
+    * means an empty or partially-written index reads as empty instead of
+    * failing parquet schema inference. */
+  private def readIndex(spark: SparkSession, indexDir: String,
+                        excludeBatch: Long): DataFrame =
+    spark.read.schema(indexSchema).parquet(indexDir)
+      .filter(col("batch") =!= excludeBatch)
+      .select(col("id"), col("sh"), col("bands"))
 
   /** Process one arriving batch of (id, text) docs against the survivor
     * index at `indexDir` (created on first call). Returns the batch's
-    * surviving docs (all original columns). */
+    * surviving docs (all original columns). `batchId` must be unique per
+    * logical batch and stable across retries (foreachBatch's batchId). */
   def addBatch(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+               batchId: Long,
                shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-               minJaccard: Double = 0.8, bucketCap: Int = 1024): DataFrame = {
+               minJaccard: Double = 0.8, bucketCap: Int = 1024,
+               bandCap: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
+    checkParams(spark, indexDir, shingleN, k, bands)
 
-    // signatures for the pairable part of the batch (one native pass);
-    // short docs survive unconditionally and are never indexed
+    // ONE native signature pass per batch; short docs survive
+    // unconditionally and are never indexed. chash is the canonical
+    // 128-bit content key (sh is sorted-distinct, so same set ⇒ same key).
     val sigs = docs
       .filter(TokenCount(col(textCol)) >= shingleN)
       .select(col(idCol).as("id"),
         HashedShingles(col(textCol), shingleN).as("sh"))
       .withColumn("bands", MinHashBands(col("sh"), k, bands))
-      .localCheckpoint(eager = true) // consumed by index-join, pairing, and the index append
+      .withColumn("chash", struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
+      .localCheckpoint(eager = true)
 
-    val index = readIndex(spark, indexDir)
+    val index = readIndex(spark, indexDir, excludeBatch = batchId)
 
-    // batch×index candidates: band join on ids only, then ONE verify pass
-    // over the stored shingle sets — never the documents
-    val batchBands = sigs.select(col("id"), explode(col("bands")).as("band"))
+    // stop-list non-informative hot bands (index side only grows)
+    val bandFreq = index.select(explode(col("bands")).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val hotBands = bandFreq.filter(col("n") > bandCap).localCheckpoint(eager = true)
+    val nHot = hotBands.count()
+    if (nHot > 0)
+      log.warn(s"incremental dedup: stop-listing $nHot band value(s) with index " +
+        s"frequency > $bandCap — docs probe via their remaining bands")
+
+    // batch×index candidates: ONE representative per distinct batch
+    // content (exact dups share the verdict), ids only through the join
+    val reps = sigs.groupBy(col("chash"))
+      .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"),
+        first(col("bands")).as("bands"))
+    val repBands = reps.select(col("rep"), explode(col("bands")).as("band"))
+      .join(hotBands.select(col("band")), Seq("band"), "left_anti")
     val indexBands = index.select(col("id").as("idx_id"), explode(col("bands")).as("band"))
-    val cand = batchBands.join(indexBands, "band")
-      .select(col("id"), col("idx_id")).distinct()
-    val dropped = cand
-      .join(sigs.select(col("id"), col("sh")), "id")
+      .join(hotBands.select(col("band")), Seq("band"), "left_anti")
+    val cand = repBands.join(indexBands, "band")
+      .select(col("rep"), col("idx_id")).distinct()
+    val droppedReps = cand
+      .join(reps.select(col("rep"), col("sh")), "rep")
       .join(index.select(col("id").as("idx_id"), col("sh").as("idx_sh")), "idx_id")
       .withColumn("n_inter", size(array_intersect(col("sh"), col("idx_sh"))))
       .withColumn("j", col("n_inter").cast("double") /
         (size(col("sh")) + size(col("idx_sh")) - col("n_inter")))
       .filter(col("j") >= minJaccard)
-      .select(col("id")).distinct()
+      .select(col("rep")).distinct()
+    // expand the rep verdict to every exact copy in the batch
+    val dropped = sigs
+      .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
+      .select(col("id"))
 
-    // remaining batch docs dedup against each other through the SAME
-    // batch machinery (minhash pairs → components → min-id survivors)
+    // remaining batch docs dedup against each other, REUSING the
+    // checkpointed signatures (no second hashing pass over the text)
     val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-    val pairs = Dedup.minhashPairs(remaining, idCol, textCol,
-      shingleN, k, bands, minJaccard, bucketCap)
+    val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("sh"))
+    val pairs = Dedup.minhashPairsFromShingles(remainingSh,
+      k, bands, minJaccard, bucketCap)
     val surv = Dedup.survivors(remaining, idCol, pairs)
-      .localCheckpoint(eager = true) // must be computed BEFORE the index append below
+      .localCheckpoint(eager = true) // computed BEFORE the index write below
 
-    // append the new survivors' signatures to the index
+    // idempotent commit: this batch's survivors replace their own partition
     sigs.join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .write.mode("append").parquet(indexDir)
+      .select(col("id"), col("sh"), col("bands"))
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
 
     surv
   }

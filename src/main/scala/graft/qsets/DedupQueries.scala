@@ -63,20 +63,28 @@ object DedupQueries extends QuerySet {
     }),
 
     // Incremental (daily-ingest) near-dup dedup: originals arrive as batch
-    // one, their exact copies as batch two; the copies must all match the
-    // survivor index and the final survivor set must equal dd_survivors'
-    // global batch pass (first-wins ≡ min-id under id-ascending batches —
-    // unit-proven in ScaleGuardSpec). Rows-only (engine hashes); the index
-    // holds signatures, never documents.
+    // one, their exact copies as batch two; every copy matches the
+    // survivor index at jaccard 1.0 (or its family's indexed rep, since
+    // planted families are dense), so the final survivor set coincides
+    // with dd_survivors' global batch pass here — the general contract is
+    // first-wins with no cross-batch transitive closure (see
+    // IncrementalDedup scaladoc; unit-proven in ScaleGuardSpec).
+    // Rows-only (engine hashes); the index holds signatures, never
+    // documents.
     "dd_incremental" -> ((s, dir) => {
       import graft.dedup.IncrementalDedup
+      // deterministic per-sf path, cleaned before each run (no /tmp leak)
       val idx = "/tmp/graft_export/incdedup_" +
-        java.util.UUID.randomUUID().toString.take(8) + "/index"
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val docs = doubled(s, dir)
       val s1 = IncrementalDedup.addBatch(docs.filter(col("doc_id") < COPY_OFFSET),
-        "doc_id", "text", idx, shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+        "doc_id", "text", idx, batchId = 1L,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
       val s2 = IncrementalDedup.addBatch(docs.filter(col("doc_id") >= COPY_OFFSET),
-        "doc_id", "text", idx, shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+        "doc_id", "text", idx, batchId = 2L,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
       s1.select(col("doc_id")).unionByName(s2.select(col("doc_id")))
         .orderBy(col("doc_id"))
     }),

@@ -1,6 +1,6 @@
 package graft.qsets
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions._
@@ -10,6 +10,42 @@ import graft.text.TextFunctions._
 object TextQueries extends QuerySet {
 
   private val stops = Seq("the", "a", "of")
+
+  /** The quality composite — ONE definition shared by tx_quality and
+    * pipe_curate so the formula cannot drift between the stage query and
+    * the composed pipeline. Components are passed in because tx_quality
+    * materializes them as output columns while pipe_curate computes them
+    * inline. */
+  private def qualityComposite(len: Column, stopRatio: Column,
+                               punctCnt: Column): Column =
+    least(len / 500.0, lit(1.0)) * 0.4 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctCnt / len * 10.0, lit(1.0))) * 0.2
+
+  /** 40/8 chunking to per-chunk token counts with an 8-way shard key —
+    * the shared front half of tx_pack_sequences and pipe_curate. */
+  private def chunkCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        wsTokenCount(col("col")).as("n_tok"))
+      .withColumn("shard", col("doc_id") % 8)
+
+  /** Offset-based 512-token bin packing per shard (see tx_pack_sequences
+    * for why packing shards instead of a global greedy fold). */
+  private def packBins(chunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -41,10 +77,8 @@ object TextQueries extends QuerySet {
           length(col("text")).cast("double").as("__len"))
         .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
           col("stop_ratio"), col("punct_cnt"),
-          (least(col("__len") / 500.0, lit(1.0)) * 0.4 +
-            least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - least(col("punct_cnt") / col("__len") * 10.0, lit(1.0))) * 0.2
-            ).as("quality"))
+          qualityComposite(col("__len"), col("stop_ratio"), col("punct_cnt"))
+            .as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -90,24 +124,8 @@ object TextQueries extends QuerySet {
     // distributed-friendly form; a global greedy first-fit would be a
     // sequential fold). The cumulative window sum partitions by shard so
     // packing parallelizes; production shards are the output files.
-    "tx_pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          wsTokenCount(col("col")).as("n_tok"))
-        .withColumn("shard", col("doc_id") % 8)
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      chunks
-        .withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512))
-        .groupBy(col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
-        .orderBy(col("shard"), col("bin"))
-    }),
+    "tx_pack_sequences" -> ((s, dir) =>
+      packBins(chunkCounts(t(s, dir, "documents").select(col("doc_id"), col("text"))))),
 
     // Corpus n-gram stats: top-50 bigrams by frequency over a bounded
     // subset (count desc, gram asc for determinism).
@@ -128,37 +146,22 @@ object TextQueries extends QuerySet {
     // in any stage (threshold drift, dedup order, chunk boundary, bin
     // arithmetic) shifts the final bin stats.
     "pipe_curate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
       val stopsArr = array(stops.map(lit): _*)
       val scored = docs
         .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
         .select(col("doc_id"), col("text"),
-          (least(length(col("text")).cast("double") / 500.0, lit(1.0)) * 0.4 +
-            least(size(filter(col("toks"), t => array_contains(stopsArr, t)))
-              .cast("double") / size(col("toks")) * 5.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - least(punctCount(col("text")).cast("double") /
-              length(col("text")) * 10.0, lit(1.0))) * 0.2).as("quality"))
+          qualityComposite(
+            length(col("text")).cast("double"),
+            size(filter(col("toks"), t => array_contains(stopsArr, t)))
+              .cast("double") / size(col("toks")),
+            punctCount(col("text")).cast("double")).as("quality"))
       val kept = scored.filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("text"))
       val deduped = graft.dedup.Dedup
         .exactDedup(kept, "doc_id", Seq(col("text")))
-      val chunks = deduped
-        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          posexplode(chunkTokens(col("toks"), maxTokens = 40, overlap = 8)))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-          wsTokenCount(col("col")).as("n_tok"))
-        .withColumn("shard", col("doc_id") % 8)
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      chunks
-        .withColumn("bin", floor((sum(col("n_tok")).over(w) - col("n_tok")) / 512))
-        .groupBy(col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
-        .orderBy(col("shard"), col("bin"))
+      packBins(chunkCounts(deduped.select(col("doc_id"), col("text"))))
     }),
 
     // PII redaction: emails and long digit runs planted per doc, scrubbed

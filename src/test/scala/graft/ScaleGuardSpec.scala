@@ -181,12 +181,14 @@ class ScaleGuardSpec extends SparkSuite {
   test("incremental dedup: id-ascending batches converge to the batch survivor set") {
     import graft.dedup.IncrementalDedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    // dense near-dup family + unique docs, then exact copies of everything
-    // at +500 (the second batch): first-wins over id-ascending batches
-    // must equal one global min-id batch pass
+    // dense near-dup family + PAIRWISE-DISJOINT unique docs (per-doc token
+    // vocabulary, so cross-doc jaccard is exactly 0 and second-batch drops
+    // rest on guaranteed j=1.0 copy matches, not band luck), then exact
+    // copies of everything at +500 as the second batch: first-wins over
+    // id-ascending batches must equal one global min-id batch pass
     val family = (0 until 30).map(i => (i.toLong, s"$base uniq$i"))
     val others = (0 until 10).map(i =>
-      (100L + i, s"distinct$i one two three four five six seven eight nine ten"))
+      (100L + i, (0 until 10).map(j => s"d${i}w$j").mkString(" ")))
     val firstBatch = family ++ others
     val all = firstBatch ++ firstBatch.map { case (id, t) => (id + 500L, t) }
     val docs = all.toDF("doc_id", "text")
@@ -197,14 +199,23 @@ class ScaleGuardSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
 
     val idx = java.nio.file.Files.createTempDirectory("incdedup").toString + "/index"
-    def inc(b: org.apache.spark.sql.DataFrame) =
-      IncrementalDedup.addBatch(b, "doc_id", "text", idx,
+    def inc(b: org.apache.spark.sql.DataFrame, batchId: Long) =
+      IncrementalDedup.addBatch(b, "doc_id", "text", idx, batchId,
         shingleN = 2, k = 16, bands = 8, minJaccard = 0.8)
         .collect().map(_.getLong(0)).toSet
-    val s1 = inc(docs.filter(col("doc_id") < 500L))
-    val s2 = inc(docs.filter(col("doc_id") >= 500L))
+    val s1 = inc(docs.filter(col("doc_id") < 500L), batchId = 1L)
+    val s2 = inc(docs.filter(col("doc_id") >= 500L), batchId = 2L)
     assert(s2.isEmpty, s"every second-batch doc duplicates an indexed survivor: $s2")
     assert(s1 ++ s2 === batchSurv)
+    // idempotent retry: re-running batch 1 must NOT see its own previous
+    // append (a survivor would match itself at j=1.0 and vanish)
+    val s1retry = inc(docs.filter(col("doc_id") < 500L), batchId = 1L)
+    assert(s1retry === s1, "retrying a batchId must reproduce its survivors")
+    // mismatched signature parameters must fail loudly, not match nothing
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.addBatch(docs.limit(1), "doc_id", "text", idx, batchId = 3L,
+        shingleN = 3, k = 16, bands = 8, minJaccard = 0.8).collect()
+    }
   }
 
   test("lsh knn: bits=1 with multi-probe covers both buckets and equals brute force") {
