@@ -49,6 +49,32 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Incremental (daily-ingest) embedding dedup: originals arrive as
+    // batch one, exact copies as batch two; every copy shares all SRP
+    // bands with its indexed original and verifies at cosine 1.0, so the
+    // whole second batch drops against the index. Rows-only (bands are
+    // engine-specific); retry-idempotence and param-guard are unit-pinned
+    // in ScaleGuardSpec.
+    "dd_embcos_incremental" -> ((s, dir) => {
+      import graft.similarity.IncrementalVectors
+      val idx = "/tmp/graft_export/incvec_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val doubled = base.union(
+        base.withColumn("vec_id", col("vec_id") + 1000000L))
+      val s1 = IncrementalVectors.addBatch(
+        doubled.filter(col("vec_id") < 1000000L), "vec_id", "v", idx,
+        batchId = 1L, bits = 10, minCosine = 0.99, bands = 4)
+      val s2 = IncrementalVectors.addBatch(
+        doubled.filter(col("vec_id") >= 1000000L), "vec_id", "v", idx,
+        batchId = 2L, bits = 10, minCosine = 0.99, bands = 4)
+      s1.select(col("vec_id")).unionByName(s2.select(col("vec_id")))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding near-dup at scale: SRP-bucketed candidate pairs verified
     // by exact cosine. Planted duplicates (doubled ids) guarantee
     // positives at score 1.0. Rows-only (buckets are engine-specific).

@@ -105,19 +105,28 @@ object Vectors {
                      dim: Int, bits: Int, minCosine: Double,
                      bands: Int = 4, bucketCap: Int = 1024,
                      roundScale: Int = 6): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     // all `bands` signatures in one codegen'd pass over the vector
     // (SrpBands) — the HOF form would traverse it bits×bands times
-    val sigs = v.select(col("id"),
-        posexplode(graft.functions.SrpBands(col("v"), bits, bands, seed = 42L)))
+    val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bands", graft.functions.SrpBands(col("v"), bits, bands, seed = 42L))
+    cosinePairsFromBands(sigs, minCosine, bucketCap, roundScale)
+  }
+
+  /** [[cosinePairsLsh]] from PRECOMPUTED (id, v, bands) rows — for
+    * callers that already hold SRP signatures (e.g. the incremental
+    * vector index path, which computes them once per batch). */
+  def cosinePairsFromBands(sigs: DataFrame, minCosine: Double,
+                           bucketCap: Int = 1024,
+                           roundScale: Int = 6): DataFrame = {
+    val banded = sigs.select(col("id"), posexplode(col("bands")))
       .select(col("id"), col("pos").as("band"), col("col").as("sig"))
     val cand = graft.dedup.Dedup.boundedBucketPairs(
-        sigs, Seq(col("band"), col("sig")), col("id"), bucketCap)
+        banded, Seq(col("band"), col("sig")), col("id"), bucketCap)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("score", round(cosine(col("va"), col("vb")), roundScale))
       .filter(col("score") >= minCosine)
       .select(col("id_a"), col("id_b"), col("score"))

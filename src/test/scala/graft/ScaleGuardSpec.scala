@@ -218,6 +218,33 @@ class ScaleGuardSpec extends SparkSuite {
     }
   }
 
+  test("incremental vector dedup: second batch of copies drops against the index") {
+    import graft.similarity.IncrementalVectors
+    val dim = 40
+    // one-hot vectors: pairwise cosine exactly 0 — separation guaranteed
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    // batch 1: 40 orthogonal vectors; batch 2: exact copies (+1000)
+    val b1 = (0 until 40).map(i => (i.toLong, vec(i)))
+    val b2 = b1.map { case (id, v) => (id + 1000L, v) }
+    val docs = (b1 ++ b2).toDF("vec_id", "v")
+    val idx = java.nio.file.Files.createTempDirectory("incvec").toString + "/index"
+    def inc(b: org.apache.spark.sql.DataFrame, batchId: Long) =
+      IncrementalVectors.addBatch(b, "vec_id", "v", idx, batchId,
+        bits = 8, minCosine = 0.999, bands = 4)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = inc(docs.filter(col("vec_id") < 1000L), 1L)
+    val s2 = inc(docs.filter(col("vec_id") >= 1000L), 2L)
+    // identical vectors share every band, so every copy is dropped
+    // deterministically (cosine exactly 1)
+    assert(s2.isEmpty, s"copies must match the index: $s2")
+    // batch 1 survivors: everyone not near-dup of a smaller id — with
+    // well-separated vectors, all 40 survive
+    assert(s1 === (0L until 40L).toSet)
+    // retry idempotence
+    assert(inc(docs.filter(col("vec_id") < 1000L), 1L) === s1)
+  }
+
   test("lsh knn: bits=1 with multi-probe covers both buckets and equals brute force") {
     // one hyperplane + Hamming-1 probing means every query scans the
     // whole corpus — the graceful-degradation anchor for the LSH path,
