@@ -66,6 +66,24 @@ class MsgpackSpec extends SparkSuite {
     assert(Msgpack.toJson(v) === """{"a":1,"s":"he said \"hi\"\n","xs":[1.5,2.5]}""")
   }
 
+  test("timestamps and dates ride the wire as ISO strings and parse back") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+    val d = java.sql.Date.valueOf("2024-03-05")
+    // packed as str (ISO-8601 UTC offset form / plain date), like the JSON edge
+    val tsBack = Msgpack.unpack(Msgpack.pack(ts)).asInstanceOf[String]
+    assert(tsBack.startsWith("2024-03-05T06:07:08.123456"))
+    assert(tsBack.endsWith("Z") || tsBack.contains("+"))
+    assert(Msgpack.unpack(Msgpack.pack(d)) === "2024-03-05")
+    // and from_json converts the rendered body into a real TimestampType
+    import spark.implicits._
+    val packed = Seq(Tuple1(Msgpack.pack(Msgpack.MsgMap(Vector(
+      "id" -> 7L, "ts" -> ts))))).toDF("body")
+    val back = Msgpack.readMsgpack(packed, col("body"), "id LONG, ts TIMESTAMP")
+      .collect()(0)
+    assert(back.getLong(0) === 7L)
+    assert(back.getTimestamp(1) !== null)
+  }
+
   test("spark edge: struct -> msgpack body -> typed read-back is lossless") {
     import spark.implicits._
     val src = Seq(

@@ -218,6 +218,46 @@ class ScaleGuardSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup driven from foreachBatch converges to the batch survivor set") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.dedup.IncrementalDedup
+    // two parquet files arriving as two micro-batches (maxFilesPerTrigger=1),
+    // survivors accumulated through the documented foreachBatch integration
+    val tmp = java.nio.file.Files.createTempDirectory("stream-inc").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val family = (0 until 20).map(i => (i.toLong, s"$base uniq$i"))
+    val all = family ++ family.map { case (id, t) => (id + 500L, t) }
+    val docs = all.toDF("doc_id", "text")
+    docs.filter(col("doc_id") < 500L).coalesce(1).write.parquet(s"$tmp/in/b1")
+    docs.filter(col("doc_id") >= 500L).coalesce(1).write.parquet(s"$tmp/in/b2")
+    // file source orders batches by modification time — force b1 first
+    val fs1 = new java.io.File(s"$tmp/in/b1").listFiles().filter(_.getName.endsWith(".parquet"))
+    val fs2 = new java.io.File(s"$tmp/in/b2").listFiles().filter(_.getName.endsWith(".parquet"))
+    fs1.foreach(_.setLastModified(1000000L)); fs2.foreach(_.setLastModified(2000000L))
+
+    val survived = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = IncrementalDedup.addBatch(batch, "doc_id", "text",
+          s"$tmp/index", batchId, shingleN = 2, k = 16, bands = 8, minJaccard = 0.8)
+        survived.synchronized { survived ++= s.collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000L)
+    q.stop()
+    val batchSurv = Dedup.survivors(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 2, k = 16, bands = 8, minJaccard = 0.8))
+      .collect().map(_.getLong(0)).toSet
+    assert(survived.toSet === batchSurv,
+      s"streaming-incremental ${survived.toSet} != batch $batchSurv")
+  }
+
   test("incremental vector dedup: second batch of copies drops against the index") {
     import graft.similarity.IncrementalVectors
     val dim = 40
