@@ -55,6 +55,62 @@ class PropertySpec extends SparkSuite {
     df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("msgpack round-trips generated nested values") {
+    import graft.sources.Msgpack
+    import graft.sources.Msgpack.MsgMap
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.oneOf(true, false),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, 127L, 128L, 255L, 256L, 65535L, 65536L,
+        -32L, -33L, -128L, -129L, 4294967295L, 4294967296L),
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("ü", "文", "🎉", "\n", "\"", "x")).map(_.mkString))
+    def value(depth: Int): Gen[Any] =
+      if (depth == 0) scalar
+      else Gen.frequency(
+        5 -> scalar,
+        2 -> Gen.listOfN(3, value(depth - 1)).map(_.toVector),
+        2 -> Gen.listOfN(3,
+          for { k <- Gen.alphaNumStr; v <- value(depth - 1) } yield k -> v)
+          .map(es => MsgMap(es.toVector)))
+    samples(value(3), 120).foreach { v =>
+      assert(Msgpack.unpack(Msgpack.pack(v)) === v, s"round-trip broke on $v")
+    }
+  }
+
+  test("hashed shingles agree with a reference set implementation on generated texts") {
+    import graft.functions.HashedShingles
+    def refShingles(text: String, n: Int): Set[Seq[String]] = {
+      val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Set.empty else toks.sliding(n).map(_.toSeq).toSet
+    }
+    // tiny vocabulary + varied \s separators: forces repeated shingles
+    // (the distinct path) and exercises every whitespace byte
+    val word = Gen.oneOf("aa", "bb", "cc", "d", "ee")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", "", "\f", "\r", " \t ")
+    val text: Gen[String] = for {
+      ws <- Gen.listOfN(12, word)
+      ss <- Gen.listOfN(12, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val texts = samples(text, 60)
+    val hashed = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), HashedShingles(col("text"), 2).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // distinct-count parity with the reference set semantics
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(hashed(i.toLong).length === refShingles(t, 2).size,
+        s"count mismatch on ${t.replace("\n", "\\n")}")
+    }
+    // equal reference sets <=> equal hash arrays (sorted canonical form)
+    for ((t1, i1) <- texts.zipWithIndex; (t2, i2) <- texts.zipWithIndex if i1 < i2) {
+      val same = refShingles(t1, 2) == refShingles(t2, 2)
+      assert((hashed(i1.toLong) == hashed(i2.toLong)) === same)
+    }
+  }
+
   test("canonical hash: deterministic, field order significant, no boundary collisions") {
     val pairs = samples(
       for { a <- Gen.alphaNumStr; b <- Gen.alphaNumStr if a != b } yield (a, b), 60)
