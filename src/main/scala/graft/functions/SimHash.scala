@@ -42,6 +42,9 @@ object SimHash64 {
   private final val FNV_OFFSET = 0xcbf29ce484222325L
   private final val FNV_PRIME = 0x100000001b3L
 
+  // Java \s on the ASCII range, same set as HashedShingles/TokenCount
+  private def isWs(b: Byte): Boolean = b == ' ' || (b >= 9 && b <= 13)
+
   /** Static helper invoked from both interpreted eval and generated code. */
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -50,10 +53,10 @@ object SimHash64 {
     val n = bytes.length
     while (i < n) {
       // skip whitespace
-      while (i < n && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+      while (i < n && isWs(bytes(i))) i += 1
       if (i < n) {
         var h = FNV_OFFSET
-        while (i < n && !(bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) {
+        while (i < n && !isWs(bytes(i))) {
           h ^= (bytes(i) & 0xffL)
           h *= FNV_PRIME
           i += 1
