@@ -76,6 +76,33 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("vec_id"))
     }),
 
+    // S7 — external file store, the query-engine surface: the reference
+    // stores S3-backed attachments (`qcfractal/components/external_files/`)
+    // keyed by content; what the ENGINE owns is the content-addressed
+    // manifest — sha256 → sharded object path, logical-vs-physical bytes
+    // (dedup savings), per-shard object accounting. Streamed upload/
+    // download is client I/O, not query semantics, and stays out of
+    // scope. The doubled batch plants guaranteed duplicate content so
+    // physical < logical provably.
+    "s7_file_manifest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val files = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(col("doc_id").as("record_id"),
+          sha2(col("text"), 256).as("sha256"),
+          length(col("text")).cast("long").as("size_bytes"))
+        .withColumn("shard", substring(col("sha256"), 1, 2))
+      // one row per stored object (content-addressed: same sha = one blob)
+      val objects = files.groupBy(col("shard"), col("sha256"))
+        .agg(first(col("size_bytes")).as("object_bytes"),
+          count(lit(1)).as("n_refs"))
+      objects.groupBy(col("shard"))
+        .agg(sum(col("n_refs")).as("n_files"),
+          count(lit(1)).as("n_objects"),
+          sum(col("object_bytes") * col("n_refs")).as("logical_bytes"),
+          sum(col("object_bytes")).as("physical_bytes"))
+        .orderBy(col("shard"))
+    }),
+
     // Bucketed co-located join: orders and lineitem each written bucketed
     // by their join key (same bucket count), then joined straight off the
     // layout — the join runs WITHOUT an exchange on either side (pinned
@@ -144,6 +171,27 @@ object SourcesSinks extends QuerySet {
         |WHERE o_orderkey % 3 = 1
         |GROUP BY 1, 2
         |ORDER BY record_type, status""".stripMargin,
+
+    "s7_file_manifest" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |files AS (
+        |  SELECT sha256(text) AS sha, CAST(length(text) AS BIGINT) AS size_bytes
+        |  FROM batch),
+        |objects AS (
+        |  SELECT substr(sha, 1, 2) AS shard, sha,
+        |    MIN(size_bytes) AS object_bytes, COUNT(*) AS n_refs
+        |  FROM files GROUP BY 1, 2)
+        |SELECT shard,
+        |  CAST(SUM(n_refs) AS BIGINT) AS n_files,
+        |  COUNT(*) AS n_objects,
+        |  CAST(SUM(object_bytes * n_refs) AS BIGINT) AS logical_bytes,
+        |  CAST(SUM(object_bytes) AS BIGINT) AS physical_bytes
+        |FROM objects
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     "j14_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
