@@ -31,7 +31,7 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[Column]): DataFrame = {
     val hashed = df.withColumn("content_hash", Hashing.md5Hash(contentCols: _*))
     graft.operators.AggOps.distinctOnAgg(hashed, Seq("content_hash"), Seq(col(idCol)))
-      .select(df.columns.map(col) :+ col("content_hash"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("content_hash"): _*)
   }
 
   /** MinHash signature: k minimums of per-seed 64-bit hashes over the

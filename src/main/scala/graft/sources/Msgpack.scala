@@ -114,8 +114,15 @@ object Msgpack {
   // ---------------------------------------------------------------- decode
 
   /** Decode one msgpack value. Ints → Long, floats → Double, maps →
-    * Vector[(key, value)] preserving wire order. */
-  def unpack(bytes: Array[Byte]): Any = read(ByteBuffer.wrap(bytes))
+    * [[MsgMap]] preserving wire order. Truncated or malformed bodies get
+    * a diagnosable error instead of a bare buffer underflow. */
+  def unpack(bytes: Array[Byte]): Any =
+    try read(ByteBuffer.wrap(bytes))
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          s"msgpack: truncated body (${bytes.length} bytes)")
+    }
 
   private def read(b: ByteBuffer): Any = {
     val t = b.get() & 0xff

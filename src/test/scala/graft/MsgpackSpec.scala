@@ -61,6 +61,14 @@ class MsgpackSpec extends SparkSuite {
     assert(Msgpack.unpack(Msgpack.pack(s)) === s)
   }
 
+  test("truncated bodies fail with a clear error, not a buffer underflow") {
+    val good = Msgpack.pack(MsgMap(Vector("a" -> "hello", "b" -> 42L)))
+    val e = intercept[IllegalArgumentException] {
+      Msgpack.unpack(good.take(good.length - 3))
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("json view renders decoded bodies for from_json") {
     val v = MsgMap(Vector("a" -> 1L, "s" -> "he said \"hi\"\n", "xs" -> Vector(1.5, 2.5)))
     assert(Msgpack.toJson(v) === """{"a":1,"s":"he said \"hi\"\n","xs":[1.5,2.5]}""")
