@@ -62,6 +62,22 @@ object RecordsShaped extends QuerySet {
         datasetItems = Some(items))
     }),
 
+    // P1 — include/exclude projection with wildcards, driven through the
+    // full hydrate path (projection resolution + S1 in-order fetch): `*`
+    // keeps the default column set plus the named extra, exclude then
+    // removes record_type, and the pk always survives. Oracle checks the
+    // exact surviving column set AND the request order.
+    "p1_projection" -> ((s, dir) => {
+      val ids = Seq(42L, 7L, 1999L, 3L, 500L)
+      val recs = records(s, dir)
+        .withColumn("extra_note", concat(lit("n"), col("record_id") % 7))
+      RecordQueries.hydrate(recs, ids,
+          include = Seq("*", "extra_note"), exclude = Seq("record_type"),
+          defaultCols = Seq("record_id", "record_type", "status"))
+        .withColumn("pos", array_position(array(ids.map(lit): _*), col("record_id")))
+        .select(col("pos"), col("record_id"), col("status"), col("extra_note"))
+    }),
+
     // X4 — per-task claimability vs the active manager fleet.
     "x4_waiting_reasons" -> ((s, dir) => {
       val tasks = t(s, dir, "orders")
@@ -419,6 +435,16 @@ object RecordsShaped extends QuerySet {
         |  SELECT l_orderkey FROM lineitem WHERE l_suppkey % 5 = 2)
         |ORDER BY record_id DESC
         |LIMIT 100""".stripMargin,
+
+    "p1_projection" ->
+      """SELECT CAST(list_position([42,7,1999,3,500], o_orderkey) AS BIGINT) AS pos,
+        |  o_orderkey AS record_id,
+        |  CASE o_orderstatus WHEN 'F' THEN 'complete'
+        |    WHEN 'P' THEN 'running' ELSE 'waiting' END AS status,
+        |  'n' || CAST(o_orderkey % 7 AS VARCHAR) AS extra_note
+        |FROM orders
+        |WHERE o_orderkey IN (42, 7, 1999, 3, 500)
+        |ORDER BY pos""".stripMargin,
 
     "x4_waiting_reasons" ->
       """WITH tasks AS (
