@@ -62,6 +62,27 @@ object RecordsShaped extends QuerySet {
         datasetItems = Some(items))
     }),
 
+    // O2/O3 — the client batch iterator walked end to end: keyset pages
+    // of 100 threaded by cursor (descending, like every reference query
+    // socket), total limit CLAMPED server-side from the requested 1000 to
+    // 450 (O3), pages tagged so the oracle checks page boundaries, page
+    // count, clamp arithmetic, and the cursor walk in one row set. Each
+    // page is one bounded driver fetch — the documented O2 contract.
+    "o2_batch_pages" -> ((s, dir) => {
+      import graft.operators.Pagination
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val limit = Pagination.clampLimit(maxLimit = 450, requested = Some(1000))
+      val pages = Pagination.batchIterator(base, "o_orderkey",
+        pageSize = 100, totalLimit = Some(limit)).toSeq
+      val rows = pages.zipWithIndex.flatMap { case (p, i) =>
+        p.map(r => (i.toLong, r.getLong(0), r.getLong(1)))
+      }
+      import s.implicits._
+      rows.toDF("page", "o_orderkey", "o_custkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // P1 — include/exclude projection with wildcards, driven through the
     // full hydrate path (projection resolution + S1 in-order fetch): `*`
     // keeps the default column set plus the named extra, exclude then
@@ -435,6 +456,16 @@ object RecordsShaped extends QuerySet {
         |  SELECT l_orderkey FROM lineitem WHERE l_suppkey % 5 = 2)
         |ORDER BY record_id DESC
         |LIMIT 100""".stripMargin,
+
+    "o2_batch_pages" ->
+      """WITH ranked AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (ORDER BY o_orderkey DESC) - 1 AS rn
+        |  FROM orders WHERE o_orderkey < 3000)
+        |SELECT CAST(rn // 100 AS BIGINT) AS page, o_orderkey, o_custkey
+        |FROM ranked
+        |WHERE rn < 450
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p1_projection" ->
       """SELECT CAST(list_position([42,7,1999,3,500], o_orderkey) AS BIGINT) AS pos,
