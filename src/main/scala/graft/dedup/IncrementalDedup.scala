@@ -64,39 +64,6 @@ object IncrementalDedup {
     StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("batch", LongType, nullable = false)))
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Validate or record the index's signature parameters: mixed
-    * parameters would silently match nothing, so fail loudly instead. */
-  private def checkParams(spark: SparkSession, indexDir: String,
-                          shingleN: Int, k: Int, bands: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "_graft_params")
-    val hfs = fs(spark, indexDir)
-    val want = s"shingleN=$shingleN,k=$k,bands=$bands"
-    if (hfs.exists(p)) {
-      val in = hfs.open(p)
-      val got = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      require(got == want,
-        s"index at $indexDir was built with [$got]; this batch uses [$want]")
-    } else {
-      hfs.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
-      val out = hfs.create(p, true)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
-    }
-  }
-
-  /** Read every batch partition EXCEPT `excludeBatch` (idempotent retry:
-    * a rerun must not see its own previous append). The explicit schema
-    * means an empty or partially-written index reads as empty instead of
-    * failing parquet schema inference. */
-  private def readIndex(spark: SparkSession, indexDir: String,
-                        excludeBatch: Long): DataFrame =
-    spark.read.schema(indexSchema).parquet(indexDir)
-      .filter(col("batch") =!= excludeBatch)
-      .select(col("id"), col("sh"), col("bands"))
-
   /** Process one arriving batch of (id, text) docs against the survivor
     * index at `indexDir` (created on first call). Returns the batch's
     * surviving docs (all original columns). `batchId` must be unique per
@@ -107,7 +74,8 @@ object IncrementalDedup {
                minJaccard: Double = 0.8, bucketCap: Int = 1024,
                bandCap: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
-    checkParams(spark, indexDir, shingleN, k, bands)
+    SignatureIndex.checkParams(spark, indexDir,
+      s"shingleN=$shingleN,k=$k,bands=$bands")
 
     // ONE native signature pass per batch; short docs survive
     // unconditionally and are never indexed. chash is the canonical
@@ -120,16 +88,15 @@ object IncrementalDedup {
       .withColumn("chash", struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
       .localCheckpoint(eager = true)
 
-    val index = readIndex(spark, indexDir, excludeBatch = batchId)
+    val index = SignatureIndex.read(spark, indexDir, indexSchema,
+      excludeBatch = batchId)
 
-    // stop-list non-informative hot bands (index side only grows)
-    val bandFreq = index.select(explode(col("bands")).as("band"))
-      .groupBy(col("band")).agg(count(lit(1)).as("n"))
-    val hotBands = bandFreq.filter(col("n") > bandCap).localCheckpoint(eager = true)
-    val nHot = hotBands.count()
-    if (nHot > 0)
-      log.warn(s"incremental dedup: stop-listing $nHot band value(s) with index " +
-        s"frequency > $bandCap — docs probe via their remaining bands")
+    // stop-list non-informative hot bands (index side only grows);
+    // MinHashBands salts each band hash with its position, so the raw
+    // value IS position-qualified here
+    val hotBands = SignatureIndex.stopList(
+      index.select(explode(col("bands")).as("band")),
+      Seq("band"), bandCap, "incremental dedup")
 
     // batch×index candidates: ONE representative per distinct batch
     // content (exact dups share the verdict), ids only through the join

@@ -42,8 +42,9 @@ object SimHash64 {
   private final val FNV_OFFSET = 0xcbf29ce484222325L
   private final val FNV_PRIME = 0x100000001b3L
 
-  // Java \s on the ASCII range, same set as HashedShingles/TokenCount
-  private def isWs(b: Byte): Boolean = b == ' ' || (b >= 9 && b <= 13)
+  // single source of truth for the \s tokenization, shared with
+  // HashedShingles/TokenCount — whitespace definitions must not re-diverge
+  private def isWs(b: Byte): Boolean = HashedShingles.isWs(b)
 
   /** Static helper invoked from both interpreted eval and generated code. */
   def compute(s: UTF8String): Long = {

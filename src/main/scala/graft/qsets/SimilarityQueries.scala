@@ -63,13 +63,10 @@ object SimilarityQueries extends QuerySet {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-      val doubled = base.union(
-        base.withColumn("vec_id", col("vec_id") + 1000000L))
-      val s1 = IncrementalVectors.addBatch(
-        doubled.filter(col("vec_id") < 1000000L), "vec_id", "v", idx,
+      val s1 = IncrementalVectors.addBatch(base, "vec_id", "v", idx,
         batchId = 1L, bits = 10, minCosine = 0.99, bands = 4)
       val s2 = IncrementalVectors.addBatch(
-        doubled.filter(col("vec_id") >= 1000000L), "vec_id", "v", idx,
+        base.withColumn("vec_id", col("vec_id") + 1000000L), "vec_id", "v", idx,
         batchId = 2L, bits = 10, minCosine = 0.99, bands = 4)
       s1.select(col("vec_id")).unionByName(s2.select(col("vec_id")))
         .orderBy(col("vec_id"))

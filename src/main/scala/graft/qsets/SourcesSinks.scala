@@ -89,7 +89,8 @@ object SourcesSinks extends QuerySet {
       val files = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
         .select(col("doc_id").as("record_id"),
           sha2(col("text"), 256).as("sha256"),
-          length(col("text")).cast("long").as("size_bytes"))
+          // octet_length: byte accounting must count BYTES, not chars
+          octet_length(col("text")).cast("long").as("size_bytes"))
         .withColumn("shard", substring(col("sha256"), 1, 2))
       // one row per stored object (content-addressed: same sha = one blob)
       val objects = files.groupBy(col("shard"), col("sha256"))
@@ -178,7 +179,7 @@ object SourcesSinks extends QuerySet {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
         |files AS (
-        |  SELECT sha256(text) AS sha, CAST(length(text) AS BIGINT) AS size_bytes
+        |  SELECT sha256(text) AS sha, CAST(strlen(text) AS BIGINT) AS size_bytes
         |  FROM batch),
         |objects AS (
         |  SELECT substr(sha, 1, 2) AS shard, sha,

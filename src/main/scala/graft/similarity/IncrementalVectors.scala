@@ -34,23 +34,6 @@ object IncrementalVectors {
     StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("batch", LongType, nullable = false)))
 
-  private def checkParams(spark: SparkSession, indexDir: String,
-                          bits: Int, bands: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexDir, "_graft_params")
-    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val want = s"bits=$bits,bands=$bands"
-    if (hfs.exists(p)) {
-      val in = hfs.open(p)
-      val got = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      require(got == want,
-        s"vector index at $indexDir was built with [$got]; this batch uses [$want]")
-    } else {
-      hfs.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
-      val out = hfs.create(p, true)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
-    }
-  }
-
   /** Process one arriving batch of (id, vector) rows against the index.
     * Returns the batch's surviving rows (all original columns). */
   def addBatch(vecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
@@ -58,7 +41,8 @@ object IncrementalVectors {
                bands: Int = 4, bucketCap: Int = 1024,
                bandCap: Int = 4096): DataFrame = {
     val spark = vecs.sparkSession
-    checkParams(spark, indexDir, bits, bands)
+    graft.dedup.SignatureIndex.checkParams(spark, indexDir,
+      s"bits=$bits,bands=$bands")
 
     // one codegen'd SrpBands pass; vectors ride as double[] (exact float
     // widening) so the stored form verifies identically
@@ -67,23 +51,26 @@ object IncrementalVectors {
       .withColumn("bands", SrpBands(col("v"), bits, bands, seed = 42L))
       .localCheckpoint(eager = true)
 
-    val index = spark.read.schema(indexSchema).parquet(indexDir)
-      .filter(col("batch") =!= batchId)
-      .select(col("id"), col("v"), col("bands"))
+    val index = graft.dedup.SignatureIndex.read(spark, indexDir, indexSchema,
+      excludeBatch = batchId)
 
-    val bandFreq = index.select(explode(col("bands")).as("band"))
-      .groupBy(col("band")).agg(count(lit(1)).as("n"))
-    val hotBands = bandFreq.filter(col("n") > bandCap).localCheckpoint(eager = true)
-    val nHot = hotBands.count()
-    if (nHot > 0)
-      log.warn(s"incremental vector dedup: stop-listing $nHot band value(s) with " +
-        s"index frequency > $bandCap")
+    // SRP band values are UNSALTED low-`bits` patterns (lshKnn's
+    // multi-probe bit flips need the raw form), so candidate buckets must
+    // key on (band POSITION, signature) — joining on the value alone
+    // would collide band i with band j by chance and make the stop-list
+    // count across positions
+    val hotBands = graft.dedup.SignatureIndex.stopList(
+      index.select(posexplode(col("bands")))
+        .select(col("pos"), col("col").as("sig")),
+      Seq("pos", "sig"), bandCap, "incremental vector dedup")
 
-    val batchBands = sigs.select(col("id"), explode(col("bands")).as("band"))
-      .join(hotBands.select(col("band")), Seq("band"), "left_anti")
-    val indexBands = index.select(col("id").as("idx_id"), explode(col("bands")).as("band"))
-      .join(hotBands.select(col("band")), Seq("band"), "left_anti")
-    val dropped = batchBands.join(indexBands, "band")
+    val batchBands = sigs.select(col("id"), posexplode(col("bands")))
+      .select(col("id"), col("pos"), col("col").as("sig"))
+      .join(hotBands, Seq("pos", "sig"), "left_anti")
+    val indexBands = index.select(col("id").as("idx_id"), posexplode(col("bands")))
+      .select(col("idx_id"), col("pos"), col("col").as("sig"))
+      .join(hotBands, Seq("pos", "sig"), "left_anti")
+    val dropped = batchBands.join(indexBands, Seq("pos", "sig"))
       .select(col("id"), col("idx_id")).distinct()
       .join(sigs.select(col("id"), col("v")), "id")
       .join(index.select(col("id").as("idx_id"), col("v").as("idx_v")), "idx_id")

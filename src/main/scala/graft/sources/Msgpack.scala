@@ -164,19 +164,32 @@ object Msgpack {
     while (i < bytes) { v = (v << 8) | (b.get() & 0xffL); i += 1 }
     v
   }
+  // a corrupted length prefix must fail cleanly, not allocate gigabytes
+  // or throw NegativeArraySizeException: every declared length is bounded
+  // by the remaining body (each element/entry needs >= 1 byte)
+  private def checkLen(b: ByteBuffer, n: Int, what: String): Unit =
+    if (n < 0 || n > b.remaining())
+      throw new IllegalArgumentException(
+        s"msgpack: corrupt $what length $n with ${b.remaining()} bytes remaining")
   private def readStr(b: ByteBuffer, n: Int): String = {
+    checkLen(b, n, "str")
     val a = new Array[Byte](n); b.get(a); new String(a, UTF_8)
   }
   private def readBin(b: ByteBuffer, n: Int): Array[Byte] = {
+    checkLen(b, n, "bin")
     val a = new Array[Byte](n); b.get(a); a
   }
-  private def readArr(b: ByteBuffer, n: Int): Vector[Any] =
+  private def readArr(b: ByteBuffer, n: Int): Vector[Any] = {
+    checkLen(b, n, "array")
     Vector.fill(n)(read(b))
-  private def readMap(b: ByteBuffer, n: Int): MsgMap =
+  }
+  private def readMap(b: ByteBuffer, n: Int): MsgMap = {
+    checkLen(b, n, "map")
     MsgMap(Vector.fill(n)(read(b) match {
       case k: String => k -> read(b)
       case k => k.toString -> read(b)
     }))
+  }
 
   // ------------------------------------------------------------- json view
 

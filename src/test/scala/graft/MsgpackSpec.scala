@@ -67,6 +67,16 @@ class MsgpackSpec extends SparkSuite {
       Msgpack.unpack(good.take(good.length - 3))
     }
     assert(e.getMessage.contains("truncated"))
+    // corrupt length prefixes must fail cleanly, not allocate gigabytes
+    // or throw NegativeArraySizeException (str32 claiming 4 GiB)
+    val e2 = intercept[IllegalArgumentException] {
+      Msgpack.unpack(Array(0xdb, 0xff, 0xff, 0xff, 0xff).map(_.toByte))
+    }
+    assert(e2.getMessage.contains("corrupt"))
+    val e3 = intercept[IllegalArgumentException] {
+      Msgpack.unpack(Array(0xdc, 0x7f, 0xff).map(_.toByte)) // array16 of 32767
+    }
+    assert(e3.getMessage.contains("corrupt"))
   }
 
   test("json view renders decoded bodies for from_json") {
@@ -75,7 +85,10 @@ class MsgpackSpec extends SparkSuite {
   }
 
   test("timestamps and dates ride the wire as ISO strings and parse back") {
-    val ts = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+    // built from an Instant so the expectation is timezone-independent
+    // (Timestamp.valueOf would parse local wall-clock time)
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-05T06:07:08.123456Z"))
     val d = java.sql.Date.valueOf("2024-03-05")
     // packed as str (ISO-8601 UTC offset form / plain date), like the JSON edge
     val tsBack = Msgpack.unpack(Msgpack.pack(ts)).asInstanceOf[String]
