@@ -56,7 +56,6 @@ import graft.functions.{HashedShingles, MinHashBands, TokenCount}
   */
 object IncrementalDedup {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val indexSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),

@@ -26,7 +26,6 @@ import graft.functions.SrpBands
   */
 object IncrementalVectors {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val indexSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
