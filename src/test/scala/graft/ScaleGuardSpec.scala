@@ -178,6 +178,26 @@ class ScaleGuardSpec extends SparkSuite {
     assert(recalled >= 95, s"recall only $recalled/100")
   }
 
+  test("dedup pipelines tolerate degenerate inputs: empty frames, blank texts") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(empty, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, minJaccard = 0.5).count() === 0)
+    assert(Dedup.exactDedup(empty, "doc_id", Seq(col("text"))).count() === 0)
+    assert(Dedup.survivors(empty, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+    // blank/short docs produce no shingles: no pairs, everyone survives
+    val blanks = Seq((1L, ""), (2L, "   \t "), (3L, "one")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(blanks, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, minJaccard = 0.5)
+    assert(pairs.count() === 0)
+    assert(Dedup.survivors(blanks, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // bounded bucket pairs on an empty frame: no groups, no pairs, no crash
+    assert(Dedup.boundedBucketPairs(
+      Seq.empty[(Long, Long)].toDF("bucket", "id"),
+      Seq(col("bucket")), col("id")).count() === 0)
+  }
+
   test("incremental dedup: id-ascending batches converge to the batch survivor set") {
     import graft.dedup.IncrementalDedup
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
