@@ -90,12 +90,16 @@ object IncrementalDedup {
     val index = SignatureIndex.read(spark, indexDir, indexSchema,
       excludeBatch = batchId)
 
-    // stop-list non-informative hot bands (index side only grows);
+    // stop-list non-informative hot bands from the incremental stats
+    // subtree (never a full per-batch scan of the index signatures);
     // MinHashBands salts each band hash with its position, so the raw
     // value IS position-qualified here
-    val hotBands = SignatureIndex.stopList(
-      index.select(explode(col("bands")).as("band")),
-      Seq("band"), bandCap, "incremental dedup")
+    val statsSchema = StructType(Seq(
+      StructField("band", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("batch", LongType, nullable = false)))
+    val hotBands = SignatureIndex.stopList(spark, indexDir, statsSchema,
+      Seq("band"), excludeBatch = batchId, bandCap, "incremental dedup")
 
     // batch×index candidates: ONE representative per distinct batch
     // content (exact dups share the verdict), ids only through the join
@@ -131,10 +135,17 @@ object IncrementalDedup {
     val surv = Dedup.survivors(remaining, idCol, pairs)
       .localCheckpoint(eager = true) // computed BEFORE the index write below
 
-    // idempotent commit: this batch's survivors replace their own partition
-    sigs.join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    // idempotent commit: this batch's survivors replace their own
+    // partition, and their per-band counts land in the stats subtree so
+    // future stop-lists never rescan the index
+    val committed = sigs
+      .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sh"), col("bands"))
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .localCheckpoint(eager = true)
+    committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    SignatureIndex.writeStats(
+      committed.select(explode(col("bands")).as("band")),
+      indexDir, Seq("band"), batchId)
 
     surv
   }

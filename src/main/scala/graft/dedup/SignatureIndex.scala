@@ -42,14 +42,26 @@ private[graft] object SignatureIndex {
       .filter(col("batch") =!= excludeBatch)
       .drop("batch")
 
-  /** Non-informative hot buckets: keys of `banded` (grouped on `keyCols`)
-    * whose index frequency exceeds `cap` are returned (materialized) for
-    * anti-join exclusion, and their count is logged — a bucket shared by
-    * ~everything would explode the batch×index join quadratically; docs
-    * still probe via their remaining bands. */
-  def stopList(banded: DataFrame, keyCols: Seq[String], cap: Int,
-               label: String): DataFrame = {
-    val hot = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+  /** Non-informative hot buckets from the INCREMENTAL stats subtree:
+    * buckets whose summed index frequency exceeds `cap` are returned
+    * (materialized) for anti-join exclusion, and their count is logged —
+    * a bucket shared by ~everything would explode the batch×index join
+    * quadratically; docs still probe via their remaining bands.
+    *
+    * Scale shape: per-batch bucket counts are tiny pre-aggregates written
+    * by [[writeStats]] at commit time, so computing the stop-list reads
+    * ONLY the stats — never a full scan of the index's signature column
+    * per batch. `statsSchema` must be keyCols + (n long) + (batch long). */
+  def stopList(spark: SparkSession, indexDir: String,
+               statsSchema: StructType, keyCols: Seq[String],
+               excludeBatch: Long, cap: Int, label: String): DataFrame = {
+    // first batch: the stats subtree may not exist yet — an empty dir
+    // with the explicit schema reads as empty
+    val sp = new org.apache.hadoop.fs.Path(statsDir(indexDir))
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(sp)
+    val stats = spark.read.schema(statsSchema).parquet(statsDir(indexDir))
+      .filter(col("batch") =!= excludeBatch)
+    val hot = stats.groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
       .filter(col("n") > cap)
       .select(keyCols.map(col): _*)
       .localCheckpoint(eager = true)
@@ -58,4 +70,17 @@ private[graft] object SignatureIndex {
       log.warn(s"$label: stop-listing $nHot bucket(s) with index frequency > $cap")
     hot
   }
+
+  /** Commit a batch's per-bucket counts alongside its signatures. The
+    * stats live in an underscore-prefixed subtree of the index directory,
+    * which parquet readers of the index itself IGNORE (Spark's file index
+    * hides `_`-prefixed paths) — one directory to manage, two logical
+    * tables. Overwrite per batch partition = idempotent like the
+    * signature write. */
+  def writeStats(banded: DataFrame, indexDir: String, keyCols: Seq[String],
+                 batchId: Long): Unit =
+    banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"${statsDir(indexDir)}/batch=$batchId")
+
+  private def statsDir(indexDir: String): String = s"$indexDir/_stats"
 }

@@ -57,11 +57,16 @@ object IncrementalVectors {
     // multi-probe bit flips need the raw form), so candidate buckets must
     // key on (band POSITION, signature) — joining on the value alone
     // would collide band i with band j by chance and make the stop-list
-    // count across positions
-    val hotBands = graft.dedup.SignatureIndex.stopList(
-      index.select(posexplode(col("bands")))
-        .select(col("pos"), col("col").as("sig")),
-      Seq("pos", "sig"), bandCap, "incremental vector dedup")
+    // count across positions. Counts come from the incremental stats
+    // subtree, never a per-batch rescan of the index signatures.
+    val statsSchema = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("batch", LongType, nullable = false)))
+    val hotBands = graft.dedup.SignatureIndex.stopList(spark, indexDir,
+      statsSchema, Seq("pos", "sig"), excludeBatch = batchId, bandCap,
+      "incremental vector dedup")
 
     val batchBands = sigs.select(col("id"), posexplode(col("bands")))
       .select(col("id"), col("pos"), col("col").as("sig"))
@@ -84,9 +89,15 @@ object IncrementalVectors {
     val surv = Dedup.survivors(remaining, idCol, pairs)
       .localCheckpoint(eager = true) // computed BEFORE the index write below
 
-    sigs.join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val committed = sigs
+      .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("v"), col("bands"))
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .localCheckpoint(eager = true)
+    committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    graft.dedup.SignatureIndex.writeStats(
+      committed.select(posexplode(col("bands")))
+        .select(col("pos"), col("col").as("sig")),
+      indexDir, Seq("pos", "sig"), batchId)
 
     surv
   }

@@ -278,6 +278,27 @@ class ScaleGuardSpec extends SparkSuite {
       s"streaming-incremental ${survived.toSet} != batch $batchSurv")
   }
 
+  test("hot-band stop-list degrades recall boundedly, never crashes") {
+    import graft.dedup.IncrementalDedup
+    // bandCap=0 stop-lists every indexed band after batch 1 (any count
+    // trips a zero cap), so batch-2 copies can no longer match the
+    // index — the DOCUMENTED trade: they fall through to within-batch
+    // dedup and survive as a batch-local cluster instead of being dropped
+    val docs = (0 until 6).map(i => (i.toLong, "shared base text for everyone"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("inccap").toString + "/index"
+    def inc(b: org.apache.spark.sql.DataFrame, batchId: Long) =
+      IncrementalDedup.addBatch(b, "doc_id", "text", idx, batchId,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.8, bandCap = 0)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = inc(docs.filter(col("doc_id") < 3L), 1L)
+    assert(s1 === Set(0L), "identical batch-1 docs collapse to min id")
+    val s2 = inc(docs.filter(col("doc_id") >= 3L), 2L)
+    // index match suppressed by the stop-list -> batch-local survivor
+    assert(s2 === Set(3L),
+      "stop-listed bands must fall back to within-batch dedup, not crash")
+  }
+
   test("incremental vector dedup: second batch of copies drops against the index") {
     import graft.similarity.IncrementalVectors
     val dim = 40
