@@ -65,8 +65,14 @@ object Bench {
       .foreach(run)
     warmUpStreaming(spark)
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — local iteration aid;
+    // the driver never sets it, so recorded rounds always time everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
+    val results = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val t0 = System.nanoTime()
       try run(name)
       catch { case e: Throwable =>
@@ -76,25 +82,43 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (failed.headOption.contains(name)) -1.0 else dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision is plenty and keeps the JSON lines short — the driver
+    // records only a bounded stdout tail, so every byte of the line counts
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // the driver's recorded stdout tail can truncate; also persist the full
-    // per-query JSON to a stable file so rounds compare completely
-    // (cwd-relative by default — override via SPARK_GRAFT_BENCH_JSON when
-    // launching from outside the repo root)
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json"))
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json")
-      System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+    // the driver's recorded stdout tail truncates around 2000 chars — far
+    // less than the full per-query line — so persist the full JSON to a
+    // TRACKED repo file (bench_full.json) for round-over-round comparison
+    // (plus target/bench.json for tooling; override via SPARK_GRAFT_BENCH_JSON)
+    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json"),
+                  "bench_full.json")) {
+      try {
+        val out = java.nio.file.Paths.get(p)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
+    // final line: a COMPACT variant listing the slowest queries first,
+    // sized to survive the driver's tail window intact so BENCH_r{N}
+    // always carries a parseable line (the full line above gets its head
+    // truncated once the query count outgrows the window)
+    val budget = 1400
+    val slowest = results.sortBy { case (_, v) => -v }
+    val sb = new StringBuilder
+    var kept = 0
+    slowest.foreach { case (k, v) =>
+      val piece = (if (kept == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"queries_listed":$kept,"full":"bench_full.json"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -27,6 +27,7 @@ object SparkEntry {
     MoleculeQueries,
     SkewSafe,
     TextQueries,
+    CurationQueries,
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,

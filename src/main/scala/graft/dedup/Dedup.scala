@@ -321,8 +321,17 @@ object Dedup {
     // once; both edge directions and the seed labels read the checkpoint
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(eager = true)
+    // empty fast path: an incremental batch that fully matched the index
+    // (or any corpus with no near-dups) has no pairs — skip the seed
+    // distinct, both checkpoints, and the propagation loop entirely. The
+    // probe reads the first cached partition only: ~free, and it saves
+    // 4-6 scheduler round-trips on the common empty case.
+    if (p.isEmpty)
+      return p.select(col("src").as("id"), col("src").as("cluster_id"))
+    // both edge directions as a lazy union of two reads of the CACHED
+    // checkpoint — a second eager checkpoint would cost a scheduler
+    // round-trip to materialize rows that are already in block storage
     val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(eager = true)

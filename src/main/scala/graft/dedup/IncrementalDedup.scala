@@ -106,6 +106,7 @@ object IncrementalDedup {
     val reps = sigs.groupBy(col("chash"))
       .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"),
         first(col("bands")).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repBands = reps.select(col("rep"), explode(col("bands")).as("band"))
       .join(hotBands.select(col("band")), Seq("band"), "left_anti")
     val indexBands = index.select(col("id").as("idx_id"), explode(col("bands")).as("band"))
@@ -120,10 +121,17 @@ object IncrementalDedup {
         (size(col("sh")) + size(col("idx_sh")) - col("n_inter")))
       .filter(col("j") >= minJaccard)
       .select(col("rep")).distinct()
-    // expand the rep verdict to every exact copy in the batch
+    // expand the rep verdict to every exact copy in the batch. Eagerly
+    // checkpointed: `dropped` has two consumers (the doc anti-join and the
+    // signature anti-join below), and its subtree is the whole batch×index
+    // band join + Jaccard verify — without materialization that subtree
+    // evaluates twice per batch (the multi-consumer lesson this codebase
+    // keeps re-learning). The rows are bare ids: checkpoint cost ~nil.
     val dropped = sigs
       .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
       .select(col("id"))
+      .localCheckpoint(eager = true)
+    reps.unpersist(blocking = false) // every consumer sits under `dropped`
 
     // remaining batch docs dedup against each other, REUSING the
     // checkpointed signatures (no second hashing pass over the text)

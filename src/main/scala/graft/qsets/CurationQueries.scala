@@ -1,0 +1,116 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontaminate
+import graft.operators.Sampling
+
+/** Corpus-curation queries over `documents`: benchmark decontamination,
+  * deterministic sampling, and domain mixing — the selection side of a
+  * training-data pipeline (the removal side is DedupQueries). All four
+  * are content-deterministic, so each has a full DuckDB oracle. */
+object CurationQueries extends QuerySet {
+
+  /** doc_id % 97 == 0 plays the held-out eval benchmark (~1% of docs);
+    * the rest is the training corpus being screened against it. */
+  private val BENCH_MOD = 97
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: corpus docs sharing any token n-gram
+    // with the benchmark slice, with the distinct-gram hit count (3-token
+    // grams — sized to the short synthetic docs; production uses 8-13). The
+    // benchmark gram set is broadcast; corpus grams are hashed to 64-bit
+    // and never shuffled.
+    "dd_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === 0)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= 0)
+      Decontaminate.flagContaminated(corpus, bench, "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic content-hash sample (~1/8 of the corpus): md5 hex
+    // lexicographic threshold, reproducible by any engine.
+    "samp_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(Sampling.hashSample(col("text"), "2"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain mixing: per-source quotas (first-N by doc_id), the
+    // deterministic form of "mix sources at fixed proportions".
+    "samp_mix" -> ((s, dir) => {
+      val mixed = Sampling.quotaMix(t(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("web" -> 400, "wiki" -> 300, "books" -> 200), defaultQuota = 100)
+      mixed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-length histogram in width-32 buckets — the corpus length
+    // profile that drives chunking/packing decisions.
+    "tx_length_hist" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(graft.text.TextFunctions.wsTokenCount(col("text")).as("n_toks"))
+      Sampling.linearHistogram(withToks, col("n_toks"), width = 32)
+        .orderBy(col("bucket"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "dd_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         |  FROM toks),
+         |bench AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
+         |  FROM pos WHERE doc_id % $BENCH_MOD = 0),
+         |corp AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS g
+         |  FROM pos WHERE doc_id % $BENCH_MOD <> 0)
+         |SELECT doc_id, COUNT(*) AS n_hits
+         |FROM corp JOIN bench USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "samp_hash" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE substr(md5(text), 1, 1) < '2'
+        |ORDER BY doc_id""".stripMargin,
+
+    "samp_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, source FROM ranked
+        |  WHERE rn <= CASE source WHEN 'web' THEN 400 WHEN 'wiki' THEN 300
+        |    WHEN 'books' THEN 200 ELSE 100 END)
+        |SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM kept
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "tx_length_hist" ->
+      """WITH toks AS (
+        |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        |  FROM documents)
+        |SELECT CAST(FLOOR(n_toks / 32.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(n_toks) AS BIGINT) AS lo, CAST(MAX(n_toks) AS BIGINT) AS hi
+        |FROM toks
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin
+  )
+}

@@ -74,12 +74,16 @@ object IncrementalVectors {
     val indexBands = index.select(col("id").as("idx_id"), posexplode(col("bands")))
       .select(col("idx_id"), col("pos"), col("col").as("sig"))
       .join(hotBands, Seq("pos", "sig"), "left_anti")
+    // eagerly checkpointed: two consumers (doc anti-join + signature
+    // anti-join) would otherwise evaluate the band join + cosine verify
+    // subtree twice per batch; the rows are bare ids
     val dropped = batchBands.join(indexBands, Seq("pos", "sig"))
       .select(col("id"), col("idx_id")).distinct()
       .join(sigs.select(col("id"), col("v")), "id")
       .join(index.select(col("id").as("idx_id"), col("v").as("idx_v")), "idx_id")
       .filter(Vectors.cosine(col("v"), col("idx_v")) >= minCosine)
       .select(col("id")).distinct()
+      .localCheckpoint(eager = true)
 
     val remaining = vecs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     // REUSE the checkpointed signatures for within-batch pairing

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontaminate
+import graft.operators.Sampling
+
+/** Curation operators: decontamination flagging, deterministic
+  * sampling, quota mixing. */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing an n-gram") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds a 5-gram of the benchmark → flagged
+      (10L, "intro text the quick brown fox jumps and more"),
+      // shares only a 4-gram ("quick brown fox jumps" without "the") → clean
+      (11L, "a quick brown fox jumps away"),
+      // no overlap at all → clean
+      (12L, "completely unrelated content with many words here"),
+      // shorter than 5 tokens → structurally clean
+      (13L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagContaminated(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(10L))
+    assert(flagged(10L) === 1L) // exactly one contaminated distinct gram
+  }
+
+  test("decontamination counts distinct grams once per doc") {
+    val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // the contaminated gram appears twice in the doc — n_hits must be 1
+    val corpus = Seq((10L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagContaminated(corpus, bench, "doc_id", "text", n = 5)
+      .collect()
+    assert(flagged.length === 1)
+    // grams of the corpus doc intersecting bench's single gram set:
+    // "a b c d e" (twice, counted once) — plus no others from bench
+    assert(flagged(0).getLong(1) === 1L)
+  }
+
+  test("token boundaries stay unambiguous in grams") {
+    // ["ab","c"] vs ["a","bc"]: same concatenation, different token split —
+    // must NOT match
+    val bench = Seq((1L, "x ab c y z")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "x a bc y z")).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagContaminated(corpus, bench, "doc_id", "text", n = 5)
+    assert(flagged.isEmpty)
+  }
+
+  test("hash sample is deterministic and content-keyed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = docs.filter(Sampling.hashSample(col("text"), "4"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // repartitioned input yields the identical subset
+    val b = docs.repartition(7).filter(Sampling.hashSample(col("text"), "4"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.size < docs.count()) // a real, proper subset
+  }
+
+  test("quota mix caps every domain at its quota, first-N by order") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, if (i % 3 == 0) "web" else "wiki"))
+      .toDF("doc_id", "source")
+    val mixed = Sampling.quotaMix(docs, col("source"), col("doc_id"),
+      Map("web" -> 3), defaultQuota = 5)
+    val bySource = mixed.groupBy("source").agg(
+        count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySource("web") === ((3L, 6L)))   // ids 0,3,6 — first 3 by id
+    assert(bySource("wiki") === ((5L, 7L)))  // ids 1,2,4,5,7
+  }
+
+  test("linear histogram buckets by exact integer division") {
+    val vals = Seq(0L, 31L, 32L, 63L, 64L, 100L).toDF("v")
+    val h = Sampling.linearHistogram(vals, col("v"), 32)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h.toSeq === Seq((0L, 2L, 0L, 31L), (1L, 2L, 32L, 63L), (2L, 1L, 64L, 64L), (3L, 1L, 100L, 100L)))
+  }
+}

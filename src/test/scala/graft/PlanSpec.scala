@@ -110,4 +110,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("EqualTo(p_brand,Brand#13)"),
       "dim filter must push into the part scan, not evaluate post-join")
   }
+
+  test("decontamination: benchmark grams broadcast, corpus never shuffled pre-agg") {
+    val p = plan("dd_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark gram set must broadcast — shuffling 100 TB of corpus grams " +
+        "to meet a few thousand benchmark grams is the wrong side")
+    assert("ReadSchema:[^\n]*text".r.findFirstIn(p).isDefined &&
+      !"ReadSchema:[^\n]*source".r.findFirstIn(p).isDefined,
+      "the documents scan must prune to the id/text columns")
+  }
+
+  test("hash sample: narrow filter, scan pruned to selected columns") {
+    val p = plan("samp_hash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a per-row content-hash filter must not shuffle")
+    assert(!"ReadSchema:[^\n]*lang".r.findFirstIn(p).isDefined,
+      "unprojected columns must be pruned from the scan")
+  }
 }
