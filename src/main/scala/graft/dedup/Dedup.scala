@@ -332,9 +332,13 @@ object Dedup {
     // checkpoint — a second eager checkpoint would cost a scheduler
     // round-trip to materialize rows that are already in block storage
     val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // seed labels stay LAZY: both iteration-1 consumers re-derive the
+    // distinct from the cached checkpoint (one cheap agg each) — an
+    // eager materialization here would buy nothing but a scheduler
+    // round-trip, and from iteration 1 on `labels` is always the
+    // checkpointed aggregate below
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {

@@ -145,11 +145,12 @@ object IncrementalDedup {
 
     // idempotent commit: this batch's survivors replace their own
     // partition, and their per-band counts land in the stats subtree so
-    // future stop-lists never rescan the index
+    // future stop-lists never rescan the index. `committed` is a cheap
+    // semi-join of two CACHED frames — each write recomputes it rather
+    // than paying an extra materialization round-trip.
     val committed = sigs
       .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sh"), col("bands"))
-      .localCheckpoint(eager = true)
     committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     SignatureIndex.writeStats(
       committed.select(explode(col("bands")).as("band")),

@@ -93,10 +93,11 @@ object IncrementalVectors {
     val surv = Dedup.survivors(remaining, idCol, pairs)
       .localCheckpoint(eager = true) // computed BEFORE the index write below
 
+    // cheap semi-join of two cached frames — recomputed by each write
+    // instead of paying an extra materialization round-trip
     val committed = sigs
       .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("v"), col("bands"))
-      .localCheckpoint(eager = true)
     committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     graft.dedup.SignatureIndex.writeStats(
       committed.select(posexplode(col("bands")))
