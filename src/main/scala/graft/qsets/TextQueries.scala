@@ -187,6 +187,38 @@ object TextQueries extends QuerySet {
         col("doc_id"),
         fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Token-unigram Shannon entropy per doc — the information-density
+    // quality signal (low entropy = repetitive/boilerplate). One explode
+    // + two hash aggregations, all map-side combinable; H = log2(n) −
+    // (Σ c·log2 c)/n so only per-token COUNTS are aggregated, never
+    // probabilities (no per-row division before the combine). Rounded to
+    // 4 decimals: both engines sum doubles in different orders, and the
+    // formula's ~1e-15 noise must not flip an output digit.
+    "tx_entropy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n"),
+          round(log2(col("n")) - col("clc") / col("n"), 4).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary size per source — exact COUNT(DISTINCT token). At 100 TB
+    // the same query swaps in approx_count_distinct (HLL++, fixed-size
+    // sketch, map-side mergeable) — the exact form here is the oracle
+    // anchor; the approx-vs-exact error bound is unit-pinned.
+    "tx_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(wsTokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("vocab"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -383,6 +415,27 @@ object TextQueries extends QuerySet {
         |  sha256(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, SUM(c) AS n,
+        |  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
+        |FROM tc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_vocab" ->
+      """SELECT source, COUNT(DISTINCT tok) AS vocab, COUNT(*) AS n_tokens
+        |FROM (SELECT source,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

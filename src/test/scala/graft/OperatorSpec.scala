@@ -98,6 +98,22 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("approx distinct (HLL++) tracks exact vocab within relative error") {
+    import graft.text.TextFunctions
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(TextFunctions.wsTokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct(col("tok")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 100 TB form of tx_vocab: fixed-size mergeable sketch at rsd 2%
+    val approx = toks.groupBy("source")
+      .agg(approx_count_distinct(col("tok"), 0.02).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(2.0, v * 0.06),
+        s"source $k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("approx percentile tracks exact within rank-error bound") {
     import graft.operators.AggOps
     val events = Tables.load(spark, sfDir, "events")
