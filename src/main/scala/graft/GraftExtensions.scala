@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.Bridge
+
+import graft.functions._
+
+/** SQL surface for graft's native codegen'd expressions, wired the
+  * standard Spark-extension way:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions   // at session build
+  *   GraftExtensions.register(spark)              // into a live session
+  *
+  * makes `simhash64`, `minhash_bands`, `srp_bands`, `hashed_shingles`
+  * and `token_count` callable from `spark.sql(...)` / `expr(...)` — so
+  * a pure-SQL user (a notebook, a dbt-style pipeline, spark-sql CLI)
+  * gets the same one-pass native kernels the DataFrame API uses, not a
+  * reimplementation. Sizing parameters (k, bands, bits, n) must be
+  * literal integers: they shape the expression's output schema and the
+  * generated code, exactly like the DataFrame constructors.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(fn: String, pos: Int, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal integer, got $e")
+  }
+  private def longArg(fn: String, pos: Int, e: Expression): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal integer, got $e")
+  }
+  private def arity(fn: String, want: String): Nothing =
+    throw new IllegalArgumentException(s"$fn expects $want arguments")
+
+  private def info(name: String, clazz: Class[_], usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name) // usage lives in the scaladoc
+
+  /** (identifier, info, builder) triples — the exact shape
+    * `SparkSessionExtensions.injectFunction` consumes. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64],
+        "simhash64(text) - 64-bit SimHash of whitespace tokens"),
+      {
+        case Seq(c) => SimHash64(c)
+        case _ => arity("simhash64", "1 (text)")
+      }),
+    (FunctionIdentifier("token_count"),
+      info("token_count", classOf[TokenCount],
+        "token_count(text) - whitespace token count, allocation-free byte scan"),
+      {
+        case Seq(c) => TokenCount(c)
+        case _ => arity("token_count", "1 (text)")
+      }),
+    (FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles", classOf[HashedShingles],
+        "hashed_shingles(text, n) - sorted distinct xxhash64 of n-token shingles"),
+      {
+        case Seq(c, n) => HashedShingles(c, intArg("hashed_shingles", 2, n))
+        case _ => arity("hashed_shingles", "2 (text, n)")
+      }),
+    (FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", classOf[MinHashBands],
+        "minhash_bands(shingle_hashes, k, bands) - LSH band hashes of a k-minhash signature"),
+      {
+        case Seq(c, k, b) =>
+          MinHashBands(c, intArg("minhash_bands", 2, k), intArg("minhash_bands", 3, b))
+        case _ => arity("minhash_bands", "3 (shingle_hashes, k, bands)")
+      }),
+    (FunctionIdentifier("srp_bands"),
+      info("srp_bands", classOf[SrpBands],
+        "srp_bands(vector, bits, bands[, seed]) - signed-random-projection LSH signatures"),
+      {
+        case Seq(c, bits, b) =>
+          SrpBands(c, intArg("srp_bands", 2, bits), intArg("srp_bands", 3, b), 42L)
+        case Seq(c, bits, b, seed) =>
+          SrpBands(c, intArg("srp_bands", 2, bits), intArg("srp_bands", 3, b),
+            longArg("srp_bands", 4, seed))
+        case _ => arity("srp_bands", "3-4 (vector, bits, bands[, seed])")
+      }))
+
+  /** Register every function into a live session's registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, fi, builder) =>
+      Bridge.registerFunction(spark, id, fi, builder)
+    }
+}
