@@ -70,6 +70,30 @@ object MultimodalQueries extends QuerySet {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lower(hex(encode(substring(text, 1, 8)))) AS magic_hex
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The stub's "features" are 8 interleaved byte-block sums — pure
+    // arithmetic over the payload, so (ASCII corpus: ord == byte) the
+    // oracle reproduces them exactly and the partition-batched typed
+    // transform gets a hash-checked row, not just a rows-only count.
+    "mm_decode_stub" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, strlen(text) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |pos AS (
+        |  SELECT doc_id, (i - 1) % 8 AS j,
+        |    ord(substr(text, CAST(i AS INT), 1)) AS bv
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM b)),
+        |f AS (
+        |  SELECT b.doc_id, b.n,
+        |    CAST(COALESCE(SUM(CASE WHEN j = 0 THEN bv END), 0) AS DOUBLE) AS f0,
+        |    CAST(COALESCE(SUM(CASE WHEN j = 1 THEN bv END), 0) AS DOUBLE) AS f1,
+        |    CAST(COALESCE(SUM(CASE WHEN j = 2 THEN bv END), 0) AS DOUBLE) AS f2,
+        |    CAST(COALESCE(SUM(CASE WHEN j = 3 THEN bv END), 0) AS DOUBLE) AS f3
+        |  FROM b LEFT JOIN pos ON pos.doc_id = b.doc_id
+        |  GROUP BY b.doc_id, b.n)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, f0, f1, f2, f3
+        |FROM f
         |ORDER BY doc_id""".stripMargin
   )
 }
