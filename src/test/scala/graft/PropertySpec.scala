@@ -128,4 +128,50 @@ class PropertySpec extends SparkSuite {
         Hashing.canonicalHash256(col("a2"), col("b2"))).as("ok"))
     assert(bd.collect()(0).getBoolean(0))
   }
+
+  test("hash sample: threshold monotone (subset), rate tracks the threshold") {
+    import graft.operators.Sampling
+    val texts = samples(Gen.nonEmptyListOf(Gen.alphaNumStr).map(_.mkString(" ")), 400)
+      .distinct
+    val df = texts.map(Tuple1(_)).toDF("text").cache()
+    val n = df.count().toDouble
+    val kept = Seq("2", "8", "c").map { th =>
+      df.filter(Sampling.hashSample(col("text"), th))
+        .collect().map(_.getString(0)).toSet
+    }
+    // monotone: a lower threshold's subset is contained in a higher one's
+    assert(kept(0).subsetOf(kept(1)) && kept(1).subsetOf(kept(2)))
+    // rate roughly tracks threshold/16 (1 hex digit) — loose bounds, the
+    // point is "samples, not everything/nothing"
+    assert(kept(0).size < n * 0.35 && kept(2).size > n * 0.4)
+    df.unpersist()
+  }
+
+  test("quota mix: per-domain cap respected, output is a subset, deterministic") {
+    import graft.operators.Sampling
+    val rows = samples(
+      for {
+        id <- Gen.chooseNum(0L, 5000L)
+        dom <- Gen.oneOf("a", "b", "c", "d")
+      } yield (id, dom), 300).distinct
+    val df = rows.toDF("id", "dom")
+    val quota = Map("a" -> 7, "b" -> 1)
+    val out1 = Sampling.quotaMix(df, col("dom"), col("id"), quota, defaultQuota = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out2 = Sampling.quotaMix(df.repartition(5), col("dom"), col("id"), quota,
+        defaultQuota = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out1 === out2, "quota mix must not depend on physical layout")
+    assert(out1.subsetOf(rows.toSet))
+    val byDom = out1.groupBy(_._2).view.mapValues(_.size).toMap
+    byDom.foreach { case (d, cnt) =>
+      assert(cnt <= quota.getOrElse(d, 4), s"domain $d over quota: $cnt")
+    }
+    // first-N by id: the kept ids per domain are the smallest ids
+    val inByDom = rows.groupBy(_._2)
+    out1.groupBy(_._2).foreach { case (d, kept) =>
+      val expect = inByDom(d).map(_._1).sorted.take(quota.getOrElse(d, 4)).toSet
+      assert(kept.map(_._1) === expect, s"domain $d must keep the first N by id")
+    }
+  }
 }
