@@ -115,7 +115,9 @@ object Dedup {
       .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
         first(col("__g")).as("__g"))
       .localCheckpoint(eager = true)
-    it.unpersist(blocking = false)
+    // blocking: async removal races the next action's scheduling (stale
+    // cached-block locations → BlockNotFound noise + task recompute)
+    it.unpersist(blocking = true)
     // hot-bucket degradation is observable: one cheap scan of the
     // checkpointed groups reports how many buckets were capped and how
     // many all-pairs candidates the cap suppressed (replaced by bridges)

@@ -63,6 +63,19 @@ object IncrementalDedup {
     StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("batch", LongType, nullable = false)))
 
+  /** Fold all settled batch partitions (everything below the live batch)
+    * into one consolidated partition — run periodically so N daily
+    * batches cost one directory, not N (the small-files problem).
+    * Retry- and crash-safety contract in [[SignatureIndex.compact]].
+    * Returns the number of partitions folded. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val statsSchema = StructType(Seq(
+      StructField("band", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("batch", LongType, nullable = false)))
+    SignatureIndex.compact(spark, indexDir, indexSchema, statsSchema, Seq("band"))
+  }
+
   /** Process one arriving batch of (id, text) docs against the survivor
     * index at `indexDir` (created on first call). Returns the batch's
     * surviving docs (all original columns). `batchId` must be unique per
@@ -102,7 +115,15 @@ object IncrementalDedup {
       Seq("band"), excludeBatch = batchId, bandCap, "incremental dedup")
 
     // batch×index candidates: ONE representative per distinct batch
-    // content (exact dups share the verdict), ids only through the join
+    // content (exact dups share the verdict), ids only through the join.
+    // Persisted: the `dropped` plan references this aggregate three ways
+    // (banding, verify, verdict expansion) and exchange reuse does not
+    // cover all of them. NO explicit unpersist — every consumer sits
+    // under the one `dropped` materialization, and an eager unpersist
+    // (even blocking) races that action's staged scheduling (stale
+    // cached-block locations → BlockNotFound → task recompute noise);
+    // the ContextCleaner reclaims the blocks once `reps` goes out of
+    // scope, which is the contract designed for exactly this case.
     val reps = sigs.groupBy(col("chash"))
       .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"),
         first(col("bands")).as("bands"))
@@ -131,7 +152,6 @@ object IncrementalDedup {
       .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
       .select(col("id"))
       .localCheckpoint(eager = true)
-    reps.unpersist(blocking = false) // every consumer sits under `dropped`
 
     // remaining batch docs dedup against each other, REUSING the
     // checkpointed signatures (no second hashing pass over the text)

@@ -82,5 +82,71 @@ private[graft] object SignatureIndex {
     banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"${statsDir(indexDir)}/batch=$batchId")
 
+  /** Compact the index's batch partitions: every batch strictly below
+    * the LATEST non-negative batch id (which stays untouched — it is the
+    * only id a foreachBatch retry can legally reuse, and a retry
+    * overwrites its own partition) folds into one consolidated partition
+    * `batch=-(maxCompacted)`, and the originals are deleted. Negative
+    * ids are prior consolidations and fold in too. Fixes the
+    * daily-ingest small-files problem: after N batches the index is one
+    * consolidated partition + the live batch, not N directories.
+    *
+    * Retry safety: consolidated ids are negative, foreachBatch ids are
+    * non-negative — `read`'s excludeBatch can never exclude (and an
+    * overwrite can never destroy) consolidated data.
+    *
+    * Crash safety: consolidated data is WRITTEN before the originals are
+    * deleted. A crash in between leaves duplicate signature rows, which
+    * candidate generation tolerates (pairs are `distinct()`ed and
+    * verification is set-based) and whose only stats effect is a
+    * conservatively hotter stop-list; re-running compact heals the
+    * duplication. Stats partitions compact alongside, re-aggregated on
+    * `keyCols` so the stop-list read stays one tiny scan.
+    *
+    * Returns the number of batch partitions folded (0 = nothing to do). */
+  def compact(spark: SparkSession, indexDir: String, schema: StructType,
+              statsSchema: StructType, keyCols: Seq[String]): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return 0
+    def batchDirs(p: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!hfs.exists(p)) Seq.empty
+      else hfs.listStatus(p).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap(s => s.getPath.getName.stripPrefix("batch=").toLongOption
+          .map(_ -> s.getPath))
+    val sig = batchDirs(root)
+    val nonneg = sig.map(_._1).filter(_ >= 0)
+    if (nonneg.isEmpty) return 0
+    val live = nonneg.max
+    val fold = sig.filter(_._1 != live)
+    if (live == 0 || fold.size < 2) return 0 // nothing worth folding
+    // the consolidated id derives from LIVE, which is never in the fold
+    // set — so the write target can never be one of the directories being
+    // read (a prior consolidation's id always derives from an older,
+    // smaller live id and CAN be in the fold set)
+    val gen = -live
+    require(!fold.exists(_._1 == gen), s"consolidated id $gen collides with a fold source")
+
+    val noBatch = StructType(schema.filterNot(_.name == "batch"))
+    spark.read.schema(noBatch).parquet(fold.map(_._2.toString): _*)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$gen")
+    // stats: re-aggregate the folded partitions into one
+    val statsRoot = new org.apache.hadoop.fs.Path(statsDir(indexDir))
+    val foldIds = fold.map(_._1).toSet
+    val foldStats = batchDirs(statsRoot).filter(s => foldIds.contains(s._1))
+    if (foldStats.nonEmpty) {
+      val noBatchStats = StructType(statsSchema.filterNot(_.name == "batch"))
+      spark.read.schema(noBatchStats).parquet(foldStats.map(_._2.toString): _*)
+        .groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(s"${statsDir(indexDir)}/batch=$gen")
+    }
+    // deletes come LAST (see crash-safety contract above); gen is proven
+    // disjoint from every fold source
+    (fold.map(_._2) ++ foldStats.map(_._2)).foreach(p => hfs.delete(p, true))
+    log.info(s"compacted ${fold.size} batch partition(s) of $indexDir into batch=$gen")
+    fold.size
+  }
+
   private def statsDir(indexDir: String): String = s"$indexDir/_stats"
 }

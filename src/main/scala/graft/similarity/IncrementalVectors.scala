@@ -33,6 +33,19 @@ object IncrementalVectors {
     StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("batch", LongType, nullable = false)))
 
+  /** Fold all settled batch partitions into one consolidated partition —
+    * see [[graft.dedup.SignatureIndex.compact]] for the retry/crash
+    * contract. Returns the number of partitions folded. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val statsSchema = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("sig", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("batch", LongType, nullable = false)))
+    graft.dedup.SignatureIndex.compact(spark, indexDir, indexSchema,
+      statsSchema, Seq("pos", "sig"))
+  }
+
   /** Process one arriving batch of (id, vector) rows against the index.
     * Returns the batch's surviving rows (all original columns). */
   def addBatch(vecs: DataFrame, idCol: String, vecCol: String, indexDir: String,

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.IncrementalDedup
+import graft.similarity.IncrementalVectors
+
+/** Compaction of the batch-partitioned signature indexes: results must
+  * be invariant under compaction, directory count must actually drop,
+  * and the latest batch must stay retryable afterwards. */
+class IndexCompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Same 40 texts under shifted ids — later batches fully duplicate the
+    * first, so every cross-batch index hit is a planted expectation. */
+  private def docsBatch(idOffset: Long): DataFrame =
+    (0 until 40).map(i =>
+      (idOffset + i, s"alpha document number $i with shared boilerplate text"))
+      .toDF("doc_id", "text")
+
+  private def addDoc(indexDir: String, batchId: Long, idOffset: Long): Set[Long] =
+    IncrementalDedup.addBatch(docsBatch(idOffset), "doc_id", "text", indexDir,
+        batchId, shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+
+  private def batchDirs(dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) Set.empty
+    else hfs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+  }
+
+  test("text index: compaction folds settled partitions, results invariant") {
+    val plain = Files.createTempDirectory("idxplain").toString + "/index"
+    val compacted = Files.createTempDirectory("idxcomp").toString + "/index"
+    // identical three-batch history on both indexes
+    val a = Seq(1L, 2L, 3L).map(b => addDoc(plain, b, (b - 1) * 100))
+    val b0 = Seq(1L, 2L, 3L).map(b => addDoc(compacted, b, (b - 1) * 100))
+    assert(a === b0)
+    assert(a(0).size === 40 && a(1).isEmpty && a(2).isEmpty,
+      "batches 2-3 fully duplicate batch 1 and must drop against the index")
+
+    // fold batches 1-2 (settled) into batch=-3; live batch 3 untouched
+    assert(IncrementalDedup.compactIndex(spark, compacted) === 2)
+    assert(batchDirs(compacted) === Set("batch=-3", "batch=3"))
+    assert(batchDirs(compacted + "/_stats") === Set("batch=-3", "batch=3"))
+    assert(IncrementalDedup.compactIndex(spark, compacted) === 0, "no-op when compact")
+
+    // batch 4 sees identical state through both layouts
+    val s4p = addDoc(plain, 4L, 300)
+    val s4c = addDoc(compacted, 4L, 300)
+    assert(s4p === s4c)
+    assert(s4c.isEmpty, "batch 4 duplicates batch 1 — all dropped")
+
+    // compaction after batch 4 folds {-3, 3} into batch=-4, and the live
+    // batch stays retryable: re-running batchId 4 is idempotent
+    assert(IncrementalDedup.compactIndex(spark, compacted) === 2)
+    assert(batchDirs(compacted) === Set("batch=-4", "batch=4"))
+    val retry = addDoc(compacted, 4L, 300)
+    assert(retry === s4c)
+    assert(batchDirs(compacted) === Set("batch=-4", "batch=4"))
+  }
+
+  test("vector index: compaction folds partitions, later batches still match") {
+    val dir = Files.createTempDirectory("idxvec").toString + "/index"
+    def vecs(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i % 7 + d).toFloat)))
+        .toDF("vec_id", "v")
+    def add(batchId: Long, ids: Range): Set[Long] =
+      IncrementalVectors.addBatch(vecs(ids), "vec_id", "v", dir, batchId,
+          bits = 8, minCosine = 0.999)
+        .select("vec_id").as[Long].collect().toSet
+    val s1 = add(1L, 0 until 30)
+    val s2 = add(2L, 100 until 130)
+    val s3 = add(3L, 200 until 230)
+    assert(s1.size === 7, "one survivor per distinct vector family (id mod 7)")
+    assert(s2.isEmpty && s3.isEmpty, "later batches fully duplicate the families")
+
+    assert(IncrementalVectors.compactIndex(spark, dir) === 2)
+    assert(batchDirs(dir) === Set("batch=-3", "batch=3"))
+    // the consolidated index must serve batch 4 exactly like the original
+    assert(add(4L, 300 until 330).isEmpty)
+  }
+}
