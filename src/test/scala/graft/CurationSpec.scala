@@ -73,6 +73,33 @@ class CurationSpec extends SparkSuite {
     assert(bySource("wiki") === ((5L, 7L)))  // ids 1,2,4,5,7
   }
 
+  test("curation ops tolerate degenerate inputs: nulls, empties, blanks") {
+    val ugly = Seq(
+      (1L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (2L, "", "web"),
+      (3L, "   ", null.asInstanceOf[String]),
+      (4L, "regular document text here", "web")
+    ).toDF("doc_id", "text", "source")
+    // decontamination: null/blank docs have no grams on either side
+    val flagged = Decontaminate.flagContaminated(
+      ugly, ugly.limit(2), "doc_id", "text", n = 3)
+    assert(flagged.count() === 0)
+    // hash sample: md5(null) is null → filtered out deterministically,
+    // never an NPE or a row with an undecidable verdict
+    val sampled = ugly.filter(Sampling.hashSample(col("text"), "8"))
+      .select("doc_id").as[Long].collect()
+    assert(!sampled.contains(1L))
+    // quota mix: null domain is its own group under the default quota
+    val mixed = Sampling.quotaMix(ugly, col("source"), col("doc_id"),
+      Map("web" -> 1), defaultQuota = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed === Set(1L, 2L, 3L), "web capped at 1 (first id), nulls kept")
+    // histogram: null values land in a null bucket, not a crash
+    val hist = Sampling.linearHistogram(
+      Seq(Some(5L), None, Some(40L)).toDF("v"), col("v"), 32)
+    assert(hist.count() === 3)
+  }
+
   test("linear histogram buckets by exact integer division") {
     val vals = Seq(0L, 31L, 32L, 63L, 64L, 100L).toDF("v")
     val h = Sampling.linearHistogram(vals, col("v"), 32)
