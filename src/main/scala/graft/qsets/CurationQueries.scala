@@ -52,6 +52,35 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Cross-source overlap matrix: exact Jaccard between the distinct
+    // 3-gram sets of every source pair — "how much does wiki duplicate
+    // web" before mixing. Grams travel as 64-bit hashes; the distinct
+    // (source, gram) set is one shuffle, and the self-join fan-out per
+    // gram is bounded by the number of sources (few, by definition) —
+    // n_sources² rows per gram worst case, never corpus-quadratic.
+    "dd_source_overlap" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val grams = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => xxhash64(array_join(slice(col("t"), i, lit(3)), ""))))).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = grams.as("x").join(grams.as("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Token-length histogram in width-32 buckets — the corpus length
     // profile that drives chunking/packing decisions.
     "tx_length_hist" -> ((s, dir) => {
@@ -101,6 +130,26 @@ object CurationQueries extends QuerySet {
         |FROM kept
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "dd_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], chr(31)) AS g
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks)),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+        |inter AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "tx_length_hist" ->
       """WITH toks AS (
