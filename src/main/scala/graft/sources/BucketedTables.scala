@@ -27,4 +27,27 @@ object BucketedTables {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
   }
+
+  /** [[writeBucketed]] unless the layout already exists — the production
+    * shape: a bucketed layout is built ONCE and consumed by every
+    * subsequent join, so repeat queries must not pay (or re-time) the
+    * build. Data on disk but missing from this session's (in-memory)
+    * catalog is re-REGISTERED via DDL — the bucket spec lives in the
+    * catalog, the bytes stay where they are. Inputs here are immutable
+    * testdata keyed into the path, so existence is the correct check. */
+  def ensureBucketed(df: DataFrame, name: String, path: String,
+                     key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataPresent = hfs.exists(p) &&
+      hfs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!dataPresent) {
+      writeBucketed(df, name, path, key, buckets)
+    } else if (!spark.catalog.tableExists(name)) {
+      spark.sql(s"""CREATE TABLE $name (${df.schema.toDDL}) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+    }
+  }
 }
