@@ -95,8 +95,10 @@ object Bench {
     // less than the full per-query line — so persist the full JSON to a
     // TRACKED repo file (bench_full.json) for round-over-round comparison
     // (plus target/bench.json for tooling; override via SPARK_GRAFT_BENCH_JSON)
-    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json"),
-                  "bench_full.json")) {
+    // a filtered (SPARK_GRAFT_ONLY) run must never clobber the tracked
+    // full-run artifact with a partial query map
+    for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json")) ++
+              (if (only.isEmpty) Seq("bench_full.json") else Seq.empty)) {
       try {
         val out = java.nio.file.Paths.get(p)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
