@@ -65,6 +65,50 @@ class IndexCompactionSpec extends SparkSuite {
     assert(batchDirs(compacted) === Set("batch=-4", "batch=4"))
   }
 
+  test("foreachBatch stream with mid-stream compaction converges to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    // three files arriving as three micro-batches; the index is compacted
+    // INSIDE foreachBatch after every commit — the operational cadence a
+    // daily pipeline would run — and the final survivor set must still
+    // equal the one-shot batch pass
+    val tmp = Files.createTempDirectory("stream-compact").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val family = (0 until 15).map(i => (i.toLong, s"$base uniq${i % 5}"))
+    val all = family ++ family.map { case (id, t) => (id + 500L, t) } ++
+      family.map { case (id, t) => (id + 900L, t) }
+    val docs = all.toDF("doc_id", "text")
+    Seq(0L -> 500L, 500L -> 900L, 900L -> 2000L).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.parquet(s"$tmp/in/b$i")
+        new java.io.File(s"$tmp/in/b$i").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val survived = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val s = IncrementalDedup.addBatch(batch, "doc_id", "text",
+          s"$tmp/index", batchId, shingleN = 2, k = 16, bands = 8, minJaccard = 0.8)
+        survived.synchronized { survived ++= s.collect().map(_.getLong(0)) }
+        IncrementalDedup.compactIndex(spark, s"$tmp/index")
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000L)
+    q.stop()
+    val batchSurv = graft.dedup.Dedup.survivors(docs, "doc_id",
+        graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 2, k = 16, bands = 8, minJaccard = 0.8))
+      .collect().map(_.getLong(0)).toSet
+    assert(survived.toSet === batchSurv,
+      s"streaming-compacted ${survived.toSet} != batch $batchSurv")
+  }
+
   test("vector index: compaction folds partitions, later batches still match") {
     val dir = Files.createTempDirectory("idxvec").toString + "/index"
     def vecs(ids: Range): DataFrame =
