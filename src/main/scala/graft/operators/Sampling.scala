@@ -51,6 +51,55 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** The bounded scale form of [[quotaMix]]: per-domain smallest-N ids
+    * via a size-capped aggregation buffer instead of a window sort. Each
+    * map task ships at most max-quota ids per domain into the shuffle —
+    * a mega-domain costs O(quota) shuffle rows per task, not a sort of
+    * its full row set — and the kept (domain, id) pairs (≤ Σ quotas,
+    * tiny) broadcast back for the final semi-join. Requires `orderCol`
+    * to be a unique long (the usual id). Same contract as [[quotaMix]],
+    * unit-pinned equal. */
+  def quotaMixBounded(df: DataFrame, domainCol: Column, orderCol: Column,
+                      quota: Map[String, Int], defaultQuota: Int): DataFrame = {
+    val maxQ = (quota.values.toSeq :+ defaultQuota).max
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaCol = quota.foldLeft(lit(defaultQuota)) { case (acc, (dom, q)) =>
+      when(col("__d") === lit(dom), lit(q)).otherwise(acc)
+    }
+    val kept = df
+      .select(domainCol.cast("string").as("__d"), orderCol.cast("long").as("__id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new SmallestIds(maxQ).toColumn.name("ids"))
+      .toDF("__d", "ids")
+      .select(col("__d"), explode(slice(col("ids"), lit(1), quotaCol)).as("__id"))
+    df.join(broadcast(kept),
+        domainCol.cast("string") <=> col("__d") &&
+          orderCol.cast("long") === col("__id"),
+        "left_semi")
+  }
+
+  /** k-bounded sorted buffer of the smallest ids per group — the typed
+    * Aggregator that makes [[quotaMixBounded]] map-side partial. */
+  private[operators] class SmallestIds(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(String, Long), Seq[Long], Seq[Long]] {
+    private def insert(buf: Seq[Long], x: Long): Seq[Long] =
+      if (buf.length >= k && buf.last < x) buf
+      else {
+        val (lo, hi) = buf.span(_ < x)
+        (lo ++ (x +: hi)).take(k)
+      }
+    def zero: Seq[Long] = Nil
+    def reduce(b: Seq[Long], a: (String, Long)): Seq[Long] = insert(b, a._2)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+    def finish(r: Seq[Long]): Seq[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Power-of-two-free LINEAR histogram of a count column: integer
     * bucket = value div `width` — exact integer arithmetic on both
     * engine and oracle, no float log edge cases. The standard corpus

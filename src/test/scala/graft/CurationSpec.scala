@@ -73,6 +73,22 @@ class CurationSpec extends SparkSuite {
     assert(bySource("wiki") === ((5L, 7L)))  // ids 1,2,4,5,7
   }
 
+  test("bounded quota mix equals the window form, including null domains") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .union(Seq((90001L, null.asInstanceOf[String]),
+        (90002L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val quota = Map("web" -> 5, "wiki" -> 2)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val window = ids(Sampling.quotaMix(docs, col("source"), col("doc_id"),
+      quota, defaultQuota = 3))
+    val bounded = ids(Sampling.quotaMixBounded(docs, col("source"), col("doc_id"),
+      quota, defaultQuota = 3))
+    assert(bounded === window)
+    assert(bounded.contains(90001L), "null domain is its own group (quota 3)")
+  }
+
   test("curation ops tolerate degenerate inputs: nulls, empties, blanks") {
     val ugly = Seq(
       (1L, null.asInstanceOf[String], null.asInstanceOf[String]),
