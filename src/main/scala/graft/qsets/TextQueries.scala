@@ -424,7 +424,7 @@ object TextQueries extends QuerySet {
         |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |        FROM documents)
         |  GROUP BY doc_id, tok)
-        |SELECT doc_id, SUM(c) AS n,
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
         |  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
         |FROM tc
         |GROUP BY doc_id
