@@ -51,7 +51,12 @@ object Decontaminate {
     val benchGrams = gramHashes(benchmark, idCol, textCol, n)
       .select(col("g")).distinct()
     gramHashes(corpus, idCol, textCol, n)
-      .join(broadcast(benchGrams), "g")
+      // no explicit broadcast hint: a hint would force the broadcast even
+      // when the benchmark gram set outgrows broadcast size (driver OOM);
+      // AQE sees the aggregated side's actual size and auto-broadcasts
+      // the small case, degrading to a shuffled join otherwise — which is
+      // exactly the documented contract above
+      .join(benchGrams, "g")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
       .select(col("id").as(idCol), col("n_hits"))

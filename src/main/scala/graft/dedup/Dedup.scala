@@ -260,7 +260,14 @@ object Dedup {
       .filter(col("pa") < col("pb"))
       .select(col("pa").as("id_a"), col("pb").as("id_b"), lit(1.0).as("jaccard"))
 
-    cross.unionByName(within)
+    // materialize the (small) pair set so `groups` can be unpersisted
+    // HERE: the returned frame escapes this scope, and the CacheManager
+    // holds a strong reference to a persisted plan forever — without
+    // this, every call (one per incremental batch on a stream) leaks a
+    // cache entry. The caller's action then reads checkpointed pairs.
+    val pairs = cross.unionByName(within).localCheckpoint(eager = true)
+    groups.unpersist(blocking = true)
+    pairs
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd
@@ -308,7 +315,11 @@ object Dedup {
       .select(col("pa"), explode(col("members")).as("pb"))
       .filter(col("pa") < col("pb"))
       .select(col("pa").as("id_a"), col("pb").as("id_b"), lit(0L).as("hamming"))
-    cross.unionByName(within)
+    // same unpersist discipline as minhashPairsFromShingles: checkpoint
+    // the small pair set, release the persisted groups before returning
+    val pairs = cross.unionByName(within).localCheckpoint(eager = true)
+    groups.unpersist(blocking = true)
+    pairs
   }
 
   /** Connected components over near-dup pairs by iterative min-label

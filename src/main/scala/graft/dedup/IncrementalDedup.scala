@@ -118,12 +118,13 @@ object IncrementalDedup {
     // content (exact dups share the verdict), ids only through the join.
     // Persisted: the `dropped` plan references this aggregate three ways
     // (banding, verify, verdict expansion) and exchange reuse does not
-    // cover all of them. NO explicit unpersist — every consumer sits
-    // under the one `dropped` materialization, and an eager unpersist
-    // (even blocking) races that action's staged scheduling (stale
-    // cached-block locations → BlockNotFound → task recompute noise);
-    // the ContextCleaner reclaims the blocks once `reps` goes out of
-    // scope, which is the contract designed for exactly this case.
+    // cover all of them. Unpersisted right after `dropped` materializes:
+    // the session CacheManager holds a STRONG reference to a persisted
+    // plan (the ContextCleaner never reclaims it on its own), so skipping
+    // the unpersist leaks one cache entry per foreachBatch call on a
+    // long-running stream. Blocking unpersist AFTER the eager checkpoint
+    // returns cannot race anything — every consumer of `reps` sits under
+    // that one completed action.
     val reps = sigs.groupBy(col("chash"))
       .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"),
         first(col("bands")).as("bands"))
@@ -152,6 +153,7 @@ object IncrementalDedup {
       .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
       .select(col("id"))
       .localCheckpoint(eager = true)
+    reps.unpersist(blocking = true)
 
     // remaining batch docs dedup against each other, REUSING the
     // checkpointed signatures (no second hashing pass over the text)

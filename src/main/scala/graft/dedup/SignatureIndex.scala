@@ -95,13 +95,25 @@ private[graft] object SignatureIndex {
     * non-negative — `read`'s excludeBatch can never exclude (and an
     * overwrite can never destroy) consolidated data.
     *
-    * Crash safety: consolidated data is WRITTEN before the originals are
-    * deleted. A crash in between leaves duplicate signature rows, which
-    * candidate generation tolerates (pairs are `distinct()`ed and
-    * verification is set-based) and whose only stats effect is a
-    * conservatively hotter stop-list; re-running compact heals the
-    * duplication. Stats partitions compact alongside, re-aggregated on
-    * `keyCols` so the stop-list read stays one tiny scan.
+    * Crash safety: consolidated data is WRITTEN (signatures, then stats)
+    * before any original is deleted, and deletes remove signature dirs
+    * before stats dirs — so a rerun can always classify where the crash
+    * landed from the filesystem alone:
+    *
+    *  - `batch=gen` absent or missing its `_SUCCESS` marker → the crash
+    *    hit mid-write, every original is intact → regenerate both
+    *    consolidated partitions with `mode(overwrite)` from the
+    *    originals (the rerun behaves exactly like a first run; the
+    *    partial `batch=gen` is never READ, only clobbered);
+    *  - `batch=gen` complete (and its stats partition complete, when
+    *    fold stats exist) → the crash hit mid-delete; `batch=gen`
+    *    already holds every fold source's data (surviving originals are
+    *    a duplicated subset) → skip the writes and finish the deletes.
+    *
+    * Either way the rerun converges to the same healthy state — compact
+    * is idempotent under crash-rerun, never wedged. Stats partitions
+    * whose signature sibling is gone (possible only mid-delete, since
+    * writes create signatures first) are swept as residue up front.
     *
     * Returns the number of batch partitions folded (0 = nothing to do). */
   def compact(spark: SparkSession, indexDir: String, schema: StructType,
@@ -115,37 +127,55 @@ private[graft] object SignatureIndex {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
         .flatMap(s => s.getPath.getName.stripPrefix("batch=").toLongOption
           .map(_ -> s.getPath))
+    val statsRoot = new org.apache.hadoop.fs.Path(statsDir(indexDir))
     val sig = batchDirs(root)
+    // sweep stats residue: a stats dir with no signature sibling can only
+    // be the tail of an interrupted delete phase (writes create the
+    // signature partition first; deletes remove it first), so its rows
+    // are already folded into a consolidated partition
+    val sigIds = sig.map(_._1).toSet
+    batchDirs(statsRoot).filterNot(s => sigIds.contains(s._1))
+      .foreach(s => hfs.delete(s._2, true))
     val nonneg = sig.map(_._1).filter(_ >= 0)
     if (nonneg.isEmpty) return 0
     val live = nonneg.max
     val fold = sig.filter(_._1 != live)
     if (live == 0 || fold.size < 2) return 0 // nothing worth folding
     // the consolidated id derives from LIVE, which is never in the fold
-    // set — so the write target can never be one of the directories being
-    // read (a prior consolidation's id always derives from an older,
-    // smaller live id and CAN be in the fold set)
+    // set — so the write target is never a directory being read. A
+    // pre-existing `batch=gen` is a crashed prior run's leftover: it is
+    // excluded from the READ set unconditionally and healed per the
+    // contract above (a prior consolidation's id always derives from an
+    // older, smaller live id and folds in as a normal source).
     val gen = -live
-    require(!fold.exists(_._1 == gen), s"consolidated id $gen collides with a fold source")
-
-    val noBatch = StructType(schema.filterNot(_.name == "batch"))
-    spark.read.schema(noBatch).parquet(fold.map(_._2.toString): _*)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$gen")
-    // stats: re-aggregate the folded partitions into one
-    val statsRoot = new org.apache.hadoop.fs.Path(statsDir(indexDir))
-    val foldIds = fold.map(_._1).toSet
+    val genSig = new org.apache.hadoop.fs.Path(root, s"batch=$gen")
+    val genStats = new org.apache.hadoop.fs.Path(statsRoot, s"batch=$gen")
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      hfs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val foldRead = fold.filterNot(_._1 == gen)
+    val foldIds = foldRead.map(_._1).toSet
     val foldStats = batchDirs(statsRoot).filter(s => foldIds.contains(s._1))
-    if (foldStats.nonEmpty) {
-      val noBatchStats = StructType(statsSchema.filterNot(_.name == "batch"))
-      spark.read.schema(noBatchStats).parquet(foldStats.map(_._2.toString): _*)
-        .groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
-        .write.mode("overwrite").parquet(s"${statsDir(indexDir)}/batch=$gen")
+    val priorComplete = complete(genSig) && (foldStats.isEmpty || complete(genStats))
+    if (!priorComplete) {
+      val noBatch = StructType(schema.filterNot(_.name == "batch"))
+      spark.read.schema(noBatch).parquet(foldRead.map(_._2.toString): _*)
+        .write.mode("overwrite").parquet(genSig.toString)
+      // stats: re-aggregate the folded partitions into one
+      if (foldStats.nonEmpty) {
+        val noBatchStats = StructType(statsSchema.filterNot(_.name == "batch"))
+        spark.read.schema(noBatchStats).parquet(foldStats.map(_._2.toString): _*)
+          .groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(genStats.toString)
+      }
+    } else {
+      log.info(s"compact of $indexDir resuming after an interrupted delete " +
+        s"phase: batch=$gen is complete, finishing the deletes only")
     }
-    // deletes come LAST (see crash-safety contract above); gen is proven
-    // disjoint from every fold source
-    (fold.map(_._2) ++ foldStats.map(_._2)).foreach(p => hfs.delete(p, true))
-    log.info(s"compacted ${fold.size} batch partition(s) of $indexDir into batch=$gen")
-    fold.size
+    // deletes come LAST (see crash-safety contract above): signature
+    // partitions first, then stats — the order the healing rules assume
+    (foldRead.map(_._2) ++ foldStats.map(_._2)).foreach(p => hfs.delete(p, true))
+    log.info(s"compacted ${foldRead.size} batch partition(s) of $indexDir into batch=$gen")
+    foldRead.size
   }
 
   private def statsDir(indexDir: String): String = s"$indexDir/_stats"

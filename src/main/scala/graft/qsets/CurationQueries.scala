@@ -65,7 +65,10 @@ object CurationQueries extends QuerySet {
         .filter(size(col("t")) >= 3)
         .select(col("source"), explode(array_distinct(
           transform(sequence(lit(1), size(col("t")) - 2),
-            i => xxhash64(array_join(slice(col("t"), i, lit(3)), ""))))).as("g"))
+            // \u001F separator = the oracle's chr(31) and the
+            // Decontaminate.gramHashes convention: token boundaries stay
+            // unambiguous (["ab","c"] never collides with ["a","bc"])
+            i => xxhash64(array_join(slice(col("t"), i, lit(3)), "\u001F"))))).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = grams.as("x").join(grams.as("y"),

@@ -109,6 +109,53 @@ class IndexCompactionSpec extends SparkSuite {
       s"streaming-compacted ${survived.toSet} != batch $batchSurv")
   }
 
+  test("compact rerun heals a crash at either phase (idempotent, never wedged)") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val hfs = path("/").getFileSystem(hconf)
+
+    // replay compact's WRITE phase without its delete phase — the exact
+    // on-disk state a crash between the two leaves behind
+    def simulateCrashedWrite(index: String, dropSuccess: Boolean): Unit = {
+      val fold = Seq(s"$index/batch=1", s"$index/batch=2")
+      spark.read.parquet(fold: _*)
+        .write.mode("overwrite").parquet(s"$index/batch=-3")
+      spark.read.parquet(fold.map(_.replace("/batch=", "/_stats/batch=")): _*)
+        .groupBy(col("band")).agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(s"$index/_stats/batch=-3")
+      if (dropSuccess) {
+        hfs.delete(path(s"$index/batch=-3/_SUCCESS"), false)
+        ()
+      }
+    }
+
+    for (midWrite <- Seq(false, true)) {
+      val index = Files.createTempDirectory("idxcrash").toString + "/index"
+      Seq(1L, 2L, 3L).foreach(b => addDoc(index, b, (b - 1) * 100))
+      simulateCrashedWrite(index, dropSuccess = midWrite)
+      // the rerun must converge instead of throwing (the old contract
+      // wedged here: batch=-3 landed in its own fold set)
+      assert(IncrementalDedup.compactIndex(spark, index) === 2)
+      assert(batchDirs(index) === Set("batch=-3", "batch=3"))
+      assert(batchDirs(index + "/_stats") === Set("batch=-3", "batch=3"))
+      // and the healed index still answers like the uncompacted one
+      assert(addDoc(index, 4L, 300).isEmpty,
+        "batch 4 duplicates batch 1 — all dropped through the healed index")
+    }
+
+    // crash INSIDE the delete phase: signature partitions gone, stats
+    // residue left behind — the rerun sweeps it and no-ops
+    val index = Files.createTempDirectory("idxcrash2").toString + "/index"
+    Seq(1L, 2L, 3L).foreach(b => addDoc(index, b, (b - 1) * 100))
+    simulateCrashedWrite(index, dropSuccess = false)
+    Seq(1, 2).foreach(b => hfs.delete(path(s"$index/batch=$b"), true))
+    assert(IncrementalDedup.compactIndex(spark, index) === 0)
+    assert(batchDirs(index) === Set("batch=-3", "batch=3"))
+    assert(batchDirs(index + "/_stats") === Set("batch=-3", "batch=3"),
+      "orphaned stats partitions swept")
+    assert(addDoc(index, 4L, 300).isEmpty)
+  }
+
   test("vector index: compaction folds partitions, later batches still match") {
     val dir = Files.createTempDirectory("idxvec").toString + "/index"
     def vecs(ids: Range): DataFrame =
