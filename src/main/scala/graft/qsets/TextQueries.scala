@@ -219,6 +219,68 @@ object TextQueries extends QuerySet {
         .agg(countDistinct(col("tok")).as("vocab"),
           count(lit(1)).as("n_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // Corpus-frequency boilerplate profile (C4/CCNet-style): a 3-gram
+    // present in >= 5 distinct docs is "boilerplate"; each doc reports how
+    // much of its distinct-gram set is boilerplate — the filter signal for
+    // stripping templated content before training. Scale shape: grams
+    // travel as xxhash64 (8 bytes). The gram stream is produced TWICE
+    // (document-frequency aggregate + join probe) — deliberate: the
+    // exploded stream is ~tokens×16 B, far larger than the text it came
+    // from, so re-running the fused scan+tokenize beats persisting it at
+    // corpus scale (an agg exchange carries partial rows and can never be
+    // reused as a join-probe exchange anyway). The DF table is
+    // vocabulary-sized: AQE broadcasts it here and falls back to a
+    // shuffled join (with skew splitting) when it outgrows broadcast. The
+    // DF threshold is an absolute doc count (the production knob), not a
+    // corpus fraction.
+    "tx_boiler_grams" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shinglesFromTokens(col("t"), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      val df = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      g.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") >= 5, 1)).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_grams"), 4)
+            .as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus bigram-LM quality score (KenLM-proxy): each doc's mean
+    // log2 P(w2|w1) under the corpus's own bigram counts — low scores mark
+    // improbable token sequences (mojibake, shuffled text), the classic
+    // perplexity filter. Scale shape: the prefix counts c1 derive from the
+    // bigram counts c2 by a second aggregation over the TINY vocabulary
+    // table (sum over w2), never a second corpus-wide aggregation; the
+    // bigram stream is produced twice (count pass + score probe) for the
+    // same persist-vs-recompute reason as tx_boiler_grams; both count
+    // tables broadcast under AQE, degrading to shuffled joins with skew
+    // splitting when the vocabulary outgrows broadcast (hot prefixes like
+    // "the" are exactly the AQE skew-split case).
+    "tx_lm_score" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + lit(1)).as("w2")))).as("b"))
+        .select(col("doc_id"), xxhash64(col("b.w1")).as("h1"),
+          xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+      val c2 = bi.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
+      bi.join(c2.join(c1, "h1"), Seq("h1", "h12"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2(col("c2").cast("double") / col("c1"))), 4)
+            .as("lm_score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -436,6 +498,42 @@ object TextQueries extends QuerySet {
         |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |      FROM documents)
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // space-joined grams match shinglesFromTokens' concat_ws(" ", ...):
+    // tokens are whitespace-split so a single-space join of a FIXED gram
+    // width is boundary-unambiguous
+    "tx_boiler_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)),
+        |df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (WHERE df >= 5) AS n_boiler,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE df >= 5) AS DOUBLE) / COUNT(*), 4)
+        |    AS boiler_frac
+        |FROM grams JOIN df USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS lm_score
+        |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

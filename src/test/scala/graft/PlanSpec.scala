@@ -128,4 +128,32 @@ class PlanSpec extends SparkSuite {
     assert(!"ReadSchema:[^\n]*lang".r.findFirstIn(p).isDefined,
       "unprojected columns must be pruned from the scan")
   }
+
+  /** Post-execution adaptive plan: AQE join strategy and stage reuse are
+    * only visible once the stages have actually run. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("boilerplate profile: DF table broadcast under AQE, grams as hash agg not window") {
+    val p = finalPlan("tx_boiler_grams")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized DF table must broadcast at this scale")
+    assert(!p.contains("Window"),
+      "document frequency must be a hash aggregate, never a window sort " +
+        "over the gram stream (a universal gram = one unbounded sort group)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lm score: prefix counts derive from the bigram aggregate, not a second corpus pass") {
+    val p = finalPlan("tx_lm_score")
+    assert(p.contains("ReusedExchange") || p.contains("table cache"),
+      "c1 must reuse c2's exchange — a fresh corpus-wide aggregation for " +
+        "the prefix counts would double the heavy shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      "both count tables must broadcast at this scale")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
