@@ -34,7 +34,9 @@ val notes: Seq[(String, String)] = Seq(
   "dd_incremental" -> "Incremental dedup batch step: index read excludes the current batch partition, candidates from a band join bounded by the hot-band stop-list, one set-Jaccard verify, survivors overwrite their own batch=N partition (idempotent retry).",
   "dd_decontaminate" -> "Benchmark decontamination: the benchmark gram set aggregates small and broadcasts; corpus grams travel as 64-bit hashes into a broadcast hash join, never a shuffle - only the per-doc hit counts aggregate.",
   "samp_hash" -> "Content-hash sampling: a narrow md5-threshold filter, no shuffle before the (ordered) output; the scan reads only the projected columns.",
-  "tx_entropy" -> "Token entropy: explode feeds two stacked hash aggregations, both map-side combinable - only (doc, token) counts cross the first shuffle, per-doc partials the second; the log2 arithmetic runs post-aggregate on one row per doc."
+  "tx_entropy" -> "Token entropy: explode feeds two stacked hash aggregations, both map-side combinable - only (doc, token) counts cross the first shuffle, per-doc partials the second; the log2 arithmetic runs post-aggregate on one row per doc.",
+  "tx_boiler_grams" -> "Boilerplate profile: grams travel as xxhash64; the vocabulary-sized document-frequency aggregate joins back to the gram stream (AQE broadcasts it at this scale, shuffles+skew-splits beyond), DF as a hash aggregate - never a window over the gram stream.",
+  "tx_lm_score" -> "Bigram-LM score: one corpus-wide (prefix,bigram) count aggregate; the prefix counts derive from it by a vocabulary-sized second aggregation (exchange reused), and both count tables broadcast back onto the bigram stream."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
