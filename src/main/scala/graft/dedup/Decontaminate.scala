@@ -21,11 +21,28 @@ import graft.text.TextFunctions
   * false hit needs ~billions of distinct grams; decontamination is a
   * flagging pass reviewed downstream, so that trade is standard.
   *
-  * If the benchmark outgrows broadcast size the same plan degrades to a
-  * shuffled semi-join on the gram hash — the code path is identical, AQE
-  * picks the strategy from the aggregated benchmark's actual size.
+  * Join-strategy choice: the broadcast is gated on the benchmark's
+  * MEASURED distinct-gram count, not on a planner hint or estimate. A
+  * blanket `broadcast()` hint risks driver OOM when the benchmark
+  * outgrows broadcast size; but leaving the choice to AQE alone is
+  * wrong in the other direction — the static planner sees only input
+  * size estimates (the benchmark's pre-aggregation size), plans a
+  * sort-merge join, and AQE can only convert to broadcast AFTER both
+  * child shuffle stages materialize, by which point the corpus gram
+  * stream has already paid its full shuffle WRITE (~tokens × 16 B at
+  * 100 TB — the exact cost this operator exists to avoid). Counting the
+  * aggregated benchmark first costs one action on the SMALL side and
+  * makes the common case (eval suites: thousands of docs, millions of
+  * grams) an explicit broadcast with the corpus never shuffled; past
+  * the gate the plan degrades to the shuffled join that an
+  * over-threshold broadcast would have OOM'd on.
   */
 object Decontaminate {
+
+  /** Grams above which the benchmark side stops broadcasting: 8M grams
+    * ≈ 64 MB of hashes before overhead — comfortably inside a default
+    * driver/executor budget, far past any real eval suite. */
+  private[dedup] val MaxBroadcastGrams = 8L * 1000 * 1000
 
   /** Distinct 64-bit gram hashes per doc: tokenize, slide an `n`-token
     * window, hash each gram's tokens joined with a 0x1F separator (US —
@@ -50,13 +67,17 @@ object Decontaminate {
                        idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = gramHashes(benchmark, idCol, textCol, n)
       .select(col("g")).distinct()
-    gramHashes(corpus, idCol, textCol, n)
-      // no explicit broadcast hint: a hint would force the broadcast even
-      // when the benchmark gram set outgrows broadcast size (driver OOM);
-      // AQE sees the aggregated side's actual size and auto-broadcasts
-      // the small case, degrading to a shuffled join otherwise — which is
-      // exactly the documented contract above
-      .join(benchGrams, "g")
+      // both the count gate and the join read this: one benchmark pass
+      .localCheckpoint(eager = true)
+    // measured-size gate (see scaladoc): explicit broadcast keeps the
+    // corpus stream shuffle-free in the common case; the oversized case
+    // takes the shuffled join a forced broadcast would have OOM'd on
+    val joined =
+      if (benchGrams.count() <= MaxBroadcastGrams)
+        gramHashes(corpus, idCol, textCol, n).join(broadcast(benchGrams), "g")
+      else
+        gramHashes(corpus, idCol, textCol, n).join(benchGrams, "g")
+    joined
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
       .select(col("id").as(idCol), col("n_hits"))

@@ -111,13 +111,16 @@ object Dedup {
     // localCheckpoint materializes it in one job (reading the cached `it`
     // twice, not recomputing it) and lets `it` be dropped immediately —
     // nothing upstream of this point is ever evaluated again.
-    val groups = salted.groupBy(col("__bkt"), col("__salt"))
-      .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
-        first(col("__g")).as("__g"))
-      .localCheckpoint(eager = true)
-    // blocking: async removal races the next action's scheduling (stale
-    // cached-block locations → BlockNotFound noise + task recompute)
-    it.unpersist(blocking = true)
+    // blocking unpersist in finally: async removal races the next
+    // action's scheduling (stale cached-block locations → BlockNotFound
+    // noise + task recompute), and a failed checkpoint must not leak
+    // the cache entry across retries
+    val groups =
+      try salted.groupBy(col("__bkt"), col("__salt"))
+        .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
+          first(col("__g")).as("__g"))
+        .localCheckpoint(eager = true)
+      finally it.unpersist(blocking = true)
     // hot-bucket degradation is observable: one cheap scan of the
     // checkpointed groups reports how many buckets were capped and how
     // many all-pairs candidates the cap suppressed (replaced by bridges)
@@ -265,9 +268,10 @@ object Dedup {
     // holds a strong reference to a persisted plan forever — without
     // this, every call (one per incremental batch on a stream) leaks a
     // cache entry. The caller's action then reads checkpointed pairs.
-    val pairs = cross.unionByName(within).localCheckpoint(eager = true)
-    groups.unpersist(blocking = true)
-    pairs
+    // finally: release even when the checkpoint action fails, or retry
+    // loops leak one entry per attempt.
+    try cross.unionByName(within).localCheckpoint(eager = true)
+    finally groups.unpersist(blocking = true)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd
@@ -317,9 +321,9 @@ object Dedup {
       .select(col("pa").as("id_a"), col("pb").as("id_b"), lit(0L).as("hamming"))
     // same unpersist discipline as minhashPairsFromShingles: checkpoint
     // the small pair set, release the persisted groups before returning
-    val pairs = cross.unionByName(within).localCheckpoint(eager = true)
-    groups.unpersist(blocking = true)
-    pairs
+    // (finally: released even on a failed action)
+    try cross.unionByName(within).localCheckpoint(eager = true)
+    finally groups.unpersist(blocking = true)
   }
 
   /** Connected components over near-dup pairs by iterative min-label

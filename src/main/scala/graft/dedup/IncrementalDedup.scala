@@ -149,11 +149,15 @@ object IncrementalDedup {
     // band join + Jaccard verify — without materialization that subtree
     // evaluates twice per batch (the multi-consumer lesson this codebase
     // keeps re-learning). The rows are bare ids: checkpoint cost ~nil.
-    val dropped = sigs
-      .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
-      .select(col("id"))
-      .localCheckpoint(eager = true)
-    reps.unpersist(blocking = true)
+    // finally: a failed checkpoint (transient task loss on a stream)
+    // must still release the cache entry, or every foreachBatch retry
+    // attempt leaks one — the crash-loop variant of the leak fixed here
+    val dropped =
+      try sigs
+        .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
+        .select(col("id"))
+        .localCheckpoint(eager = true)
+      finally reps.unpersist(blocking = true)
 
     // remaining batch docs dedup against each other, REUSING the
     // checkpointed signatures (no second hashing pass over the text)

@@ -95,20 +95,28 @@ private[graft] object SignatureIndex {
     * non-negative — `read`'s excludeBatch can never exclude (and an
     * overwrite can never destroy) consolidated data.
     *
-    * Crash safety: consolidated data is WRITTEN (signatures, then stats)
-    * before any original is deleted, and deletes remove signature dirs
-    * before stats dirs — so a rerun can always classify where the crash
-    * landed from the filesystem alone:
+    * Crash safety: consolidated data is WRITTEN (signatures, then stats,
+    * then an own `_graft_commit` marker inside `batch=gen`) before any
+    * original is deleted, and deletes remove signature dirs before stats
+    * dirs — so a rerun can always classify where the crash landed from
+    * the filesystem alone. The marker is compact's OWN commit record:
+    * `_SUCCESS` would vanish under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (common on
+    * object stores) and a mid-delete crash would then be misclassified
+    * as mid-write, regenerating `batch=gen` from only the SURVIVING
+    * originals — silent data loss. The regenerate path clears any stale
+    * marker first (the signature overwrite deletes the directory that
+    * holds it).
     *
-    *  - `batch=gen` absent or missing its `_SUCCESS` marker → the crash
-    *    hit mid-write, every original is intact → regenerate both
+    *  - `batch=gen` absent or missing `_graft_commit` → the crash hit
+    *    mid-write, every original is intact → regenerate both
     *    consolidated partitions with `mode(overwrite)` from the
     *    originals (the rerun behaves exactly like a first run; the
     *    partial `batch=gen` is never READ, only clobbered);
-    *  - `batch=gen` complete (and its stats partition complete, when
-    *    fold stats exist) → the crash hit mid-delete; `batch=gen`
-    *    already holds every fold source's data (surviving originals are
-    *    a duplicated subset) → skip the writes and finish the deletes.
+    *  - `batch=gen` carries `_graft_commit` → both writes completed and
+    *    the crash hit mid-delete; `batch=gen` already holds every fold
+    *    source's data (surviving originals are a duplicated subset) →
+    *    skip the writes and finish the deletes.
     *
     * Either way the rerun converges to the same healthy state — compact
     * is idempotent under crash-rerun, never wedged. Stats partitions
@@ -150,14 +158,15 @@ private[graft] object SignatureIndex {
     val gen = -live
     val genSig = new org.apache.hadoop.fs.Path(root, s"batch=$gen")
     val genStats = new org.apache.hadoop.fs.Path(statsRoot, s"batch=$gen")
-    def complete(p: org.apache.hadoop.fs.Path): Boolean =
-      hfs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val commitMarker = new org.apache.hadoop.fs.Path(genSig, "_graft_commit")
     val foldRead = fold.filterNot(_._1 == gen)
     val foldIds = foldRead.map(_._1).toSet
     val foldStats = batchDirs(statsRoot).filter(s => foldIds.contains(s._1))
-    val priorComplete = complete(genSig) && (foldStats.isEmpty || complete(genStats))
+    val priorComplete = hfs.exists(commitMarker)
     if (!priorComplete) {
       val noBatch = StructType(schema.filterNot(_.name == "batch"))
+      // the overwrite deletes genSig first — including any stale marker
+      // from a partially-written prior attempt
       spark.read.schema(noBatch).parquet(foldRead.map(_._2.toString): _*)
         .write.mode("overwrite").parquet(genSig.toString)
       // stats: re-aggregate the folded partitions into one
@@ -167,6 +176,8 @@ private[graft] object SignatureIndex {
           .groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
           .write.mode("overwrite").parquet(genStats.toString)
       }
+      // both writes durable → commit; only now may deletes begin
+      hfs.create(commitMarker, true).close()
     } else {
       log.info(s"compact of $indexDir resuming after an interrupted delete " +
         s"phase: batch=$gen is complete, finishing the deletes only")

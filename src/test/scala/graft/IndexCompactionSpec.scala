@@ -115,24 +115,24 @@ class IndexCompactionSpec extends SparkSuite {
     val hfs = path("/").getFileSystem(hconf)
 
     // replay compact's WRITE phase without its delete phase — the exact
-    // on-disk state a crash between the two leaves behind
-    def simulateCrashedWrite(index: String, dropSuccess: Boolean): Unit = {
+    // on-disk state a crash between the two leaves behind. Classification
+    // rides on compact's OWN _graft_commit marker (deliberately not
+    // _SUCCESS, which marksuccessfuljobs=false deployments don't write):
+    // committed = crash was mid-delete; uncommitted = crash was mid-write.
+    def simulateCrashedWrite(index: String, committed: Boolean): Unit = {
       val fold = Seq(s"$index/batch=1", s"$index/batch=2")
       spark.read.parquet(fold: _*)
         .write.mode("overwrite").parquet(s"$index/batch=-3")
       spark.read.parquet(fold.map(_.replace("/batch=", "/_stats/batch=")): _*)
         .groupBy(col("band")).agg(sum(col("n")).as("n"))
         .write.mode("overwrite").parquet(s"$index/_stats/batch=-3")
-      if (dropSuccess) {
-        hfs.delete(path(s"$index/batch=-3/_SUCCESS"), false)
-        ()
-      }
+      if (committed) hfs.create(path(s"$index/batch=-3/_graft_commit"), true).close()
     }
 
-    for (midWrite <- Seq(false, true)) {
+    for (committed <- Seq(true, false)) {
       val index = Files.createTempDirectory("idxcrash").toString + "/index"
       Seq(1L, 2L, 3L).foreach(b => addDoc(index, b, (b - 1) * 100))
-      simulateCrashedWrite(index, dropSuccess = midWrite)
+      simulateCrashedWrite(index, committed)
       // the rerun must converge instead of throwing (the old contract
       // wedged here: batch=-3 landed in its own fold set)
       assert(IncrementalDedup.compactIndex(spark, index) === 2)
@@ -147,7 +147,7 @@ class IndexCompactionSpec extends SparkSuite {
     // residue left behind — the rerun sweeps it and no-ops
     val index = Files.createTempDirectory("idxcrash2").toString + "/index"
     Seq(1L, 2L, 3L).foreach(b => addDoc(index, b, (b - 1) * 100))
-    simulateCrashedWrite(index, dropSuccess = false)
+    simulateCrashedWrite(index, committed = true)
     Seq(1, 2).foreach(b => hfs.delete(path(s"$index/batch=$b"), true))
     assert(IncrementalDedup.compactIndex(spark, index) === 0)
     assert(batchDirs(index) === Set("batch=-3", "batch=3"))

@@ -114,8 +114,9 @@ class PlanSpec extends SparkSuite {
   test("decontamination: benchmark grams broadcast, corpus never shuffled pre-agg") {
     val p = plan("dd_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
-      "the benchmark gram set must broadcast — shuffling 100 TB of corpus grams " +
-        "to meet a few thousand benchmark grams is the wrong side")
+      "an under-gate benchmark gram set must broadcast EXPLICITLY (the " +
+        "measured-size gate, not a static estimate) — shuffling 100 TB of " +
+        "corpus grams to meet a few thousand benchmark grams is the wrong side")
     assert("ReadSchema:[^\n]*text".r.findFirstIn(p).isDefined &&
       !"ReadSchema:[^\n]*source".r.findFirstIn(p).isDefined,
       "the documents scan must prune to the id/text columns")
