@@ -100,6 +100,25 @@ object Sampling {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Temperature-weighted deterministic sampling: a per-domain keep RATE
+    * expressed as a two-hex-digit md5 threshold ("80" keeps ≈ 0x80/0x100
+    * = 50%, "40" ≈ 25%) — the "sample source s at rate w_s" step of
+    * temperature-based corpus mixing, with [[hashSample]]'s
+    * reproducibility contract (content-keyed, engine-independent,
+    * shuffle-free). The rate map compiles to a literal CASE expression:
+    * no join, no broadcast table, fully codegen'd per-row filter. */
+  def weightedSample(contentCol: Column, domainCol: Column,
+                     rateHex: Map[String, String],
+                     defaultHex: String): Column = {
+    (rateHex.values.toSeq :+ defaultHex).foreach(h =>
+      require(h.matches("[0-9a-f]{2}"),
+        s"rate thresholds must be two lowercase hex digits, got '$h'"))
+    val thr = rateHex.foldLeft(lit(defaultHex)) { case (acc, (dom, h)) =>
+      when(domainCol === lit(dom), lit(h)).otherwise(acc)
+    }
+    substring(md5(contentCol), 1, 2) < thr
+  }
+
   /** Power-of-two-free LINEAR histogram of a count column: integer
     * bucket = value div `width` — exact integer arithmetic on both
     * engine and oracle, no float log edge cases. The standard corpus

@@ -84,6 +84,24 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Temperature-weighted sampling: per-source keep rates as content-
+    // hash thresholds (75% / 50% / 25% / 12.5% default) — the
+    // "upsample high-quality sources, downsample the crawl" mixing step,
+    // fully deterministic and engine-reproducible. Per-source audit
+    // output: docs seen, docs kept, achieved rate.
+    "samp_temperature" -> ((s, dir) => {
+      val kept = Sampling.weightedSample(col("text"), col("source"),
+        Map("src0" -> "c0", "src1" -> "80", "src2" -> "40"),
+        defaultHex = "20")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 4).as("rate"))
+        .orderBy(col("source"))
+    }),
+
     // Token-length histogram in width-32 buckets — the corpus length
     // profile that drives chunking/packing decisions.
     "tx_length_hist" -> ((s, dir) => {
@@ -153,6 +171,19 @@ object CurationQueries extends QuerySet {
         |JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "samp_temperature" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE substr(md5(text), 1, 2) <
+        |    CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '80'
+        |      WHEN 'src2' THEN '40' ELSE '20' END) AS n_kept,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE substr(md5(text), 1, 2) <
+        |    CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '80'
+        |      WHEN 'src2' THEN '40' ELSE '20' END) AS DOUBLE) / COUNT(*), 4)
+        |    AS rate
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "tx_length_hist" ->
       """WITH toks AS (

@@ -11,10 +11,14 @@ import graft.functions.Hashing
   * unioned with a shifted-id copy) plants exact duplicates so every dedup
   * path has guaranteed positives to find.
   *
-  * `dd_exact` and `dd_ngram_jaccard` are oracle-checked; `dd_minhash` and
-  * `dd_simhash` use engine-specific 64-bit hashes (xxhash64 / FNV simhash)
-  * that no SQL oracle reproduces → rows-only checks, with the exact-Jaccard
-  * query as their semantic cross-check. */
+  * `dd_exact`, `dd_ngram_jaccard` and `dd_repeated_spans` are
+  * oracle-checked; `dd_minhash` and `dd_simhash` use engine-specific
+  * 64-bit hashes (xxhash64 / FNV simhash) whose CANDIDATE sets no SQL
+  * oracle reproduces → rows-only checks, with the exact-Jaccard query as
+  * their semantic cross-check. (`dd_repeated_spans` also groups on
+  * xxhash64, but its output carries only the induced per-doc counts, and
+  * DuckDB's string grouping induces the same classes up to ~2⁻⁶⁴
+  * collisions — so it hash-compares exactly.) */
 object DedupQueries extends QuerySet {
 
   private val COPY_OFFSET = 1000000L
@@ -115,6 +119,56 @@ object DedupQueries extends QuerySet {
       Dedup.simhashPairs(doubled(s, dir), "doc_id", "text",
           bands = 4, maxHamming = 4L)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Repeated-span coverage (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better"): the fraction of each doc covered by
+    // 5-token windows occurring >= 2 times ANYWHERE in the corpus
+    // (within- or cross-doc) — the span-level dedup signal that
+    // doc-level near-dup misses. Exact union-of-intervals coverage: the
+    // fixed window length makes the sorted-starts interval union a
+    // running least(L, gap) sum, computed per doc by an aggregate HOF
+    // over the (bounded, per-doc) flagged-position list — never a window
+    // sort over the corpus-wide span stream. Window hashes travel as
+    // xxhash64; the repeated-gram table joins back under AQE; the window
+    // stream is produced twice (count pass + probe) for the
+    // persist-vs-recompute reason documented at tx_boiler_grams.
+    "dd_repeated_spans" -> ((s, dir) => {
+      val L = 5
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), graft.text.TextFunctions.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= L)
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_toks"))
+      val wins = toks.select(col("doc_id"), col("n_toks"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
+          // \u001F separator: boundary-unambiguous, = the oracle's chr(31)
+          i => xxhash64(concat_ws("\u001F",
+            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+        .select(col("doc_id"), col("n_toks"), col("pos").cast("long").as("p"),
+          col("col").as("h"))
+      val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val covered = wins.join(rep, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_repeated"),
+          sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"), col("n_repeated"),
+          // sorted fixed-length intervals: each adds least(L, gap-to-prev)
+          aggregate(col("ps"),
+            struct(lit(Long.MinValue / 2).as("prev"), lit(0L).as("cov")),
+            (acc, p) => struct(p.as("prev"),
+              (acc.getField("cov") +
+                least(lit(L.toLong), p - acc.getField("prev"))).as("cov")),
+            acc => acc.getField("cov")).as("covered_tokens"))
+      toks.select(col("doc_id"), col("n_toks"),
+          (col("n_toks") - (L - 1)).as("n_windows"))
+        .join(covered, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks"), col("n_windows"),
+          coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_toks"), 4).as("repeated_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -156,6 +210,37 @@ object DedupQueries extends QuerySet {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |ORDER BY jaccard DESC, id_a, id_b
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // union-of-fixed-length-intervals as a running least(L, gap) over
+    // lag(): identical arithmetic to the Spark aggregate HOF (sorted
+    // starts, first window contributes L)
+    "dd_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+4], chr(31)) AS g,
+        |         len(t) AS n_toks
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |rep AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+        |fl AS (
+        |  SELECT doc_id, i,
+        |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        |  FROM wins JOIN rep USING (g)),
+        |cov AS (
+        |  SELECT doc_id, COUNT(*) AS n_repeated,
+        |    SUM(LEAST(5, i - COALESCE(prev_i, i - 5))) AS covered
+        |  FROM fl GROUP BY doc_id)
+        |SELECT w.doc_id, MAX(w.n_toks) AS n_toks,
+        |  CAST(MAX(w.n_toks) - 4 AS BIGINT) AS n_windows,
+        |  COALESCE(MAX(cov.n_repeated), 0) AS n_repeated,
+        |  CAST(COALESCE(MAX(cov.covered), 0) AS BIGINT) AS covered_tokens,
+        |  ROUND(CAST(COALESCE(MAX(cov.covered), 0) AS DOUBLE) / MAX(w.n_toks), 4)
+        |    AS repeated_frac
+        |FROM wins w LEFT JOIN cov ON w.doc_id = cov.doc_id
+        |GROUP BY w.doc_id
+        |ORDER BY w.doc_id""".stripMargin
   )
 }
