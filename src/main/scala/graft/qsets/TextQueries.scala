@@ -221,6 +221,25 @@ object TextQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Corpus heavy hitters via the bounded Misra-Gries sketch: top-20
+    // tokens with O(m) state per task — the 100 TB form of "what are the
+    // most common tokens" (a full groupBy(token) shuffles the whole
+    // token stream; the sketch ships at most m counters per task).
+    // Capacity 4096 exceeds the synthetic vocabulary, so counts are
+    // EXACT here and the DuckDB oracle hash-compares; the under-capacity
+    // error bound is unit-pinned in ScaleGuardSpec.
+    "tx_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(wsTokens(col("text"))).as("tok"))
+        .as[String]
+        .select(graft.text.HeavyHitters.sketch(4096).name("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("tok"), col("e._2").as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Corpus-frequency boilerplate profile (C4/CCNet-style): a 3-gram
     // present in >= 5 distinct docs is "boilerplate"; each doc reports how
     // much of its distinct-gram set is boilerplate — the filter signal for
@@ -499,6 +518,14 @@ object TextQueries extends QuerySet {
         |      FROM documents)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "tx_heavy_hitters" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 20""".stripMargin,
 
     // space-joined grams match shinglesFromTokens' concat_ws(" ", ...):
     // tokens are whitespace-split so a single-space join of a FIXED gram

@@ -364,6 +364,32 @@ class ScaleGuardSpec extends SparkSuite {
     assert(ivfAll === brute)
   }
 
+  test("misra-gries sketch: exact under capacity, error-bounded over it") {
+    import graft.text.HeavyHitters
+    // zipf-ish planted stream: token "t<i>" appears (50 - i) times
+    val stream = (0 until 40).flatMap(i => Seq.fill(50 - i)(s"t$i"))
+    val n = stream.length.toLong
+    val ds = spark.createDataset(scala.util.Random.shuffle(stream))
+      .repartition(8) // partial sketches on every path: reduce AND merge
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // capacity >= distinct: every count exact (the oracle-anchor mode)
+    val full = ds.select(HeavyHitters.sketch(64)).collect()(0).toMap
+    assert(full === exact)
+
+    // capacity 8: every reported count is an underestimate within
+    // N/(m+1), and every item with true count > N/(m+1) is reported
+    val m = 8
+    val small = ds.select(HeavyHitters.sketch(m)).collect()(0).toMap
+    val bound = n / (m + 1)
+    small.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overestimated: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"$t off by ${exact(t) - c} > $bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach(t =>
+      assert(small.contains(t), s"guaranteed heavy hitter $t missing"))
+  }
+
   test("topTokenRatio: matches hand counts and handles a 100k-token document") {
     val df = Seq(
       (1L, "a b a c a"),        // 'a' 3 of 5
