@@ -164,6 +164,42 @@ object TextQueries extends QuerySet {
       packBins(chunkCounts(deduped.select(col("doc_id"), col("text"))))
     }),
 
+    // Drop-reason accounting for the curation pipeline — the audit
+    // surface every production run needs: every doc gets exactly one
+    // fate (low_quality | duplicate | kept), counted per source. Shares
+    // pipe_curate's quality formula and first-wins dedup so the fates
+    // reconcile exactly with the pipeline's kept set; the winner pick is
+    // the same min_by hash-aggregate shape as A10 (ids only through the
+    // join back, documents never shuffled twice).
+    "pipe_fates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      val stopsArr = array(stops.map(lit): _*)
+      val scored = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"), col("text"),
+          qualityComposite(
+            length(col("text")).cast("double"),
+            size(filter(col("toks"), tk => array_contains(stopsArr, tk)))
+              .cast("double") / size(col("toks")),
+            punctCount(col("text")).cast("double")).as("quality"))
+      val winners = scored.filter(col("quality") >= 0.5)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("win_id"))
+        .select(col("win_id"))
+      scored
+        .join(winners, col("doc_id") === col("win_id"), "left_outer")
+        .select(col("source"),
+          when(col("quality") < 0.5, lit("low_quality"))
+            .when(col("win_id").isNull, lit("duplicate"))
+            .otherwise(lit("kept")).as("fate"))
+        .groupBy(col("source"), col("fate"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("fate"))
+    }),
+
     // PII redaction: emails and long digit runs planted per doc, scrubbed
     // to typed tags; residual count must be zero and the redacted text
     // hash-compares across engines.
@@ -409,6 +445,34 @@ object TextQueries extends QuerySet {
         |GROUP BY gram
         |ORDER BY n DESC, gram
         |LIMIT 50""".stripMargin,
+
+    "pipe_fates" ->
+      """WITH batch AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, text,
+        |    least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
+        |    + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0)*0.4
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT)
+        |      / CAST(length(text) AS DOUBLE) * 10.0, 1.0))*0.2 AS quality
+        |  FROM batch),
+        |winners AS (
+        |  SELECT MIN(doc_id) AS win_id FROM scored
+        |  WHERE quality >= 0.5 GROUP BY md5(text)),
+        |fated AS (
+        |  SELECT source,
+        |    CASE WHEN quality < 0.5 THEN 'low_quality'
+        |         WHEN win_id IS NULL THEN 'duplicate'
+        |         ELSE 'kept' END AS fate
+        |  FROM scored LEFT JOIN winners ON doc_id = win_id)
+        |SELECT source, fate, COUNT(*) AS n
+        |FROM fated
+        |GROUP BY source, fate
+        |ORDER BY source, fate""".stripMargin,
 
     "pipe_curate" ->
       """WITH batch AS (
