@@ -36,7 +36,10 @@ val notes: Seq[(String, String)] = Seq(
   "samp_hash" -> "Content-hash sampling: a narrow md5-threshold filter, no shuffle before the (ordered) output; the scan reads only the projected columns.",
   "tx_entropy" -> "Token entropy: explode feeds two stacked hash aggregations, both map-side combinable - only (doc, token) counts cross the first shuffle, per-doc partials the second; the log2 arithmetic runs post-aggregate on one row per doc.",
   "tx_boiler_grams" -> "Boilerplate profile: grams travel as xxhash64; the vocabulary-sized document-frequency aggregate joins back to the gram stream (AQE broadcasts it at this scale, shuffles+skew-splits beyond), DF as a hash aggregate - never a window over the gram stream.",
-  "tx_lm_score" -> "Bigram-LM score: one corpus-wide (prefix,bigram) count aggregate; the prefix counts derive from it by a vocabulary-sized second aggregation (exchange reused), and both count tables broadcast back onto the bigram stream."
+  "tx_lm_score" -> "Bigram-LM score: one corpus-wide (prefix,bigram) count aggregate; the prefix counts derive from it by a vocabulary-sized second aggregation (exchange reused), and both count tables broadcast back onto the bigram stream.",
+  "dd_repeated_spans" -> "Repeated-span coverage: window hashes as xxhash64, the repeated-gram table joins back under AQE, and the union-of-intervals coverage is an aggregate HOF over each doc's bounded flagged-position list - no window sort over the corpus-wide span stream.",
+  "tx_heavy_hitters" -> "Misra-Gries heavy hitters: bounded O(m) sketch state per task, partials merge by counter-sum + rebase, only m counters per task cross the shuffle - vs a groupBy(token) that would shuffle the whole token stream.",
+  "pipe_fates" -> "Drop-reason audit: one scoring pass, winner pick as the min_by hash aggregate over quality passers, ids-only join back to tag fates - the documents are never shuffled twice."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
