@@ -174,4 +174,61 @@ class PropertySpec extends SparkSuite {
       assert(kept.map(_._1) === expect, s"domain $d must keep the first N by id")
     }
   }
+
+  test("weighted sample: per-domain keep sets are threshold-monotone slices of hashSample") {
+    import graft.operators.Sampling
+    val texts = samples(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString), 120)
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, s"d${i % 3}")
+    }
+    val df = rows.toDF("id", "text", "dom")
+    val rates = Map("d0" -> "c0", "d1" -> "40")
+    val kept = df.filter(Sampling.weightedSample(col("text"), col("dom"),
+        rates, defaultHex = "20"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // per domain, the kept set must equal hashSample at that domain's
+    // threshold (the weighted form is a CASE over the same hash)
+    rows.groupBy(_._3).foreach { case (d, in) =>
+      val thr = rates.getOrElse(d, "20")
+      val expect = df.filter(col("dom") === d)
+        .filter(Sampling.hashSample(col("text"), thr))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.filter(_._2 == d).map(_._1) === expect,
+        s"domain $d must keep exactly its hashSample($thr) slice")
+    }
+    // monotone: lower-rate domains keep subsets of what a higher rate keeps
+    val lo = df.filter(Sampling.weightedSample(col("text"), col("dom"),
+        Map.empty, defaultHex = "20")).collect().map(_.getLong(0)).toSet
+    val hi = df.filter(Sampling.weightedSample(col("text"), col("dom"),
+        Map.empty, defaultHex = "c0")).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "raising every rate must only add rows")
+  }
+
+  test("misra-gries sketch: generated streams stay within the error bound under any layout") {
+    import graft.text.HeavyHitters
+    // skewed random streams: a few heavy items + a tail
+    val streams = samples(
+      for {
+        nHeavy <- Gen.chooseNum(1, 4)
+        heavyReps <- Gen.chooseNum(30, 60)
+        tail <- Gen.listOfN(80, Gen.chooseNum(0, 30).map(i => s"t$i"))
+      } yield (0 until nHeavy).flatMap(h => Seq.fill(heavyReps)(s"H$h")) ++ tail, 6)
+    streams.zipWithIndex.foreach { case (stream, si) =>
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.length.toLong
+      for (parts <- Seq(1, 7)) {
+        val ds = spark.createDataset(
+          new scala.util.Random(si).shuffle(stream.toList)).repartition(parts)
+        val m = 6
+        val got = ds.select(HeavyHitters.sketch(m)).collect()(0).toMap
+        val bound = n / (m + 1)
+        got.foreach { case (t, c) =>
+          assert(c <= exact(t), s"stream $si: $t overestimated")
+          assert(exact(t) - c <= bound, s"stream $si: $t outside bound")
+        }
+        exact.filter(_._2 > bound).keys.foreach(t =>
+          assert(got.contains(t), s"stream $si parts=$parts: heavy $t missing"))
+      }
+    }
+  }
 }
