@@ -27,6 +27,14 @@ import graft.Tables
   * checkpoint — size it for projected STATE (|keys|), not CPU count;
   * the local harness's cpu-count setting is a test-only convenience.
   * AQE is disabled in stateful workloads, so there is no runtime rescue.
+  *
+  * State backend: the default HDFS-backed store holds each partition's
+  * state in executor heap — fine for the test harness, a memory ceiling
+  * at 100 TB key cardinalities. The scale deployment sets
+  * `spark.sql.streaming.stateStore.providerClass` to the bundled
+  * RocksDBStateStoreProvider (off-heap, spillable, changelog
+  * checkpoints); the folds here are provider-agnostic, pinned by the
+  * RocksDB-equivalence case in `StatefulConvergenceSpec`.
   */
 object EventStreams {
 

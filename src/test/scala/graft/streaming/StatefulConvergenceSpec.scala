@@ -60,6 +60,56 @@ class StatefulConvergenceSpec extends SparkSuite {
     assert(fin(3L).getLong(1) === 1L && fin(3L).getString(2) === "view")
   }
 
+  test("stateful fold is state-store-portable: RocksDB provider emits identical results") {
+    // the 100 TB deployment runs RocksDB state (bounded executor memory,
+    // changelog checkpoints) instead of the default HDFS-backed store;
+    // the fold's semantics must not depend on the provider. The conf is
+    // read at stream START, so setting it per-query (and restoring)
+    // exercises the provider without touching the shared session.
+    val dir = Files.createTempDirectory("graft_rocks_").toFile
+    dir.deleteOnExit()
+    val rows = Seq(
+      (1L, "click", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 11:00:00"),
+      (2L, "signup", "2024-01-01 09:00:00"), (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "error", "2024-01-01 08:00:00"), (3L, "view", "2024-01-01 13:00:00"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      Seq(r).toDF("user_id", "event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+    }
+    val schema = spark.read.parquet(s"$dir/f0").schema
+
+    def converged(provider: Option[String]): Map[Long, (Long, String)] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+        val table = s"rocks_${System.nanoTime()}"
+        val q = EventStreams.statefulUpdates(src).toDF()
+          .writeStream.format("memory").queryName(table)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(table).collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+          val m = rs.maxBy(_.getLong(1)); k -> (m.getLong(1), m.getString(2))
+        }
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
+    val default = converged(None)
+    val rocks = converged(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(rocks === default,
+      s"RocksDB state must converge identically: $rocks vs $default")
+    assert(default(1L) === ((3L, "purchase")))
+  }
+
   test("ST4 streaming heartbeat timeout fires via event-time watermark") {
     val dir = Files.createTempDirectory("graft_hb_").toFile
     dir.deleteOnExit()
