@@ -1,0 +1,249 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashedShingles, MinHashBands, TokenCount}
+
+/** Bucketed-table variant of [[IncrementalDedup]] — the index layout for
+  * the regime where the INDEX side dominates: after months of daily
+  * batches the accumulated survivor index dwarfs each arriving batch, and
+  * the directory-partitioned layout re-shuffles the whole index through
+  * the band join every batch. Here the index lives in two bucketed
+  * metastore tables, so the PER-BATCH cost of both index joins is one
+  * shuffle of the (small) batch side — the index is read bucket-aligned
+  * with NO exchange, ever (plan-pinned in `BucketedIndexSpec`):
+  *
+  *  - `<base>_bands` (band, id), PARTITIONED BY batch, bucketed+sorted by
+  *    `band` — the candidate join reads it sort-merge-bucket style;
+  *  - `<base>_sh` (id, sh), PARTITIONED BY batch, bucketed+sorted by
+  *    `id` — the exact-Jaccard verify join reads it the same way;
+  *  - `<base>_stats` (band, n), PARTITIONED BY batch, unbucketed tiny
+  *    pre-aggregates — the hot-band stop-list reads ONLY these, same
+  *    contract as [[SignatureIndex.stopList]].
+  *
+  * Idempotency mirrors the directory index: every read excludes the
+  * current batchId's partition and every write replaces exactly that
+  * partition (`INSERT OVERWRITE` under dynamic partitionOverwriteMode —
+  * validated to preserve bucketing on rewrite), so a foreachBatch retry
+  * converges. The bucket count is fixed at index creation and recorded
+  * (with the signature parameters) in `graft.params` table properties;
+  * a mismatched batch fails loudly, same contract as the `_graft_params`
+  * sidecar.
+  *
+  * The pairing/clustering core (exact-dup collapse, band join, verify,
+  * min-label components) is IDENTICAL to [[IncrementalDedup.addBatch]] —
+  * only the index storage differs. Kept as a parallel implementation
+  * rather than an abstraction over both: the two storage contracts are
+  * different enough (exploded-at-rest vs exploded-on-read, SQL DDL vs
+  * filesystem) that a shared core would be an interface with two
+  * methods per concern and one implementor each.
+  */
+object BucketedIncrementalDedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def bandsT(base: String) = s"${base}_bands"
+  private def shT(base: String) = s"${base}_sh"
+  private def statsT(base: String) = s"${base}_stats"
+
+  private def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  private def getProp(spark: SparkSession, table: String, key: String): Option[String] = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+    rows.find(_.getString(0) == key).map(_.getString(1))
+  }
+
+  /** Validate-or-record the index parameters, `checkParams` contract. */
+  private def checkParams(spark: SparkSession, base: String, want: String): Unit =
+    getProp(spark, bandsT(base), "graft.params") match {
+      case Some(got) =>
+        require(got == want,
+          s"bucketed index $base was built with [$got]; this batch uses [$want]")
+      case None =>
+        spark.sql(s"ALTER TABLE ${bandsT(base)} " +
+          s"SET TBLPROPERTIES('graft.params'='$want')")
+    }
+
+  /** Process one arriving batch of (id, text) docs against the bucketed
+    * survivor index `base` (tables created on first call). Same contract
+    * and same defaults as [[IncrementalDedup.addBatch]]. */
+  def addBatch(docs: DataFrame, idCol: String, textCol: String, base: String,
+               batchId: Long,
+               shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+               minJaccard: Double = 0.8, bucketCap: Int = 1024,
+               bandCap: Int = 4096, buckets: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    // one native signature pass, reused by every consumer below —
+    // identical to the directory form
+    val sigs = docs
+      .filter(TokenCount(col(textCol)) >= shingleN)
+      .select(col(idCol).as("id"),
+        HashedShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("bands", MinHashBands(col("sh"), k, bands))
+      .withColumn("chash", struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
+      .localCheckpoint(eager = true)
+
+    val fresh = !tableExists(spark, bandsT(base))
+    if (fresh) {
+      // create the three tables empty with the bucketed layout; data
+      // lands through the same INSERT path every batch takes
+      val empty = sigs.limit(0)
+      empty.select(explode(col("bands")).as("band"), col("id"), lit(batchId).as("batch"))
+        .write.partitionBy("batch").bucketBy(buckets, "band").sortBy("band")
+        .saveAsTable(bandsT(base))
+      empty.select(col("id"), col("sh"), lit(batchId).as("batch"))
+        .write.partitionBy("batch").bucketBy(buckets, "id").sortBy("id")
+        .saveAsTable(shT(base))
+      empty.select(explode(col("bands")).as("band"), lit(0L).as("n"),
+          lit(batchId).as("batch"))
+        .write.partitionBy("batch").saveAsTable(statsT(base))
+    }
+    checkParams(spark, base, s"shingleN=$shingleN,k=$k,bands=$bands,buckets=$buckets")
+
+    // index reads exclude this batch's partition (retry idempotency);
+    // partition pruning keeps excluded batches off disk entirely
+    val idxBands = spark.table(bandsT(base)).filter(col("batch") =!= batchId)
+      .select(col("band"), col("id").as("idx_id"))
+    val idxSh = spark.table(shT(base)).filter(col("batch") =!= batchId)
+      .select(col("id").as("idx_id"), col("sh").as("idx_sh"))
+
+    // hot-band stop-list from the tiny stats partitions — never a scan
+    // of the index signatures (same contract as SignatureIndex.stopList)
+    val hot = spark.table(statsT(base)).filter(col("batch") =!= batchId)
+      .groupBy(col("band")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > bandCap)
+      .select(col("band"))
+      .localCheckpoint(eager = true)
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"bucketed incremental dedup: stop-listing $nHot band(s) > $bandCap")
+
+    // ONE representative per distinct batch content; released in finally
+    // (CacheManager holds strong refs — the multi-consumer persist rule)
+    val reps = sigs.groupBy(col("chash"))
+      .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"),
+        first(col("bands")).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped =
+      try {
+        val repBands = reps.select(col("rep"), explode(col("bands")).as("band"))
+          .join(hot, Seq("band"), "left_anti")
+        // candidate join: batch side shuffles to the index's bucket
+        // layout; the index side reads bucket-aligned, NO exchange
+        val cand = repBands.join(idxBands.join(hot, Seq("band"), "left_anti"), "band")
+          .select(col("rep"), col("idx_id")).distinct()
+        val droppedReps = cand
+          .join(reps.select(col("rep"), col("sh")), "rep")
+          .join(idxSh, "idx_id")
+          .withColumn("n_inter", size(array_intersect(col("sh"), col("idx_sh"))))
+          .withColumn("j", col("n_inter").cast("double") /
+            (size(col("sh")) + size(col("idx_sh")) - col("n_inter")))
+          .filter(col("j") >= minJaccard)
+          .select(col("rep")).distinct()
+        sigs
+          .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
+          .select(col("id"))
+          .localCheckpoint(eager = true)
+      } finally reps.unpersist(blocking = true)
+
+    // within-batch near-dup pass over the remainder, reusing the
+    // checkpointed signatures — identical to the directory form
+    val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("sh"))
+    val pairs = Dedup.minhashPairsFromShingles(remainingSh,
+      k, bands, minJaccard, bucketCap)
+    val surv = Dedup.survivors(remaining, idCol, pairs)
+      .localCheckpoint(eager = true) // computed BEFORE the index writes
+
+    // idempotent commit: INSERT OVERWRITE replaces exactly this batch's
+    // partition in all three tables (dynamic overwrite preserves the
+    // bucketed layout on rewrite — proven in BucketedIndexSpec)
+    val committed = sigs
+      .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sh"), col("bands"))
+    committed.select(explode(col("bands")).as("band"), col("id"),
+        lit(batchId).as("batch"))
+      .write.mode("overwrite").insertInto(bandsT(base))
+    committed.select(col("id"), col("sh"), lit(batchId).as("batch"))
+      .write.mode("overwrite").insertInto(shT(base))
+    committed.select(explode(col("bands")).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .select(col("band"), col("n"), lit(batchId).as("batch"))
+      .write.mode("overwrite").insertInto(statsT(base))
+
+    surv
+  }
+
+  /** Fold settled batch partitions (strictly below the latest
+    * non-negative batch) into one consolidated `batch=-live` partition
+    * across all three tables, then drop the originals. Two-phase like
+    * [[SignatureIndex.compact]]: the `graft.compact.pending` marker is
+    * set AFTER all three consolidated writes complete and cleared AFTER
+    * the drops, so a rerun classifies the crash from the marker alone —
+    * marker present ⇒ writes complete ⇒ finish only the drops; marker
+    * absent ⇒ every original is intact (drops happen only under the
+    * marker) ⇒ regenerate via idempotent INSERT OVERWRITE, excluding any
+    * partial `batch=gen` leftover from the read set. No ordering of
+    * writes vs deletes can lose data. Returns the number of batch
+    * partitions folded. */
+  def compact(spark: SparkSession, base: String): Int = {
+    if (!tableExists(spark, bandsT(base))) return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def partitions(t: String): Seq[Long] =
+      spark.sql(s"SHOW PARTITIONS $t").collect().toIndexedSeq
+        .flatMap(_.getString(0).stripPrefix("batch=").toLongOption)
+
+    // resume an interrupted run first: marker present ⇒ consolidated
+    // writes finished; just finish the drops
+    getProp(spark, bandsT(base), "graft.compact.pending") match {
+      case Some(spec) =>
+        val parts = spec.split(":")
+        val folds = parts(1).split(",").flatMap(_.toLongOption).toSeq
+        finishDrops(spark, base, folds)
+        return folds.size
+      case None => ()
+    }
+
+    val have = partitions(bandsT(base))
+    val nonneg = have.filter(_ >= 0)
+    if (nonneg.isEmpty) return 0
+    val live = nonneg.max
+    val fold = have.filter(_ != live)
+    if (live == 0 || fold.size < 2) return 0
+    val gen = -live
+    // consolidated reads must exclude a leftover batch=gen from a prior
+    // crashed run mid-write (its originals are all intact — the marker
+    // below is set before any write, and drops only happen under it)
+    val foldRead = fold.filterNot(_ == gen)
+
+    def foldInto(t: String, cols: Seq[String], agg: DataFrame => DataFrame): Unit = {
+      val src = spark.table(t).filter(col("batch").isin(foldRead: _*))
+        .select(cols.map(col): _*)
+      agg(src).withColumn("batch", lit(gen))
+        .write.mode("overwrite").insertInto(t)
+    }
+    foldInto(bandsT(base), Seq("band", "id"), identity)
+    foldInto(shT(base), Seq("id", "sh"), identity)
+    foldInto(statsT(base), Seq("band", "n"),
+      _.groupBy(col("band")).agg(sum(col("n")).as("n")))
+    // all three consolidated partitions durable → commit point; drops
+    // may only happen under the marker
+    spark.sql(s"ALTER TABLE ${bandsT(base)} SET TBLPROPERTIES(" +
+      s"'graft.compact.pending'='$gen:${foldRead.mkString(",")}')")
+    finishDrops(spark, base, foldRead)
+    log.info(s"compacted ${foldRead.size} partition(s) of bucketed index $base into batch=$gen")
+    foldRead.size
+  }
+
+  private def finishDrops(spark: SparkSession, base: String, folds: Seq[Long]): Unit = {
+    for (t <- Seq(bandsT(base), shT(base), statsT(base)); b <- folds)
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (batch=$b)")
+    spark.sql(s"ALTER TABLE ${bandsT(base)} UNSET TBLPROPERTIES IF EXISTS " +
+      "('graft.compact.pending')")
+  }
+}
