@@ -31,6 +31,56 @@ object CurationQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination REMOVAL — the surgery step after dd_decontaminate's
+    // flagging pass: every corpus token covered by a 3-gram that also
+    // occurs in the benchmark is cut, and the cleaned text is rebuilt
+    // from the surviving tokens (the standard scrub-don't-drop policy
+    // for long documents with embedded test passages). Grams travel as
+    // xxhash64; the benchmark gram table broadcasts; covered token
+    // positions are per-doc bounded, so the interval union and text
+    // rebuild are per-doc aggregates — nothing corpus-wide is sorted.
+    "dd_scrub_spans" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val L = 3
+      val docs = t(s, dir, "documents")
+      // 1-based gram/token positions on BOTH engines (DuckDB generate_series)
+      def grams(d: DataFrame) = d
+        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= L)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("t")) - (L - 1)),
+          // \u001F separator — boundary-unambiguous, = the oracle's chr(31)
+          i => xxhash64(concat_ws("",
+            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      val benchGrams = grams(docs.filter(col("doc_id") % BENCH_MOD === 0))
+        .select(col("h")).distinct()
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= 0)
+      val covered = grams(corpus).join(benchGrams, "h")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + (L - 1))).as("ti"))
+        .distinct()
+      val toks = corpus
+        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+          posexplode(col("t")))
+        .select(col("doc_id"), col("n_toks"), (col("pos") + 1).cast("long").as("ti"),
+          col("col").as("tok"))
+      val cleaned = toks.join(covered, Seq("doc_id", "ti"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ti"), col("tok")))),
+            e => e.getField("tok")), " ").as("cleaned"))
+      corpus.select(col("doc_id"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_toks"))
+        .join(cleaned, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic content-hash sample (~1/8 of the corpus): md5 hex
     // lexicographic threshold, reproducible by any engine.
     "samp_hash" -> ((s, dir) => {
@@ -130,6 +180,42 @@ object CurationQueries extends QuerySet {
          |SELECT doc_id, COUNT(*) AS n_hits
          |FROM corp JOIN bench USING (g)
          |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_scrub_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents WHERE doc_id % $BENCH_MOD <> 0),
+         |bench AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+         |        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+         |              FROM documents WHERE doc_id % $BENCH_MOD = 0)
+         |        WHERE len(t) >= 3)),
+         |wins AS (
+         |  SELECT doc_id, i, array_to_string(t[i:i+2], chr(31)) AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         |        FROM corpus WHERE len(t) >= 3)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, ti
+         |  FROM (SELECT doc_id, unnest(generate_series(i, i + 2)) AS ti
+         |        FROM wins JOIN bench USING (g))),
+         |toks AS (
+         |  SELECT doc_id, ti, t[ti] AS tok
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS ti
+         |        FROM corpus)),
+         |kept AS (
+         |  SELECT doc_id, ti, tok FROM toks
+         |  ANTI JOIN cov USING (doc_id, ti)),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY ti) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS n_toks,
+         |  COALESCE(agg.n_kept, 0) AS n_kept,
+         |  CAST(len(c.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(agg.cleaned, '') AS cleaned
+         |FROM corpus c LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "samp_hash" ->
