@@ -26,6 +26,7 @@ object SparkEntry {
     SourcesSinks,
     MoleculeQueries,
     SkewSafe,
+    TemporalQueries,
     TextQueries,
     CurationQueries,
     DedupQueries,

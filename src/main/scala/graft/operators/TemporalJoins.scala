@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — as-of and range joins, the two join shapes a
+  * time-series/event workload needs that plain equi-joins can't express.
+  * Spark has no native ASOF JOIN (DuckDB/Pandas do) and a naive
+  * `l.join(r, l("t") >= r("t") && ...)` inequality join degrades to a
+  * broadcast-nested-loop — quadratic per key and a non-starter at scale.
+  * Both operators here compile to ONE equi-shuffle each:
+  *
+  *  - [[asOfJoin]]: union both sides tagged, one shuffle+sort per key,
+  *    running `last(ignoreNulls)` window carries the most recent right
+  *    row forward onto each left row — the distributed merge-join form of
+  *    as-of (the same shape kdb/QuestDB/Flink temporal joins execute).
+  *  - [[rangeJoinBinned]]: intervals explode into fixed-width time bins,
+  *    points map to exactly one bin, the join runs equi on (key, bin) and
+  *    the exact interval predicate filters afterwards — candidate volume
+  *    is bounded by interval-span/binWidth per interval, never n².
+  */
+object TemporalJoins {
+
+  /** Backward (most-recent-at-or-before) as-of join.
+    *
+    * For every left row, attaches `rightVals` from the right row with the
+    * greatest `rightTs` <= the left row's `leftTs` within the same `key`
+    * group (inclusive match at equal timestamps), or nulls when no right
+    * row precedes it. Left rows are always preserved (left-outer
+    * semantics).
+    *
+    * Mechanics: right rows are tagged side=0, left rows side=1, unioned,
+    * then a single window `partitionBy(key).orderBy(ts, side, payload)`
+    * with a running UnboundedPreceding..CurrentRow frame computes
+    * `last(rightPayload, ignoreNulls)` — at equal timestamps the right
+    * row sorts first (side 0 < 1) so the left row sees it, giving the
+    * inclusive `>=` contract. If several right rows share (key, ts) the
+    * greatest payload struct wins (deterministic; pre-aggregate the right
+    * side to unique (key, ts) when a different tie-break is wanted).
+    *
+    * Scale shape: ONE hash exchange on `key` plus the in-partition sort —
+    * no join node at all, no per-key quadratic blowup, and the running
+    * frame is O(1) memory per row in WindowExec. A permanently hot key
+    * serializes into one task's sort (same caveat as any keyed window);
+    * pre-split such keys upstream if they exist.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightVals: Seq[String]): DataFrame = {
+    val lCols = left.columns.toIndexedSeq
+    require(!lCols.contains("__asof"), "left side already has an __asof column")
+    val rvType = org.apache.spark.sql.types.StructType(
+      right.select(rightVals.map(col): _*).schema.map(_.copy(nullable = true)))
+    val lType = org.apache.spark.sql.types.StructType(
+      left.schema.map(_.copy(nullable = true)))
+    val l = left.select(col(key).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
+      struct(lCols.map(col): _*).as("__lrow"))
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), struct(rightVals.map(col): _*).as("__rv"),
+      lit(null).cast(lType).as("__lrow"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
+        rightVals.map(v => col(s"__asof.$v").as(v)): _*)
+  }
+
+  /** Interval (range) join: points (key, t) x intervals (key, [start, end))
+    * matched by containment, without an inequality join.
+    *
+    * Both sides bucket time into `binWidthSec`-wide bins: an interval
+    * lands in every bin its half-open span touches (explode, at most
+    * span/binWidth + 1 rows), a point lands in exactly ONE bin — so the
+    * equi-join on (key, bin) sees each (point, interval) pair at most
+    * once and no distinct/dedup pass is needed. The exact
+    * `start <= t < end` predicate then drops same-bin near misses.
+    * Returns point columns + interval columns, inner-join semantics.
+    *
+    * Choose `binWidthSec` on the order of the typical interval span: the
+    * candidate fan-out per interval is ceil(span/binWidth) + 1, and a bin
+    * too fine multiplies the interval side while a bin too coarse admits
+    * more false candidates per bucket. Cost is one shuffle on (key, bin)
+    * either way — the plan stays a plain equi sort-merge/hash join that
+    * AQE can size, skew-split, or broadcast.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+                      tCol: String, startCol: String, endCol: String,
+                      binWidthSec: Long): DataFrame = {
+    require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    val w = lit(binWidthSec * 1000000L) // micros
+    // explicit plan aliases: both sides often derive from the same source
+    // table, and unqualified column refs would resolve trivially-true
+    val p = points.withColumn("__bin", floor(unix_micros(col(tCol)) / w))
+      .alias("__p")
+    // half-open interval: the last covered bin is the one holding end-1μs;
+    // empty/inverted intervals (end <= start) produce no bins and drop out
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        floor(unix_micros(col(startCol)) / w),
+        floor((unix_micros(col(endCol)) - 1L) / w))))
+      .alias("__i")
+    p.join(i, col("__p.__bin") === col("__i.__bin") &&
+        col(s"__p.$key") === col(s"__i.$key"))
+      .filter(col(s"__p.$tCol") >= col(s"__i.$startCol") &&
+        col(s"__p.$tCol") < col(s"__i.$endCol"))
+      .select(points.columns.toIndexedSeq.map(c => col(s"__p.$c")) ++
+        intervals.columns.filter(_ != key).map(c => col(s"__i.$c")): _*)
+  }
+}

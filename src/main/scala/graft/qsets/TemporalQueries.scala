@@ -1,0 +1,93 @@
+package graft.qsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** Temporal join queries over the events table — the as-of and range join
+  * shapes (see [[graft.operators.TemporalJoins]] for the scale design).
+  * Both are oracle-checked: DuckDB has a native ASOF JOIN for j15, and
+  * j16's interval join is a plain (if quadratic-in-DuckDB) inequality
+  * join there.
+  */
+object TemporalQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J15 — as-of join: every click is attributed to the user's most
+    // recent purchase at or before it (classic attribution / last-touch
+    // shape). The right side is pre-aggregated to unique (user_id, ts) so
+    // the tie-break is explicit rather than engine-defined; clicks with
+    // no prior purchase keep nulls (left-outer as-of).
+    "j15_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"),
+          max_by(col("value"), col("event_id")).as("purchase_value"))
+      // no-match rows surface as -1 sentinels (not nulls): a null BIGINT
+      // becomes float NaN through the oracle's pandas path and NaN never
+      // equals NaN in the exact compare (same convention as x2's -1.0)
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J16 — range join: each signup opens a 6-hour attribution window;
+    // count and sum the same user's clicks inside it. Inner semantics —
+    // only signups with at least one in-window click appear. The bin
+    // width equals the window span, so each interval explodes into at
+    // most 2 bins.
+    "j16_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TemporalJoins.rangeJoinBinned(clicks, signups, "user_id",
+          "ts", "w_start", "w_end", binWidthSec = 6 * 3600L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("click_value"))
+        .orderBy(col("signup_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "j15_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id,
+        |         arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |  COALESCE(p.purchase_id, -1) AS purchase_id,
+        |  COALESCE(p.purchase_value, -1.0) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "j16_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS w_start,
+        |         ts + INTERVAL 6 HOUR AS w_end
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT s.signup_id,
+        |  COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM s JOIN c
+        |  ON c.user_id = s.user_id AND c.ts >= s.w_start AND c.ts < s.w_end
+        |GROUP BY s.signup_id
+        |ORDER BY s.signup_id""".stripMargin
+  )
+}
