@@ -69,18 +69,33 @@ object Bench {
     // the driver never sets it, so recorded rounds always time everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Repeat-median: one back-to-back pass is hostage to whatever GC/cache
+    // pressure the PREVIOUS query left behind — round-7 recorded numbers
+    // carried up to 3.6x phantom inflation vs isolated re-runs of the same
+    // binary. Timing each query `reps` times and recording the MEDIAN makes
+    // a single bad rep (neighbor GC spike, page-cache eviction) harmless
+    // while still charging real per-query cost. reps=3 triples bench wall
+    // time but the driver's artifact is consumed by a 2x regression gate —
+    // stability is worth more than wall clock here.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     var failed = List.empty[String]
     val results = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
-      val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (failed.headOption.contains(name)) -1.0 else dt)
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        try { run(name); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      }.takeWhile(_ >= 0).toSeq.sorted
+      // median of the successful reps; any failed rep fails the query
+      val dt =
+        if (failed.headOption.contains(name) || times.isEmpty) -1.0
+        else times(times.size / 2)
+      name -> dt
     }
     // ms precision is plenty and keeps the JSON lines short — the driver
     // records only a bounded stdout tail, so every byte of the line counts

@@ -44,30 +44,59 @@ object TemporalJoins {
     * frame is O(1) memory per row in WindowExec. A permanently hot key
     * serializes into one task's sort (same caveat as any keyed window);
     * pre-split such keys upstream if they exist.
+    *
+    * Null timestamps follow SQL ASOF semantics: right rows with null
+    * `rightTs` can never be "the most recent at-or-before" anything and
+    * are dropped before the union; left rows with null `leftTs` are
+    * preserved with null `rightVals` (they sort before every real-ts
+    * right row, so the running frame has seen no right payload yet).
+    *
+    * `rightVals` must not collide with left column names (the output
+    * would carry two columns with the same name) and must all be
+    * orderable types (the (ts, payload) tie-break sorts the payload
+    * struct — a MAP column would fail analysis deep inside WindowExec
+    * with an obscure error, so it is rejected here instead). When several
+    * right rows share (key, ts), the greatest payload struct wins under
+    * the `rightVals` ordering the caller passed; pre-aggregate the right
+    * side to unique (key, ts) for any other tie-break.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns.toIndexedSeq
-    require(!lCols.contains("__asof"), "left side already has an __asof column")
+    val overlap = rightVals.toSet.intersect(lCols.toSet)
+    require(overlap.isEmpty,
+      s"rightVals collide with left column names: ${overlap.mkString(", ")} — alias them first")
     val rvType = org.apache.spark.sql.types.StructType(
       right.select(rightVals.map(col): _*).schema.map(_.copy(nullable = true)))
+    require(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rvType),
+      s"rightVals must be orderable types (no MAP); got ${rvType.simpleString}")
     val lType = org.apache.spark.sql.types.StructType(
       left.schema.map(_.copy(nullable = true)))
+    // backtick-quoted refs: a left column name containing dots must be a
+    // literal lookup, not a nested-field path
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     val l = left.select(col(key).as("__k"), col(leftTs).as("__t"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
-      struct(lCols.map(col): _*).as("__lrow"))
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
-      lit(0).as("__side"), struct(rightVals.map(col): _*).as("__rv"),
-      lit(null).cast(lType).as("__lrow"))
+      struct(lCols.map(q): _*).as("__lrow"))
+    // null rightTs is never an as-of match — dropping it here also makes
+    // the nulls-first sort safe: the only null-__t rows left are left-side
+    // rows, which correctly see an empty running frame (null payload)
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__t"),
+        lit(0).as("__side"), struct(rightVals.map(col): _*).as("__rv"),
+        lit(null).cast(lType).as("__lrow"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
-        rightVals.map(v => col(s"__asof.$v").as(v)): _*)
+      // getField (not dotted col strings): left column names containing
+      // dots must resolve as literal struct fields, not nested paths
+      .select(lCols.map(c => col("__lrow").getField(c).as(c)) ++
+        rightVals.map(v => col("__asof").getField(v).as(v)): _*)
   }
 
   /** Interval (range) join: points (key, t) x intervals (key, [start, end))
@@ -92,6 +121,12 @@ object TemporalJoins {
                       tCol: String, startCol: String, endCol: String,
                       binWidthSec: Long): DataFrame = {
     require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not already carry a __bin column (it would be silently replaced)")
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet.filterNot(_ == key))
+    require(shared.isEmpty,
+      s"non-key column names must be disjoint (output would duplicate: ${shared.mkString(", ")})")
     val w = lit(binWidthSec * 1000000L) // micros
     // explicit plan aliases: both sides often derive from the same source
     // table, and unqualified column refs would resolve trivially-true

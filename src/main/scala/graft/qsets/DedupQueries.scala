@@ -93,6 +93,34 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Bucketed-table variant of dd_incremental: identical two-batch shape
+    // and identical pairing/clustering core, but the survivor index lives
+    // in bucketed metastore tables so the index side is read
+    // bucket-aligned with NO exchange (the 100 TB daily-ingest layout —
+    // see BucketedIncrementalDedup scaladoc; zero-exchange index reads
+    // plan-pinned in BucketedIndexSpec). Rows-only (engine hashes), same
+    // contract as dd_incremental; the two variants' outputs are
+    // unit-proven identical in BucketedIndexSpec.
+    "dd_bucketed_incremental" -> ((s, dir) => {
+      import graft.dedup.BucketedIncrementalDedup
+      // per-sf table namespace, dropped before each run (managed tables —
+      // DROP removes data; a retry or repeat bench rep starts clean)
+      val base = "bincdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      for (t <- Seq(s"${base}_bands", s"${base}_sh", s"${base}_stats"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      val docs = doubled(s, dir)
+      val s1 = BucketedIncrementalDedup.addBatch(
+        docs.filter(col("doc_id") < COPY_OFFSET),
+        "doc_id", "text", base, batchId = 1L,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      val s2 = BucketedIncrementalDedup.addBatch(
+        docs.filter(col("doc_id") >= COPY_OFFSET),
+        "doc_id", "text", base, batchId = 2L,
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9)
+      s1.select(col("doc_id")).unionByName(s2.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Connected-components + survivors anchored to a SQL oracle: exact-dup
     // pairs (same md5) are oracle-expressible, so feeding them through the
     // SAME min-label-propagation components() and survivors() code path
