@@ -50,4 +50,15 @@ object Hashing {
         e.getField("value"), lit("\""))))
     sha2(concat(lit("{"), body, lit("}")), 256)
   }
+
+  /** F7 FULL reference parity: `hash_dict` of an arbitrary nested JSON
+    * document — sha256 over the CPython
+    * `json.dumps(d, ensure_ascii=True, sort_keys=True)` byte rendering
+    * (`qcportal/qcportal/utils.py:383-385`), reproduced by
+    * [[PyCanonicalJson]] (floats as Python `repr`, exact bigints, ascii
+    * escapes, sorted keys). Unlike [[pyJsonHash256]] this handles nested
+    * dicts, lists, ints, floats, bools, null, and escape-needing strings;
+    * parity is pinned against the reference's own 695 fixture digests in
+    * `PyJsonSpec`. Null on malformed JSON. */
+  def pyDictHash256(json: Column): Column = sha2(PyCanonicalJson(json), 256)
 }

@@ -2,6 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Molecule fidelity functions (SURVEY F8/F9/F10).
   *
@@ -12,12 +18,12 @@ import org.apache.spark.sql.functions._
   *    socket.py:238-244`): C first, H second, all other elements
   *    alphabetical; counts of 1 are omitted.
   *  - F8 canonical molecule hash (`qcfractal/qcfractal/components/
-  *    molecules/db_models.py:100-112`): sha1 over a canonical rendering —
-  *    lowercased symbols, charge, multiplicity, geometry formatted at
-  *    fixed 8-decimal precision (QCElemental-style noise floor so float
-  *    jitter below 1e-8 does not change the identity hash). The exact
-  *    byte format is OURS (engine-independent, pinned by unit fixtures) —
-  *    parity with QCElemental's own digest is explicitly not claimed.
+  *    molecules/db_models.py:100-112` stores `Molecule.get_hash()` under a
+  *    unique constraint): two forms here — [[moleculeHash]], an
+  *    engine-local canonical sha1 (fixed %.8f bytes, pinned by unit
+  *    fixtures), and [[qcelMoleculeHash]], the QCElemental `get_hash`
+  *    reproduction a migrating archive needs (see [[QcelMoleculeCanonical]]
+  *    for the exact byte contract and its verification boundary).
   *
   * All pure Catalyst expressions — no UDFs. */
 object Molecules {
@@ -59,5 +65,224 @@ object Molecules {
       charge.cast("double").cast("string"),
       multiplicity.cast("int").cast("string"),
       geomCsv))
+  }
+
+  /** F8 reference parity — QCElemental `Molecule.get_hash()` digest (see
+    * [[QcelMoleculeCanonical]]). Optional fields default to null, matching
+    * an unset model attribute. */
+  def qcelMoleculeHash(symbols: Column, masses: Column, charge: Column,
+                       multiplicity: Column, real: Column, geometry: Column,
+                       fragments: Column = lit(null),
+                       fragmentCharges: Column = lit(null),
+                       fragmentMultiplicities: Column = lit(null),
+                       connectivity: Column = lit(null)): Column =
+    sha1(QcelMoleculeCanonical(symbols, masses, charge, multiplicity, real,
+      geometry, fragments, fragmentCharges, fragmentMultiplicities, connectivity))
+}
+
+/** QCElemental `Molecule.get_hash()` pre-image — the exact byte string the
+  * reference sha1s as the molecule identity/dedup key
+  * (`qcfractal/qcfractal/components/molecules/db_models.py:100-112` calls
+  * `model_data.get_hash()`; the digest carries a unique constraint at
+  * `db_models.py:26,70`, so a migrating archive must reproduce it or every
+  * molecule re-inserts as new).
+  *
+  * Algorithm (QCElemental's public `qcelemental/models/molecule.py`
+  * `get_hash` + `float_prep`): concatenate, WITHOUT separators, the
+  * CPython `json.dumps` of each of the ten hash fields in order —
+  * symbols, masses, molecular_charge, molecular_multiplicity, real,
+  * geometry, fragments, fragment_charges, fragment_multiplicities,
+  * connectivity — where geometry is noise-rounded at 8 decimals, masses at
+  * 6, molecular_charge and fragment_charges at 4 (GEOMETRY_NOISE /
+  * MASS_NOISE / CHARGE_NOISE), numpy arrays flatten via
+  * `ravel().tolist()`, and unset fields render as `null`. Noise rounding:
+  * arrays use `np.around` (scale by 10^n, round half-even, unscale) then
+  * flip |x| < 5^-(n+1) to +0.0; the scalar charge uses Python `round`
+  * (correct decimal rounding, half-even) then flips -0.0 to +0.0. Floats
+  * render as Python `repr` ([[PyJson.pyFloatRepr]]); lists with `", "`
+  * separators.
+  *
+  * Verification boundary, stated honestly: QCElemental itself is not
+  * installable in this build environment, so parity is pinned
+  * (`MoleculeCodecSpec`) against fixtures generated by REAL CPython+numpy
+  * executing the transcribed algorithm (`tools/make_hash_fixtures.py`) —
+  * the byte-level risks (Python float repr, json separators, banker's
+  * rounding, zero flips) are genuinely cross-checked against CPython;
+  * the field list and noise constants are transcribed from QCElemental's
+  * published source and NOT independently executed here.
+  *
+  * Input is a 10-field struct (see [[QcelMoleculeCanonical.apply]] for the
+  * normalized field types); stays inside whole-stage codegen via a static
+  * call, same pattern as [[SimHash64]].
+  */
+case class QcelMoleculeCanonical(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qcel_molecule_canonical"
+
+  override protected def nullSafeEval(input: Any): Any =
+    QcelMoleculeCanonical.compute(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QcelMoleculeCanonical.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QcelMoleculeCanonical =
+    copy(child = newChild)
+}
+
+object QcelMoleculeCanonical {
+
+  /** Column entry point. Normalizes every field to the exact Spark type
+    * `compute` reads: symbols array<string>, masses/geometry/
+    * fragment_charges array<double>, charge double, multiplicities int /
+    * array<int>, real array<boolean>, fragments array<array<int>>,
+    * connectivity array<struct<a:int,b:int,bo:double>>. */
+  def apply(symbols: Column, masses: Column, charge: Column,
+            multiplicity: Column, real: Column, geometry: Column,
+            fragments: Column, fragmentCharges: Column,
+            fragmentMultiplicities: Column, connectivity: Column): Column = {
+    val in = struct(
+      symbols.cast("array<string>"),
+      masses.cast("array<double>"),
+      charge.cast("double"),
+      multiplicity.cast("int"),
+      real.cast("array<boolean>"),
+      geometry.cast("array<double>"),
+      fragments.cast("array<array<int>>"),
+      fragmentCharges.cast("array<double>"),
+      fragmentMultiplicities.cast("array<int>"),
+      connectivity.cast("array<struct<a:int,b:int,bo:double>>"))
+    Bridge.column(QcelMoleculeCanonical(Bridge.expression(in)))
+  }
+
+  private final val POW = Map(4 -> 1e4, 6 -> 1e6, 8 -> 1e8)
+
+  /** `float_prep` array path: np.around then zero-flip. */
+  private def prepArray(xs: Array[Double], around: Int): Array[Double] = {
+    val scale = POW(around)
+    val flip = Math.pow(5.0, -(around + 1).toDouble)
+    xs.map { x =>
+      val r = Math.rint(x * scale) / scale
+      if (Math.abs(r) < flip) 0.0 else r
+    }
+  }
+
+  /** `float_prep` scalar path: CPython round(x, n) — correct decimal
+    * rounding half-even — then -0.0 → +0.0. */
+  private def prepScalar(x: Double, around: Int): Double = {
+    if (x.isNaN || x.isInfinite) return x
+    val r = new java.math.BigDecimal(x)
+      .setScale(around, java.math.RoundingMode.HALF_EVEN).doubleValue()
+    if (r == 0.0) 0.0 else r // BigDecimal has no signed zero; normalize anyway
+  }
+
+  /** Static helper invoked from both interpreted eval and generated code.
+    * Field ordinals match [[apply]]'s struct. */
+  def compute(row: InternalRow): UTF8String = {
+    val sb = new java.lang.StringBuilder(256)
+
+    def renderDoubleList(xs: Array[Double]): Unit = {
+      sb.append('[')
+      var i = 0
+      while (i < xs.length) {
+        if (i > 0) sb.append(", ")
+        sb.append(PyJson.pyFloatRepr(xs(i)))
+        i += 1
+      }
+      sb.append(']')
+    }
+
+    // 0: symbols — list of json-escaped strings
+    if (row.isNullAt(0)) sb.append("null")
+    else {
+      val a = row.getArray(0)
+      sb.append('[')
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) sb.append(", ")
+        PyJson.renderString(a.getUTF8String(i).toString, sb)
+        i += 1
+      }
+      sb.append(']')
+    }
+    // 1: masses — float_prep 6
+    if (row.isNullAt(1)) sb.append("null")
+    else renderDoubleList(prepArray(row.getArray(1).toDoubleArray(), 6))
+    // 2: molecular_charge — scalar float_prep 4
+    if (row.isNullAt(2)) sb.append("null")
+    else sb.append(PyJson.pyFloatRepr(prepScalar(row.getDouble(2), 4)))
+    // 3: molecular_multiplicity — int
+    if (row.isNullAt(3)) sb.append("null") else sb.append(row.getInt(3))
+    // 4: real — list of booleans
+    if (row.isNullAt(4)) sb.append("null")
+    else {
+      val a = row.getArray(4)
+      sb.append('[')
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) sb.append(", ")
+        sb.append(if (a.getBoolean(i)) "true" else "false")
+        i += 1
+      }
+      sb.append(']')
+    }
+    // 5: geometry — float_prep 8, flattened
+    if (row.isNullAt(5)) sb.append("null")
+    else renderDoubleList(prepArray(row.getArray(5).toDoubleArray(), 8))
+    // 6: fragments — list of int lists
+    if (row.isNullAt(6)) sb.append("null")
+    else {
+      val a = row.getArray(6)
+      sb.append('[')
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) sb.append(", ")
+        val inner = a.getArray(i)
+        sb.append('[')
+        var j = 0
+        while (j < inner.numElements()) {
+          if (j > 0) sb.append(", ")
+          sb.append(inner.getInt(j))
+          j += 1
+        }
+        sb.append(']')
+        i += 1
+      }
+      sb.append(']')
+    }
+    // 7: fragment_charges — float_prep 4 (ARRAY path: np.around semantics)
+    if (row.isNullAt(7)) sb.append("null")
+    else renderDoubleList(prepArray(row.getArray(7).toDoubleArray(), 4))
+    // 8: fragment_multiplicities — list of ints
+    if (row.isNullAt(8)) sb.append("null")
+    else {
+      val a = row.getArray(8)
+      sb.append('[')
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) sb.append(", ")
+        sb.append(a.getInt(i))
+        i += 1
+      }
+      sb.append(']')
+    }
+    // 9: connectivity — [[a, b, bond_order], ...], bond order NOT prepped
+    if (row.isNullAt(9)) sb.append("null")
+    else {
+      val a = row.getArray(9)
+      sb.append('[')
+      var i = 0
+      while (i < a.numElements()) {
+        if (i > 0) sb.append(", ")
+        val t = a.getStruct(i, 3)
+        sb.append('[').append(t.getInt(0)).append(", ").append(t.getInt(1))
+          .append(", ").append(PyJson.pyFloatRepr(t.getDouble(2))).append(']')
+        i += 1
+      }
+      sb.append(']')
+    }
+    UTF8String.fromString(sb.toString)
   }
 }

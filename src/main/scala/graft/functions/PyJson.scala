@@ -1,0 +1,349 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CPython-`json.dumps` canonicalization — BYTE parity with the
+  * reference's dictionary hashing.
+  *
+  * The reference dedups specifications by
+  * `sha256(json.dumps(d, ensure_ascii=True, sort_keys=True))`
+  * (`qcportal/qcportal/utils.py:383-385` `hash_dict`), and its own test
+  * suite pins that digest over real specification dicts
+  * (`qcarchivetesting/qcarchivetesting/hash_data` `.json.xz` files, loader
+  * `qcarchivetesting/helpers.py:233-241`). A migrating user keeps those
+  * rows only if this engine reproduces the digests byte-for-byte, which
+  * means reproducing CPython's exact rendering:
+  *
+  *  - recursively sorted object keys (code-point order);
+  *  - `", "` / `": "` item separators (json.dumps defaults);
+  *  - `ensure_ascii` escaping — every char > 0x7e or < 0x20 as a
+  *    backslash-u `%04x` escape (astral chars as their surrogate pair),
+  *    plus the two-char escapes `\" \\ \n \r \t \b \f`;
+  *  - Python `repr` floats: SHORTEST decimal that round-trips, fixed
+  *    notation for decimal exponent in [-4, 16), else `e±NN` scientific
+  *    (two-digit minimum exponent), integral floats keep a `.0`;
+  *  - arbitrary-precision integers rendered exactly (no double folding);
+  *  - `NaN` / `Infinity` / `-Infinity` (json.dumps default allow_nan).
+  *
+  * [[PyCanonicalJson]] re-renders a JSON text column in that canonical
+  * form; `sha2(canonical, 256)` is then the reference digest (see
+  * `Hashing.pyDictHash256`). Parity is pinned in `PyJsonSpec` against the
+  * reference's own fixture files (695 digest-verified dicts). The 25
+  * fixture entries that do NOT equal plain `hash_dict` of the stored dict
+  * (20 neb + 5 manybody) are hashed by the reference AFTER a pydantic
+  * model roundtrip injects defaults — a model-layer concern out of scope
+  * here, excluded by the generator (`tools/make_hash_fixtures.py`).
+  *
+  * Scale: the renderer is a single pass over the parsed tree with no
+  * regexes and no intermediate objects beyond the parse; the expression
+  * stays inside whole-stage codegen via a static call, same pattern as
+  * [[SimHash64]]. Spec dicts are small (hundreds of bytes); this is a
+  * dimension-side function, not a 100 TB scan function.
+  */
+object PyJson {
+
+  /** Parsed-JSON object node. Key order is irrelevant (rendering sorts);
+    * kept as a list to avoid hash-map overhead on tiny dicts. */
+  private final case class Obj(entries: List[(String, Any)])
+
+  // ---------------------------------------------------------------- parse
+
+  /** Minimal recursive-descent JSON parser. Exists because parity needs
+    * number fidelity no stock parser contract guarantees: an integer
+    * literal of any size must stay an exact integer (Python ints are
+    * arbitrary precision — folding 10^20 to a double changes the hash)
+    * while any literal with `.`/`e`/`E` must become a double (Python
+    * json.loads gives float — `1e3` renders back as `1000.0`, not
+    * `1000`). */
+  private final class Parser(s: String) {
+    private var i = 0
+    private def err(msg: String) =
+      throw new IllegalArgumentException(s"invalid JSON at offset $i: $msg")
+    private def ws(): Unit =
+      while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    private def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) err(s"expected '$c'")
+      i += 1
+    }
+
+    def parse(): Any = {
+      ws(); val v = value(); ws()
+      if (i != s.length) err("trailing content")
+      v
+    }
+
+    private def value(): Any = {
+      if (i >= s.length) err("unexpected end")
+      s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", java.lang.Boolean.TRUE)
+        case 'f' => lit("false", java.lang.Boolean.FALSE)
+        case 'n' => lit("null", null)
+        // json.loads also accepts the Python constant spellings
+        case 'N' => lit("NaN", java.lang.Double.valueOf(Double.NaN))
+        case 'I' => lit("Infinity", java.lang.Double.valueOf(Double.PositiveInfinity))
+        case c if c == '-' || (c >= '0' && c <= '9') => num()
+        case c => err(s"unexpected '$c'")
+      }
+    }
+
+    private def lit(word: String, v: Any): Any = {
+      if (!s.startsWith(word, i)) err(s"expected $word")
+      i += word.length; v
+    }
+
+    private def obj(): Any = {
+      expect('{'); ws()
+      if (i < s.length && s.charAt(i) == '}') { i += 1; return Obj(Nil) }
+      val b = List.newBuilder[(String, Any)]
+      var done = false
+      while (!done) {
+        ws(); val k = str(); ws(); expect(':'); ws()
+        b += ((k, value())); ws()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect('}'); done = true }
+      }
+      Obj(b.result())
+    }
+
+    private def arr(): Any = {
+      expect('['); ws()
+      if (i < s.length && s.charAt(i) == ']') { i += 1; return Vector.empty[Any] }
+      val b = Vector.newBuilder[Any]
+      var done = false
+      while (!done) {
+        ws(); b += value(); ws()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect(']'); done = true }
+      }
+      b.result()
+    }
+
+    private def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= s.length) err("bad escape")
+          s.charAt(i) match {
+            case '"'  => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/'  => sb.append('/')
+            case 'b'  => sb.append('\b')
+            case 'f'  => sb.append('\f')
+            case 'n'  => sb.append('\n')
+            case 'r'  => sb.append('\r')
+            case 't'  => sb.append('\t')
+            case 'u'  =>
+              if (i + 4 >= s.length) err("bad \\u")
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case c2 => err(s"bad escape '\\$c2'")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      expect('"')
+      sb.toString
+    }
+
+    private def num(): Any = {
+      val start = i
+      if (i < s.length && s.charAt(i) == '-') i += 1
+      // -Infinity via the Python constant spelling
+      if (i < s.length && s.charAt(i) == 'I') {
+        lit("Infinity", null)
+        return java.lang.Double.valueOf(Double.NegativeInfinity)
+      }
+      var isFloat = false
+      while (i < s.length && { val c = s.charAt(i)
+        if (c == '.' || c == 'e' || c == 'E') { isFloat = true; true }
+        else (c >= '0' && c <= '9') || c == '+' || c == '-' }) i += 1
+      val text = s.substring(start, i)
+      if (isFloat) java.lang.Double.valueOf(text.toDouble)
+      else new java.math.BigInteger(text)
+    }
+  }
+
+  /** Parse JSON text into the internal tree. Throws on malformed input. */
+  private def parse(s: String): Any = new Parser(s).parse()
+
+  // --------------------------------------------------------------- render
+
+  /** Python `repr` of a finite double: shortest round-tripping decimal,
+    * fixed notation for decimal exponent in [-4, 16), else scientific
+    * with `e`, explicit sign, and a minimum of two exponent digits. */
+  def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    val neg = (java.lang.Double.doubleToRawLongBits(d) < 0)
+    val a = Math.abs(d)
+    // shortest digit count whose %.{p-1}e rendering round-trips
+    var p = 1
+    var sci = ""
+    var found = false
+    while (!found && p <= 17) {
+      // Locale.ROOT: a comma decimal separator under a non-US default
+      // locale would silently break byte parity
+      sci = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+        java.lang.Double.valueOf(a))
+      if (java.lang.Double.parseDouble(sci) == a) found = true else p += 1
+    }
+    // sci is "d[.ddd]e±XX" — split digits and decimal exponent
+    val e = sci.indexOf('e')
+    val mant = sci.substring(0, e)
+    val exp = Integer.parseInt(sci.substring(e + 1))
+    val digits = if (mant.length > 1) mant.charAt(0) + mant.substring(2) else mant
+    val sb = new java.lang.StringBuilder
+    if (neg) sb.append('-')
+    if (exp >= -4 && exp < 16) {
+      if (exp >= 0) {
+        if (digits.length > exp + 1) {
+          sb.append(digits, 0, exp + 1).append('.').append(digits, exp + 1, digits.length)
+        } else {
+          sb.append(digits)
+          var k = digits.length
+          while (k <= exp) { sb.append('0'); k += 1 }
+          sb.append(".0")
+        }
+      } else {
+        sb.append("0.")
+        var k = exp + 1
+        while (k < 0) { sb.append('0'); k += 1 }
+        sb.append(digits)
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(if (exp < 0) '-' else '+')
+      val ea = Math.abs(exp)
+      if (ea < 10) sb.append('0')
+      sb.append(ea)
+    }
+    sb.toString
+  }
+
+  /** json.dumps(ensure_ascii=True) string rendering. */
+  def renderString(v: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var k = 0
+    while (k < v.length) {
+      val c = v.charAt(k)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case _ =>
+          if (c < 0x20 || c > 0x7e)
+            sb.append(String.format(java.util.Locale.ROOT, "\\u%04x", Integer.valueOf(c)))
+          else sb.append(c)
+      }
+      k += 1
+    }
+    sb.append('"')
+  }
+
+  /** Code-point string comparison — Python `sort_keys` order. Differs from
+    * Java's UTF-16 order only when surrogates meet chars >= U+E000. */
+  private def cpCompare(a: String, b: String): Int = {
+    var ia = 0; var ib = 0
+    while (ia < a.length && ib < b.length) {
+      val ca = a.codePointAt(ia); val cb = b.codePointAt(ib)
+      if (ca != cb) return Integer.compare(ca, cb)
+      ia += Character.charCount(ca); ib += Character.charCount(cb)
+    }
+    Integer.compare(a.length - ia, b.length - ib)
+  }
+
+  private def render(v: Any, sb: java.lang.StringBuilder): Unit = v match {
+    case null => sb.append("null")
+    case b: java.lang.Boolean => sb.append(if (b) "true" else "false")
+    case bi: java.math.BigInteger => sb.append(bi.toString)
+    case d: java.lang.Double =>
+      // json.dumps renders non-finite floats as Python constants, not repr
+      if (d.isNaN) sb.append("NaN")
+      else if (d.isInfinite) sb.append(if (d > 0) "Infinity" else "-Infinity")
+      else sb.append(pyFloatRepr(d))
+    case s: String => renderString(s, sb)
+    case xs: Vector[_] =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(", ")
+        first = false
+        render(x, sb)
+      }
+      sb.append(']')
+    case Obj(entries) =>
+      sb.append('{')
+      var first = true
+      entries.sortWith((x, y) => cpCompare(x._1, y._1) < 0).foreach { case (k, x) =>
+        if (!first) sb.append(", ")
+        first = false
+        renderString(k, sb)
+        sb.append(": ")
+        render(x, sb)
+      }
+      sb.append('}')
+    case other =>
+      throw new IllegalStateException(s"unrenderable node ${other.getClass}")
+  }
+
+  /** JSON text → CPython `json.dumps(v, ensure_ascii=True, sort_keys=True)`
+    * byte-identical rendering. Throws IllegalArgumentException on
+    * malformed input. */
+  def canonical(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    render(parse(s), sb)
+    sb.toString
+  }
+
+  /** Static entry point for interpreted eval AND generated code; malformed
+    * JSON yields null (one bad row must not kill a 100 TB job — callers
+    * that want strictness can assert non-null). */
+  def canonicalUTF8(u: UTF8String): UTF8String =
+    try UTF8String.fromString(canonical(u.toString))
+    catch { case _: IllegalArgumentException | _: NumberFormatException => null }
+}
+
+/** `py_canonical_json(jsonText)` — see [[PyJson]]. Null on null or
+  * malformed input. */
+case class PyCanonicalJson(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "py_canonical_json"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PyJson.canonicalUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PyJson.canonicalUTF8($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PyCanonicalJson =
+    copy(child = newChild)
+}
+
+object PyCanonicalJson {
+  /** Column-API entry point. */
+  def apply(c: Column): Column =
+    Bridge.column(PyCanonicalJson(Bridge.expression(c)))
+}

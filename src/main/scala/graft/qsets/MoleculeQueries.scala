@@ -61,6 +61,45 @@ object MoleculeQueries extends QuerySet {
         .orderBy(col("molecule_id").desc)
     }),
 
+    // F8 reference parity — the QCElemental get_hash PRE-IMAGE (canonical
+    // concat string; see QcelMoleculeCanonical). The oracle reconstructs
+    // the exact bytes independently in SQL (geometry values are halves, so
+    // decimal-vs-repr formatting coincides by construction); DuckDB has no
+    // sha1, so the digest itself is pinned in MoleculeCodecSpec against
+    // CPython-generated vectors and the driver checks the pre-image here —
+    // a byte-identical pre-image plus a pinned sha1 IS the digest check.
+    "mol_qcel_canonical" -> ((s, dir) => {
+      val m = molecules(s, dir).filter(col("molecule_id") < 100)
+        .withColumn("charge",
+          ((col("molecule_id") % 5 - 2).cast("double") / 4.0))
+        .withColumn("mult", (col("molecule_id") % 3 + 1).cast("int"))
+        .withColumn("real", array_repeat(lit(true), size(col("symbols"))))
+      m.select(col("molecule_id"),
+          graft.functions.QcelMoleculeCanonical(
+            col("symbols"), lit(null), col("charge"), col("mult"),
+            col("real"), col("geometry"),
+            lit(null), lit(null), lit(null), lit(null)).as("canonical"))
+        .orderBy(col("molecule_id"))
+    }),
+
+    // F7 reference parity — hash_dict over a nested spec document
+    // (`qcportal/qcportal/utils.py:383-385`): unsorted input keys, nested
+    // dict, string/int/double values; the oracle assembles the canonical
+    // sorted-key rendering by hand and sha256s it in DuckDB.
+    "f7_spec_hash" -> ((s, dir) => {
+      import graft.functions.Hashing
+      t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          to_json(struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("total"),
+            struct(col("o_custkey").as("custkey"),
+              concat(lit("c"), col("o_custkey") % 7).as("tag")).as("meta"),
+            col("o_orderpriority").as("priority"))).as("spec"))
+        .select(col("o_orderkey"), Hashing.pyDictHash256(col("spec")).as("spec_hash"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // F9 — (N,3) reshape: atom count, per-atom coordinate access, and the
     // flatten∘reshape identity.
     "mol_geometry_reshape" -> ((s, dir) => {
@@ -127,6 +166,52 @@ object MoleculeQueries extends QuerySet {
         |  AND source IN ('src1', 'src3')
         |  AND molecule_id < 15000
         |ORDER BY molecule_id DESC""".stripMargin,
+
+    // independent byte-level reconstruction of the get_hash pre-image:
+    // element lists from the count arithmetic, geometry rendered as
+    // DECIMAL(.,1) (values are exact halves, so decimal formatting equals
+    // Python float repr by construction), charge via explicit literals
+    "mol_qcel_canonical" ->
+      """WITH m AS (
+        |  SELECT p_partkey AS molecule_id,
+        |    CAST(p_size % 3 + 1 AS BIGINT) AS nc, CAST(p_size % 5 AS BIGINT) AS nh,
+        |    CAST(p_partkey % 2 + 1 AS BIGINT) AS no_, CAST(p_partkey % 3 AS BIGINT) AS nn
+        |  FROM part WHERE p_partkey < 100),
+        |b AS (
+        |  SELECT molecule_id, nc + nh + no_ + nn AS natoms,
+        |    flatten([
+        |      list_transform(generate_series(1, nc), x -> 'C'),
+        |      list_transform(generate_series(1, nh), x -> 'H'),
+        |      list_transform(generate_series(1, no_), x -> 'O'),
+        |      list_transform(generate_series(1, nn), x -> 'N')]) AS syms
+        |  FROM m)
+        |SELECT molecule_id,
+        |  '["' || array_to_string(syms, '", "') || '"]'
+        |  || 'null'
+        |  || (CASE molecule_id % 5 WHEN 0 THEN '-0.5' WHEN 1 THEN '-0.25'
+        |        WHEN 2 THEN '0.0' WHEN 3 THEN '0.25' ELSE '0.5' END)
+        |  || CAST(molecule_id % 3 + 1 AS VARCHAR)
+        |  || '[' || array_to_string(
+        |       list_transform(generate_series(1, natoms), x -> 'true'), ', ') || ']'
+        |  || '[' || array_to_string(
+        |       list_transform(generate_series(1, 3 * natoms),
+        |         i -> CAST(i * 0.5 + molecule_id AS VARCHAR)), ', ') || ']'
+        |  || 'nullnullnullnull' AS canonical
+        |FROM b
+        |ORDER BY molecule_id""".stripMargin,
+
+    // canonical sorted-key rendering assembled by hand; sha256 in DuckDB
+    "f7_spec_hash" ->
+      """SELECT o_orderkey,
+        |  sha256(
+        |    '{"meta": {"custkey": ' || CAST(o_custkey AS VARCHAR)
+        |    || ', "tag": "c' || CAST(o_custkey % 7 AS VARCHAR) || '"}, "priority": "'
+        |    || o_orderpriority || '", "status": "' || o_orderstatus
+        |    || '", "total": ' || CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR)
+        |    || '}') AS spec_hash
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "mol_geometry_reshape" ->
       """WITH m AS (

@@ -32,6 +32,62 @@ class MoleculeCodecSpec extends SparkSuite {
     assert(hs("a") !== hs("c"))
   }
 
+  test("qcel get_hash parity: CPython-generated fixtures reproduce byte-for-byte") {
+    // fixtures from tools/make_hash_fixtures.py: real CPython+numpy
+    // executing the QCElemental get_hash algorithm (see
+    // QcelMoleculeCanonical scaladoc for the verification boundary)
+    val df = spark.read
+      .schema("""molecule STRUCT<
+          symbols: ARRAY<STRING>, masses: ARRAY<DOUBLE>,
+          molecular_charge: DOUBLE, molecular_multiplicity: INT,
+          real: ARRAY<BOOLEAN>, geometry: ARRAY<DOUBLE>,
+          fragments: ARRAY<ARRAY<INT>>, fragment_charges: ARRAY<DOUBLE>,
+          fragment_multiplicities: ARRAY<INT>,
+          connectivity: ARRAY<ARRAY<DOUBLE>>>,
+        canonical STRING, sha1 STRING""")
+      .json("src/test/resources/qcel_molecule_hash_fixtures.jsonl")
+    assert(df.count() === 7L)
+    val m = col("molecule")
+    // connectivity arrives as [[a, b, bond_order]] double triples; reshape
+    // to the typed struct the expression takes
+    val conn = transform(m.getField("connectivity"), t => struct(
+      element_at(t, 1).cast("int").as("a"),
+      element_at(t, 2).cast("int").as("b"),
+      element_at(t, 3).as("bo")))
+    val out = df.select(
+      col("canonical"), col("sha1"),
+      graft.functions.QcelMoleculeCanonical(
+        m.getField("symbols"), m.getField("masses"),
+        m.getField("molecular_charge"), m.getField("molecular_multiplicity"),
+        m.getField("real"), m.getField("geometry"),
+        m.getField("fragments"), m.getField("fragment_charges"),
+        m.getField("fragment_multiplicities"), conn).as("got_canonical"),
+      Molecules.qcelMoleculeHash(
+        m.getField("symbols"), m.getField("masses"),
+        m.getField("molecular_charge"), m.getField("molecular_multiplicity"),
+        m.getField("real"), m.getField("geometry"),
+        m.getField("fragments"), m.getField("fragment_charges"),
+        m.getField("fragment_multiplicities"), conn).as("got_sha1"))
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("got_canonical") === r.getAs[String]("canonical"))
+      assert(r.getAs[String]("got_sha1") === r.getAs[String]("sha1"))
+    }
+  }
+
+  test("qcel hash: sub-noise-floor jitter is identity-preserving") {
+    // two fixture molecules are the same water with jitter below the
+    // geometry noise floor — their digests must coincide; all others are
+    // distinct (row order deliberately not relied upon)
+    val df = spark.read.json("src/test/resources/qcel_molecule_hash_fixtures.jsonl")
+    val shas = df.select(col("sha1")).collect().map(_.getString(0))
+    assert(shas.length === 7)
+    assert(shas.distinct.length === 6)
+    val waters = df
+      .filter(size(col("molecule.symbols")) === 3 && col("molecule.masses").isNotNull)
+      .select(col("sha1")).collect().map(_.getString(0))
+    assert(waters.length === 2 && waters(0) === waters(1))
+  }
+
   test("hill formula: C, H, then alphabetical; singleton counts omitted") {
     val cases = Seq(
       (Seq("C", "H", "H", "H", "H"), "CH4"),
