@@ -2,8 +2,50 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The eight approximate queries (minhash/simhash/LSH/IVF families) have
+  * no SQL oracle — their candidate sets depend on engine-specific hashes —
+  * so alongside the rows-only dump this also MEASURES their quality
+  * against ground truth the data plants (exact +1000000-id copies; the
+  * brute-force knn result) and records it as `recall.json` in the output
+  * dir plus a tracked `verify_recall.json` at the repo root (same
+  * persistence pattern as bench_full.json). Quality drift in the
+  * approximate families is thereby caught by the per-round artifact, not
+  * only by unit-test floors. */
 object Verify {
+
+  /** Planted-copy recall over a pair list: fraction of ids with a planted
+    * +offset copy whose copy lands in the same connected component of the
+    * pair graph. Direct-pair checking would under-count: exact-dup
+    * families collapse to a representative before banding, so (b, b')
+    * may be linked only through the rep. Driver-side union-find is fine
+    * here — the pair lists are bounded query outputs (thousands), not
+    * corpus-scale data. */
+  private def plantedPairRecall(pairs: Array[(Long, Long)], baseIds: Array[Long],
+                                offset: Long): Double = {
+    if (baseIds.isEmpty) return 1.0
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // roots carry no parent entry, so graph membership needs its own set
+    val seen = scala.collection.mutable.Set.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      seen += a; seen += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val found = baseIds.count(d =>
+      seen.contains(d) && seen.contains(d + offset) &&
+        find(d) == find(d + offset))
+    found.toDouble / baseIds.length
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +93,76 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (only.isEmpty) measureRecall(spark, sfDir, outDir)
     spark.stop()
+  }
+
+  /** Measured quality of the approximate (no-oracle) queries, recorded as
+    * a per-round artifact. Reads back the parquet this run just wrote —
+    * the measurement covers the exact bytes the driver checks. */
+  private def measureRecall(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val OFF = 1000000L
+    def out(name: String) = spark.read.parquet(s"$outDir/$name")
+    def pairs(name: String): Array[(Long, Long)] =
+      out(name).select(col("id_a"), col("id_b")).limit(2000000).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    def ids(table: String, idCol: String): Array[Long] =
+      Tables.load(spark, sfDir, table).select(col(idCol)).collect()
+        .map(_.getLong(0))
+    // copy-drop rate for survivor-shaped outputs: planted copies (id >=
+    // OFF) must lose to their lower-id originals, so any surviving copy is
+    // a missed duplicate
+    def copyDrop(name: String, nBase: Long): Double = {
+      if (nBase == 0) return 1.0
+      val surviving = out(name).filter(col(out(name).columns.head) >= OFF).count()
+      1.0 - surviving.toDouble / nBase
+    }
+    // ANN recall@k: overlap with the brute-force (q_id, vec_id) truth set
+    def recallAtK(name: String): Double = {
+      val truth = out("sim_knn_brute").select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (truth.isEmpty) return 1.0
+      val got = out(name).select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val docIds = ids("documents", "doc_id")
+    val vecIds = ids("embeddings", "vec_id")
+    // measurement → documented floor (unit suites pin the same floors);
+    // planted exact copies must ALWAYS be recovered (floor 1.0), the
+    // probabilistic families carry their tested floors
+    val checks: Seq[(String, () => Double, Double)] = Seq(
+      ("dd_minhash", () => plantedPairRecall(pairs("dd_minhash"), docIds, OFF), 1.0),
+      ("dd_simhash", () => plantedPairRecall(pairs("dd_simhash"), docIds, OFF), 1.0),
+      ("dd_survivors", () => copyDrop("dd_survivors", docIds.length.toLong), 1.0),
+      ("dd_incremental", () => copyDrop("dd_incremental", docIds.length.toLong), 1.0),
+      ("dd_bucketed_incremental",
+        () => copyDrop("dd_bucketed_incremental", docIds.length.toLong), 1.0),
+      ("dd_embcos_lsh", () => plantedPairRecall(pairs("dd_embcos_lsh"), vecIds, OFF), 0.95),
+      ("dd_embcos_incremental",
+        () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
+      ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.3),
+      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.6))
+    val results = checks.map { case (name, f, floor) =>
+      val (value, err) =
+        try (f(), None)
+        catch { case e: Throwable => (-1.0, Some(e.getMessage)) }
+      val ok = err.isEmpty && value >= floor
+      if (!ok) System.err.println(
+        s"[verify] RECALL BELOW FLOOR: $name = $value (floor $floor)${err.fold("")(" err=" + _)}")
+      String.format(java.util.Locale.ROOT,
+        "  \"%s\": {\"recall\": %.4f, \"floor\": %.2f, \"pass\": %s}",
+        name, Double.box(value), Double.box(floor), Boolean.box(ok))
+    }
+    val json = results.mkString("{\n", ",\n", "\n}")
+    Files.writeString(Paths.get(s"$outDir/recall.json"), json)
+    // tracked copy at the repo root, same rationale as bench_full.json:
+    // the driver records only a bounded stdout tail, but the repo file is
+    // part of the round's audit trail
+    try Files.writeString(Paths.get("verify_recall.json"), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] could not write verify_recall.json: ${e.getMessage}")
+    }
   }
 }
