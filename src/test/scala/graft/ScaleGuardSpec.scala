@@ -364,6 +364,30 @@ class ScaleGuardSpec extends SparkSuite {
     assert(ivfAll === brute)
   }
 
+  test("ann recall@10 at production-ish parameters stays above pinned floors") {
+    // Second-scale pin (sf0.01, 500 real 64-dim vectors): the degenerate
+    // nprobe=nlist ≡ brute pin above proves correctness, this one proves
+    // QUALITY at parameters shaped like production (many cells, few
+    // probed; multi-band LSH). A quantizer or banding change that
+    // silently degrades ANN recall fails here before any driver artifact
+    // moves. Everything is seeded/deterministic, so the floors are exact
+    // reproducible measurements with headroom, not flaky estimates.
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("c_vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("c_vec").as("q_vec"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(Vectors.bruteForceKnnHeap(queries, emb, k = 10))
+    val ivf = keys(Vectors.ivfKnn(queries, emb, nlist = 64, nprobe = 4, k = 10))
+    val lsh = keys(Vectors.lshKnn(queries, emb, dim = 64, bits = 4, k = 10))
+    val ivfRecall = brute.intersect(ivf).size.toDouble / brute.size
+    val lshRecall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(ivfRecall >= 0.45, s"ivf recall@10 degraded: $ivfRecall")
+    assert(lshRecall >= 0.30, s"lsh recall@10 degraded: $lshRecall")
+  }
+
   test("misra-gries sketch: exact under capacity, error-bounded over it") {
     import graft.text.HeavyHitters
     // zipf-ish planted stream: token "t<i>" appears (50 - i) times
