@@ -69,33 +69,39 @@ object Bench {
     // the driver never sets it, so recorded rounds always time everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Repeat-median: one back-to-back pass is hostage to whatever GC/cache
-    // pressure the PREVIOUS query left behind — round-7 recorded numbers
-    // carried up to 3.6x phantom inflation vs isolated re-runs of the same
-    // binary. Timing each query `reps` times and recording the MEDIAN makes
-    // a single bad rep (neighbor GC spike, page-cache eviction) harmless
-    // while still charging real per-query cost. reps=3 triples bench wall
-    // time but the driver's artifact is consumed by a 2x regression gate —
-    // stability is worth more than wall clock here.
+    // Repeat-median over INTERLEAVED passes: one back-to-back pass is
+    // hostage to whatever GC/cache pressure the PREVIOUS query left behind
+    // — round-7 recorded numbers carried up to 3.6x phantom inflation vs
+    // isolated re-runs of the same binary. Back-to-back repeats of the
+    // same query don't fix that (all reps inherit the SAME neighbor
+    // state), so the suite runs `reps` complete passes, each in a
+    // different deterministically-shuffled order, and records the
+    // per-query MEDIAN — a query's reps see different neighbors, so
+    // neighbor-induced noise lands on at most one rep and the median
+    // sheds it. reps=3 triples bench wall time, but the driver's artifact
+    // feeds a 2x regression gate — stability is worth more than clock.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq
+    val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map { name =>
-      val times = (1 to reps).iterator.map { _ =>
+    var failed = Set.empty[String]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (rep <- 1 to reps) {
+      val order = new scala.util.Random(rep.toLong).shuffle(names)
+      for (name <- order if !failed.contains(name)) {
         val t0 = System.nanoTime()
-        try { run(name); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          failed ::= name
+        try {
+          run(name)
+          times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+        } catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
         }
-      }.takeWhile(_ >= 0).toSeq.sorted
-      // median of the successful reps; any failed rep fails the query
-      val dt =
-        if (failed.headOption.contains(name) || times.isEmpty) -1.0
-        else times(times.size / 2)
-      name -> dt
+      }
+    }
+    val results = names.map { name =>
+      val ts = times(name).sorted
+      name -> (if (failed.contains(name) || ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
     // ms precision is plenty and keeps the JSON lines short — the driver
     // records only a bounded stdout tail, so every byte of the line counts

@@ -62,6 +62,11 @@ object PyJson {
     * `1000`). */
   private final class Parser(s: String) {
     private var i = 0
+    private var depth = 0
+    // CPython aborts pathological nesting via its recursion limit (~1000);
+    // we bound explicitly so a hostile document degrades to a null row
+    // instead of a task-killing StackOverflowError
+    private final val MaxDepth = 500
     private def err(msg: String) =
       throw new IllegalArgumentException(s"invalid JSON at offset $i: $msg")
     private def ws(): Unit =
@@ -101,8 +106,10 @@ object PyJson {
     }
 
     private def obj(): Any = {
+      depth += 1
+      if (depth > MaxDepth) err("nesting too deep")
       expect('{'); ws()
-      if (i < s.length && s.charAt(i) == '}') { i += 1; return Obj(Nil) }
+      if (i < s.length && s.charAt(i) == '}') { i += 1; depth -= 1; return Obj(Nil) }
       val b = List.newBuilder[(String, Any)]
       var done = false
       while (!done) {
@@ -111,12 +118,15 @@ object PyJson {
         if (i < s.length && s.charAt(i) == ',') i += 1
         else { expect('}'); done = true }
       }
+      depth -= 1
       Obj(b.result())
     }
 
     private def arr(): Any = {
+      depth += 1
+      if (depth > MaxDepth) err("nesting too deep")
       expect('['); ws()
-      if (i < s.length && s.charAt(i) == ']') { i += 1; return Vector.empty[Any] }
+      if (i < s.length && s.charAt(i) == ']') { i += 1; depth -= 1; return Vector.empty[Any] }
       val b = Vector.newBuilder[Any]
       var done = false
       while (!done) {
@@ -124,6 +134,7 @@ object PyJson {
         if (i < s.length && s.charAt(i) == ',') i += 1
         else { expect(']'); done = true }
       }
+      depth -= 1
       b.result()
     }
 

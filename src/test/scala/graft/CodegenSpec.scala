@@ -20,6 +20,19 @@ class CodegenSpec extends SparkSuite {
     val arrL = BoundReference(4, ArrayType(LongType), nullable = true)
     // generate() throws on Janino compile failure (unlike
     // UnsafeProjection.create, which falls back to interpreted silently)
+    val molStruct = BoundReference(5, StructType(Seq(
+      StructField("symbols", ArrayType(StringType)),
+      StructField("masses", ArrayType(DoubleType)),
+      StructField("charge", DoubleType),
+      StructField("mult", IntegerType),
+      StructField("real", ArrayType(BooleanType)),
+      StructField("geometry", ArrayType(DoubleType)),
+      StructField("fragments", ArrayType(ArrayType(IntegerType))),
+      StructField("fragment_charges", ArrayType(DoubleType)),
+      StructField("fragment_multiplicities", ArrayType(IntegerType)),
+      StructField("connectivity", ArrayType(StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType),
+        StructField("bo", DoubleType))))))), nullable = true)
     val proj = GenerateUnsafeProjection.generate(Seq(
       graft.functions.SimHash64(str),
       graft.functions.TokenCount(str),
@@ -27,7 +40,9 @@ class CodegenSpec extends SparkSuite {
       graft.functions.MinHashBands(arrS, 16, 4),
       graft.functions.MinHashBands(arrL, 16, 4),
       graft.functions.SrpBands(arrD, 8, 2, 42L),
-      graft.functions.SrpBands(arrF, 8, 2, 42L)))
+      graft.functions.SrpBands(arrF, 8, 2, 42L),
+      graft.functions.PyCanonicalJson(str),
+      graft.functions.QcelMoleculeCanonical(molStruct)))
     assert(proj != null)
   }
 }

@@ -62,6 +62,15 @@ class PyJsonSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("pathological nesting degrades to null, not a stack overflow") {
+    val deep = "[" * 600 + "]" * 600
+    val ok = "[" * 400 + "1" + "]" * 400
+    val df = Seq(deep, ok).toDF("j").select(PyCanonicalJson(col("j")).as("c"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got(0).isEmpty)
+    assert(got(1) === Some(ok))
+  }
+
   test("malformed JSON yields null, not a job-killing exception") {
     val df = Seq("{\"a\": 1}", "{broken", "[1, 2", "").toDF("j")
       .select(PyCanonicalJson(col("j")).as("c"))
