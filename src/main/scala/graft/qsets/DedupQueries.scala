@@ -123,11 +123,18 @@ object DedupQueries extends QuerySet {
     // unit-proven identical in BucketedIndexSpec.
     "dd_bucketed_incremental" -> ((s, dir) => {
       import graft.dedup.BucketedIncrementalDedup
-      // per-sf table namespace, dropped before each run (managed tables —
-      // DROP removes data; a retry or repeat bench rep starts clean)
+      // per-sf table namespace, dropped before each run. DROP alone is not
+      // enough: the in-memory catalog is per-session but the warehouse
+      // directory persists on disk, and a leftover location from a
+      // previous JVM fails saveAsTable with LOCATION_ALREADY_EXISTS — so
+      // the physical path is removed too.
       val base = "bincdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      for (t <- Seq(s"${base}_bands", s"${base}_sh", s"${base}_stats"))
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      for (t <- Seq(s"${base}_bands", s"${base}_sh", s"${base}_stats")) {
         s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       val docs = doubled(s, dir)
       val s1 = BucketedIncrementalDedup.addBatch(
         docs.filter(col("doc_id") < COPY_OFFSET),

@@ -39,7 +39,12 @@ val notes: Seq[(String, String)] = Seq(
   "tx_lm_score" -> "Bigram-LM score: one corpus-wide (prefix,bigram) count aggregate; the prefix counts derive from it by a vocabulary-sized second aggregation (exchange reused), and both count tables broadcast back onto the bigram stream.",
   "dd_repeated_spans" -> "Repeated-span coverage: window hashes as xxhash64, the repeated-gram table joins back under AQE, and the union-of-intervals coverage is an aggregate HOF over each doc's bounded flagged-position list - no window sort over the corpus-wide span stream.",
   "tx_heavy_hitters" -> "Misra-Gries heavy hitters: bounded O(m) sketch state per task, partials merge by counter-sum + rebase, only m counters per task cross the shuffle - vs a groupBy(token) that would shuffle the whole token stream.",
-  "pipe_fates" -> "Drop-reason audit: one scoring pass, winner pick as the min_by hash aggregate over quality passers, ids-only join back to tag fates - the documents are never shuffled twice."
+  "pipe_fates" -> "Drop-reason audit: one scoring pass, winner pick as the min_by hash aggregate over quality passers, ids-only join back to tag fates - the documents are never shuffled twice.",
+  "j15_asof_join" -> "Backward as-of join with NO join node: both sides tagged and unioned, ONE hash exchange on the key, a running last(ignoreNulls) window frame carries the most recent right payload onto each left row - the distributed merge form of ASOF, never a quadratic inequality BNLJ.",
+  "j16_range_join" -> "Interval containment as an equi join: intervals explode into fixed-width bins (bounded fan-out), points map to exactly one bin, the join runs equi on (key,bin) and the exact predicate filters after - a plain SMJ/hash join AQE can size or broadcast, never a BNLJ.",
+  "dd_bucketed_incremental" -> "Bucketed-index incremental dedup: candidate and verify joins read the accumulated index tables bucket-aligned (zero exchange on the index side - the side that grows without bound under daily ingest); only the arriving batch shuffles to the bucket layout. Final plan reads the survivor checkpoint; the zero-exchange index reads are pinned in BucketedIndexSpec.",
+  "f7_spec_hash" -> "Reference hash_dict parity digest: scan -> project through the codegen'd py_canonical_json + sha2 pipeline -> ordered output; one narrow projection, no shuffle before the final ORDER BY.",
+  "mol_qcel_canonical" -> "QCElemental get_hash pre-image: pure codegen'd projection (qcel_molecule_canonical over the synthesized molecule struct), no shuffle before the final ORDER BY."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
