@@ -47,6 +47,24 @@ class PyJsonSpec extends SparkSuite {
     }
   }
 
+  test("float repr round-trips exactly across magnitude bands (seeded sweep)") {
+    // the shortest-repr search must never lose precision: for any double,
+    // parsing the repr must recover the identical bits (Python guarantees
+    // this for repr; the sha-parity contract inherits it)
+    val rnd = new scala.util.Random(42)
+    val magnitudes = Seq(1e-300, 1e-20, 1e-8, 1e-4, 1.0, 1e4, 1e15, 1e16, 1e300)
+    val values = magnitudes.flatMap(m =>
+      (0 until 200).map(_ => (rnd.nextDouble() - 0.5) * m)) ++
+      Seq(0.0, -0.0, Double.MinPositiveValue, Double.MaxValue)
+    values.foreach { d =>
+      val r = PyJson.pyFloatRepr(d)
+      assert(java.lang.Double.parseDouble(r) == d, s"repr($d) = $r does not round-trip")
+      // Python repr never emits a bare integer for a float — a '.' or 'e'
+      // must be present (the json int/float distinction depends on it)
+      assert(r.contains('.') || r.contains('e'), s"repr($d) = $r lost floatness")
+    }
+  }
+
   test("canonicalization handles escapes, unicode, bigints, non-finite") {
     val in =
       """{"b": "line\nbreak \"q\" \\ é ✓", "a": [1e3, 100000000000000000000, -0],
