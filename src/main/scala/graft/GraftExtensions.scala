@@ -88,6 +88,23 @@ object GraftExtensions {
           SrpBands(c, intArg("srp_bands", 2, bits), intArg("srp_bands", 3, b),
             longArg("srp_bands", 4, seed))
         case _ => arity("srp_bands", "3-4 (vector, bits, bands[, seed])")
+      }),
+    (FunctionIdentifier("py_canonical_json"),
+      info("py_canonical_json", classOf[PyCanonicalJson],
+        "py_canonical_json(json_text) - CPython json.dumps(sort_keys=True, " +
+          "ensure_ascii=True) byte-identical rendering; null on malformed input"),
+      {
+        case Seq(c) => PyCanonicalJson(c)
+        case _ => arity("py_canonical_json", "1 (json_text)")
+      }),
+    (FunctionIdentifier("qcel_molecule_canonical"),
+      info("qcel_molecule_canonical", classOf[QcelMoleculeCanonical],
+        "qcel_molecule_canonical(molecule_struct) - QCElemental get_hash " +
+          "pre-image over the 10-field molecule struct (sha1() of it is the " +
+          "reference molecule_hash)"),
+      {
+        case Seq(c) => QcelMoleculeCanonical(c)
+        case _ => arity("qcel_molecule_canonical", "1 (molecule_struct)")
       }))
 
   /** Register every function into a live session's registry. */

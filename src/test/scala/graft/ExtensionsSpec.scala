@@ -58,6 +58,40 @@ class ExtensionsSpec extends SparkSuite {
     assert(viaSql.exists { case (_, s, s7) => s != s7 }, "seed must change the signature")
   }
 
+  test("py_canonical_json and qcel_molecule_canonical from SQL equal the DataFrame forms") {
+    val specs = Seq(
+      (1L, """{"b": 2, "a": [1.5, true, null]}"""),
+      (2L, """{"nested": {"z": "x", "y": 10}}"""),
+      (3L, "{broken")
+    ).toDF("id", "j")
+    specs.createOrReplaceTempView("ext_specs")
+    val viaSql = spark.sql(
+      "SELECT id, py_canonical_json(j) AS c FROM ext_specs ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val viaDf = specs.select(col("id"),
+        graft.functions.PyCanonicalJson(col("j")).as("c")).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(viaSql.toSeq === viaDf.toSeq)
+    assert(viaSql(0)._2 === Some("""{"a": [1.5, true, null], "b": 2}"""))
+    assert(viaSql(2)._2.isEmpty)
+
+    val viaMolSql = spark.sql(
+      """SELECT sha1(qcel_molecule_canonical(named_struct(
+        |  'symbols', array('He'), 'masses', CAST(null AS ARRAY<DOUBLE>),
+        |  'charge', 0.0D, 'mult', 1, 'real', array(true),
+        |  'geometry', array(0.5D, 1.0D, -0.25D),
+        |  'fragments', CAST(null AS ARRAY<ARRAY<INT>>),
+        |  'fragment_charges', CAST(null AS ARRAY<DOUBLE>),
+        |  'fragment_multiplicities', CAST(null AS ARRAY<INT>),
+        |  'connectivity', CAST(null AS ARRAY<STRUCT<a:INT,b:INT,bo:DOUBLE>>)))) AS h
+        |""".stripMargin).collect()(0).getString(0)
+    val viaMolDf = spark.range(1).select(graft.functions.Molecules.qcelMoleculeHash(
+        array(lit("He")), lit(null), lit(0.0), lit(1),
+        array(lit(true)), array(lit(0.5), lit(1.0), lit(-0.25))).as("h"))
+      .collect()(0).getString(0)
+    assert(viaMolSql === viaMolDf)
+  }
+
   test("sizing parameters must be literals — a column argument fails loudly") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {
