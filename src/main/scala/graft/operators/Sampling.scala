@@ -119,6 +119,31 @@ object Sampling {
     substring(md5(contentCol), 1, 2) < thr
   }
 
+  /** Leakage-free train/val/test split assignment: the split is keyed on
+    * the duplicate CLUSTER, not the document — every member of a dup
+    * cluster lands in the same split, closing the classic eval
+    * contamination bug where a near-copy of a test document sits in
+    * train. `bounds` are cumulative ASCENDING two-hex-digit md5
+    * thresholds: Seq(("train","cc"), ("val","e6")) with `lastSplit` =
+    * "test" gives ≈ 80/10/10 (0xcc=204, 0xe6=230 of 256). Same contract
+    * as [[hashSample]]: content-keyed, shuffle-free, reproducible
+    * byte-for-byte by an external engine — pass the cluster id (min doc
+    * id per component/content group) rendered as a string. */
+  def clusterSafeSplit(clusterKey: Column, bounds: Seq[(String, String)],
+                       lastSplit: String): Column = {
+    require(bounds.nonEmpty, "at least one split bound required")
+    bounds.foreach { case (_, h) =>
+      require(h.matches("[0-9a-f]{2}"),
+        s"split bounds must be two lowercase hex digits, got '$h'")
+    }
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "split bounds must be ascending (they are cumulative)")
+    val h2 = substring(md5(clusterKey), 1, 2)
+    bounds.foldRight(lit(lastSplit): Column) { case ((nm, hex), acc) =>
+      when(h2 < lit(hex), lit(nm)).otherwise(acc)
+    }
+  }
+
   /** Power-of-two-free LINEAR histogram of a count column: integer
     * bucket = value div `width` — exact integer arithmetic on both
     * engine and oracle, no float log edge cases. The standard corpus

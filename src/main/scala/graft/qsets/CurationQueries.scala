@@ -90,6 +90,27 @@ object CurationQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-free train/val/test split: split assignment keyed on the
+    // duplicate CLUSTER (min doc_id per content hash over the doubled
+    // corpus), so a document and its copies can never straddle splits —
+    // the eval-contamination guard a training pipeline needs BEFORE
+    // mixing. Content-deterministic and engine-reproducible (md5
+    // thresholds); cluster formation is one hash aggregate + a join back,
+    // no window over the corpus.
+    "samp_split_leakfree" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("h", md5(col("text")))
+      val clusters = docs.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("cluster_id"))
+      docs.join(clusters, "h")
+        .select(col("doc_id"), col("cluster_id"),
+          graft.operators.Sampling.clusterSafeSplit(
+            col("cluster_id").cast("string"),
+            Seq(("train", "cc"), ("val", "e6")), "test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain mixing: per-source quotas (first-N by doc_id), the
     // deterministic form of "mix sources at fixed proportions".
     "samp_mix" -> ((s, dir) => {
@@ -223,6 +244,23 @@ object CurationQueries extends QuerySet {
         |FROM documents
         |WHERE substr(md5(text), 1, 1) < '2'
         |ORDER BY doc_id""".stripMargin,
+
+    "samp_split_leakfree" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |cl AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS cluster_id
+        |  FROM batch GROUP BY 1)
+        |SELECT b.doc_id, cl.cluster_id,
+        |  CASE WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM batch b JOIN cl ON md5(b.text) = cl.h
+        |ORDER BY b.doc_id""".stripMargin,
 
     "samp_mix" ->
       """WITH ranked AS (

@@ -116,6 +116,32 @@ class CurationSpec extends SparkSuite {
     assert(hist.count() === 3)
   }
 
+  test("cluster-safe split: no dup cluster straddles splits; bounds validated") {
+    import org.apache.spark.sql.functions.{col, md5, min}
+    // 50 docs, every text duplicated across two ids -> 25 clusters of 2
+    val docs = (0L until 50L).map(i => (i, s"text ${i % 25}")).toDF("doc_id", "text")
+    val clusters = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    val split = docs.withColumn("h", md5(col("text"))).join(clusters, "h")
+      .select(col("doc_id"), col("cluster_id"),
+        Sampling.clusterSafeSplit(col("cluster_id").cast("string"),
+          Seq(("train", "cc"), ("val", "e6")), "test").as("split"))
+    // leakage check: every cluster maps to exactly one split
+    val leaks = split.groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(leaks === 0L)
+    // all three splits occur across 25 clusters (md5 spread)
+    assert(split.select(col("split")).distinct().count() === 3L)
+    // misordered bounds and bad hex are rejected at the API boundary
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSafeSplit(col("cluster_id"), Seq(("a", "e6"), ("b", "cc")), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSafeSplit(col("cluster_id"), Seq(("a", "ZZ")), "c")
+    }
+  }
+
   test("linear histogram buckets by exact integer division") {
     val vals = Seq(0L, 31L, 32L, 63L, 64L, 100L).toDF("v")
     val h = Sampling.linearHistogram(vals, col("v"), 32)
