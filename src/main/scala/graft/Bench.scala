@@ -103,6 +103,13 @@ object Bench {
       val ts = times(name).sorted
       name -> (if (failed.contains(name) || ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
+    // per-query rep spread — written into the tracked full artifact only
+    // (not the driver's stdout line) so a noisy median is visible in the
+    // round audit trail rather than silently trusted
+    val spreads = names.map { name =>
+      val ts = times(name).sorted
+      name -> (if (ts.isEmpty) (-1.0, -1.0) else (ts.head, ts.last))
+    }.toMap
     // ms precision is plenty and keeps the JSON lines short — the driver
     // records only a bounded stdout tail, so every byte of the line counts
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -112,6 +119,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    val spreadJson = names.map { n =>
+      val (lo, hi) = spreads(n)
+      s"\"" + n + s"\":[${fmt(lo)},${fmt(hi)}]"
+    }.mkString("{", ",", "}")
+    val fullJson = json.dropRight(1) + s""","reps":$reps,"spread":$spreadJson}"""
     // the driver's recorded stdout tail truncates around 2000 chars — far
     // less than the full per-query line — so persist the full JSON to a
     // TRACKED repo file (bench_full.json) for round-over-round comparison
@@ -123,7 +135,7 @@ object Bench {
       try {
         val out = java.nio.file.Paths.get(p)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-        java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+        java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
