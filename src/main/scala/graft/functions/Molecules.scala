@@ -188,7 +188,8 @@ object QcelMoleculeCanonical {
       var i = 0
       while (i < xs.length) {
         if (i > 0) sb.append(", ")
-        sb.append(PyJson.pyFloatRepr(xs(i)))
+        // json constant spellings for non-finite (NaN, not repr's nan)
+        sb.append(PyJson.pyJsonFloat(xs(i)))
         i += 1
       }
       sb.append(']')
@@ -212,7 +213,7 @@ object QcelMoleculeCanonical {
     else renderDoubleList(prepArray(row.getArray(1).toDoubleArray(), 6))
     // 2: molecular_charge — scalar float_prep 4
     if (row.isNullAt(2)) sb.append("null")
-    else sb.append(PyJson.pyFloatRepr(prepScalar(row.getDouble(2), 4)))
+    else sb.append(PyJson.pyJsonFloat(prepScalar(row.getDouble(2), 4)))
     // 3: molecular_multiplicity — int
     if (row.isNullAt(3)) sb.append("null") else sb.append(row.getInt(3))
     // 4: real — list of booleans
@@ -278,7 +279,7 @@ object QcelMoleculeCanonical {
         if (i > 0) sb.append(", ")
         val t = a.getStruct(i, 3)
         sb.append('[').append(t.getInt(0)).append(", ").append(t.getInt(1))
-          .append(", ").append(PyJson.pyFloatRepr(t.getDouble(2))).append(']')
+          .append(", ").append(PyJson.pyJsonFloat(t.getDouble(2))).append(']')
         i += 1
       }
       sb.append(']')

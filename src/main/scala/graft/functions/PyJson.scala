@@ -244,6 +244,16 @@ object PyJson {
     sb.toString
   }
 
+  /** json.dumps rendering of a float VALUE: non-finite floats use the
+    * json constant spellings (NaN/Infinity/-Infinity), finite floats use
+    * Python repr. This is the form every embedded-float renderer
+    * (molecule canonicalization included) must use — bare pyFloatRepr
+    * would emit repr's lowercase `nan`/`inf`. */
+  def pyJsonFloat(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isInfinite) { if (d > 0) "Infinity" else "-Infinity" }
+    else pyFloatRepr(d)
+
   /** json.dumps(ensure_ascii=True) string rendering. */
   def renderString(v: String, sb: java.lang.StringBuilder): Unit = {
     sb.append('"')
@@ -284,11 +294,7 @@ object PyJson {
     case null => sb.append("null")
     case b: java.lang.Boolean => sb.append(if (b) "true" else "false")
     case bi: java.math.BigInteger => sb.append(bi.toString)
-    case d: java.lang.Double =>
-      // json.dumps renders non-finite floats as Python constants, not repr
-      if (d.isNaN) sb.append("NaN")
-      else if (d.isInfinite) sb.append(if (d > 0) "Infinity" else "-Infinity")
-      else sb.append(pyFloatRepr(d))
+    case d: java.lang.Double => sb.append(pyJsonFloat(d))
     case s: String => renderString(s, sb)
     case xs: Vector[_] =>
       sb.append('[')
@@ -302,7 +308,13 @@ object PyJson {
     case Obj(entries) =>
       sb.append('{')
       var first = true
-      entries.sortWith((x, y) => cpCompare(x._1, y._1) < 0).foreach { case (k, x) =>
+      // duplicate keys: CPython's json.loads keeps the LAST occurrence —
+      // collapse the same way before sorting or the rendering (and digest)
+      // would diverge on such input
+      val deduped =
+        if (entries.map(_._1).distinct.lengthCompare(entries.length) == 0) entries
+        else entries.reverse.distinctBy(_._1).reverse
+      deduped.sortWith((x, y) => cpCompare(x._1, y._1) < 0).foreach { case (k, x) =>
         if (!first) sb.append(", ")
         first = false
         renderString(k, sb)

@@ -89,6 +89,12 @@ class PyJsonSpec extends SparkSuite {
     assert(got(1) === Some(ok))
   }
 
+  test("duplicate keys collapse to the last occurrence, as CPython does") {
+    // json.dumps(json.loads('{"b":0,"a":1,"a":2}'), sort_keys=True)
+    //   == '{"a": 2, "b": 0}'
+    assert(PyJson.canonical("""{"b": 0, "a": 1, "a": 2}""") === """{"a": 2, "b": 0}""")
+  }
+
   test("malformed JSON yields null, not a job-killing exception") {
     val df = Seq("{\"a\": 1}", "{broken", "[1, 2", "").toDF("j")
       .select(PyCanonicalJson(col("j")).as("c"))
