@@ -115,17 +115,19 @@ object Verify {
     // a missed duplicate
     def copyDrop(name: String, nBase: Long): Double = {
       if (nBase == 0) return 1.0
-      val surviving = out(name).filter(col(out(name).columns.head) >= OFF).count()
+      val df = out(name)
+      val surviving = df.filter(col(df.columns.head) >= OFF).count()
       1.0 - surviving.toDouble / nBase
     }
     // ANN recall@k: overlap with the brute-force (q_id, vec_id) truth set
+    // (read and collected once, shared by both ANN checks)
+    lazy val knnTruth = out("sim_knn_brute").select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallAtK(name: String): Double = {
-      val truth = out("sim_knn_brute").select(col("q_id"), col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      if (truth.isEmpty) return 1.0
+      if (knnTruth.isEmpty) return 1.0
       val got = out(name).select(col("q_id"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      truth.intersect(got).size.toDouble / truth.size
+      knnTruth.intersect(got).size.toDouble / knnTruth.size
     }
     val docIds = ids("documents", "doc_id")
     val vecIds = ids("embeddings", "vec_id")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Molecule fidelity functions (SURVEY F8/F9/F10).
@@ -121,6 +121,37 @@ case class QcelMoleculeCanonical(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "qcel_molecule_canonical"
 
+  // SQL users build the input struct by hand (named_struct in
+  // GraftExtensions), so the field types must be validated — compute()
+  // reads ordinals with typed getters, and e.g. an integer charge slot
+  // would otherwise reinterpret binary as a subnormal double and silently
+  // hash every charged molecule as neutral.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val want: Seq[DataType] = Seq(
+      ArrayType(StringType), ArrayType(DoubleType), DoubleType, IntegerType,
+      ArrayType(BooleanType), ArrayType(DoubleType),
+      ArrayType(ArrayType(IntegerType)), ArrayType(DoubleType),
+      ArrayType(IntegerType),
+      ArrayType(StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType),
+        StructField("bo", DoubleType)))))
+    child.dataType match {
+      case StructType(fields) if fields.length == want.length &&
+          fields.map(_.dataType).zip(want).forall {
+            case (got, exp) => DataType.equalsIgnoreCaseAndNullability(got, exp)
+          } =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects struct<symbols:array<string>, masses:array<double>, " +
+            "charge:double, mult:int, real:array<boolean>, geometry:array<double>, " +
+            "fragments:array<array<int>>, fragment_charges:array<double>, " +
+            "fragment_multiplicities:array<int>, " +
+            s"connectivity:array<struct<a:int,b:int,bo:double>>>, got ${other.simpleString(5)}")
+    }
+  }
+
   override protected def nullSafeEval(input: Any): Any =
     QcelMoleculeCanonical.compute(input.asInstanceOf[InternalRow])
 
@@ -159,16 +190,6 @@ object QcelMoleculeCanonical {
 
   private final val POW = Map(4 -> 1e4, 6 -> 1e6, 8 -> 1e8)
 
-  /** `float_prep` array path: np.around then zero-flip. */
-  private def prepArray(xs: Array[Double], around: Int): Array[Double] = {
-    val scale = POW(around)
-    val flip = Math.pow(5.0, -(around + 1).toDouble)
-    xs.map { x =>
-      val r = Math.rint(x * scale) / scale
-      if (Math.abs(r) < flip) 0.0 else r
-    }
-  }
-
   /** `float_prep` scalar path: CPython round(x, n) — correct decimal
     * rounding half-even — then -0.0 → +0.0. */
   private def prepScalar(x: Double, around: Int): Double = {
@@ -181,36 +202,42 @@ object QcelMoleculeCanonical {
   /** Static helper invoked from both interpreted eval and generated code.
     * Field ordinals match [[apply]]'s struct. */
   def compute(row: InternalRow): UTF8String = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
     val sb = new java.lang.StringBuilder(256)
 
-    def renderDoubleList(xs: Array[Double]): Unit = {
+    // Every array walk checks per-ELEMENT nulls: a null slot renders as
+    // json's `null` (what json.dumps does for None in a list) — typed
+    // getters on a null slot would otherwise read garbage bits (unsafe
+    // rows) or NPE (generic rows).
+    def renderList(a: ArrayData)(one: Int => Unit): Unit = {
       sb.append('[')
       var i = 0
-      while (i < xs.length) {
+      while (i < a.numElements()) {
         if (i > 0) sb.append(", ")
-        // json constant spellings for non-finite (NaN, not repr's nan)
-        sb.append(PyJson.pyJsonFloat(xs(i)))
+        if (a.isNullAt(i)) sb.append("null") else one(i)
         i += 1
       }
       sb.append(']')
+    }
+
+    def renderPreppedDoubles(a: ArrayData, around: Int): Unit = {
+      val scale = POW(around)
+      val flip = Math.pow(5.0, -(around + 1).toDouble)
+      renderList(a) { i =>
+        val r = Math.rint(a.getDouble(i) * scale) / scale
+        sb.append(PyJson.pyJsonFloat(if (Math.abs(r) < flip) 0.0 else r))
+      }
     }
 
     // 0: symbols — list of json-escaped strings
     if (row.isNullAt(0)) sb.append("null")
     else {
       val a = row.getArray(0)
-      sb.append('[')
-      var i = 0
-      while (i < a.numElements()) {
-        if (i > 0) sb.append(", ")
-        PyJson.renderString(a.getUTF8String(i).toString, sb)
-        i += 1
-      }
-      sb.append(']')
+      renderList(a)(i => PyJson.renderString(a.getUTF8String(i).toString, sb))
     }
     // 1: masses — float_prep 6
     if (row.isNullAt(1)) sb.append("null")
-    else renderDoubleList(prepArray(row.getArray(1).toDoubleArray(), 6))
+    else renderPreppedDoubles(row.getArray(1), 6)
     // 2: molecular_charge — scalar float_prep 4
     if (row.isNullAt(2)) sb.append("null")
     else sb.append(PyJson.pyJsonFloat(prepScalar(row.getDouble(2), 4)))
@@ -220,69 +247,44 @@ object QcelMoleculeCanonical {
     if (row.isNullAt(4)) sb.append("null")
     else {
       val a = row.getArray(4)
-      sb.append('[')
-      var i = 0
-      while (i < a.numElements()) {
-        if (i > 0) sb.append(", ")
-        sb.append(if (a.getBoolean(i)) "true" else "false")
-        i += 1
-      }
-      sb.append(']')
+      renderList(a)(i => sb.append(if (a.getBoolean(i)) "true" else "false"))
     }
     // 5: geometry — float_prep 8, flattened
     if (row.isNullAt(5)) sb.append("null")
-    else renderDoubleList(prepArray(row.getArray(5).toDoubleArray(), 8))
+    else renderPreppedDoubles(row.getArray(5), 8)
     // 6: fragments — list of int lists
     if (row.isNullAt(6)) sb.append("null")
     else {
       val a = row.getArray(6)
-      sb.append('[')
-      var i = 0
-      while (i < a.numElements()) {
-        if (i > 0) sb.append(", ")
+      renderList(a) { i =>
         val inner = a.getArray(i)
-        sb.append('[')
-        var j = 0
-        while (j < inner.numElements()) {
-          if (j > 0) sb.append(", ")
-          sb.append(inner.getInt(j))
-          j += 1
-        }
-        sb.append(']')
-        i += 1
+        renderList(inner)(j => sb.append(inner.getInt(j)))
       }
-      sb.append(']')
     }
     // 7: fragment_charges — float_prep 4 (ARRAY path: np.around semantics)
     if (row.isNullAt(7)) sb.append("null")
-    else renderDoubleList(prepArray(row.getArray(7).toDoubleArray(), 4))
+    else renderPreppedDoubles(row.getArray(7), 4)
     // 8: fragment_multiplicities — list of ints
     if (row.isNullAt(8)) sb.append("null")
     else {
       val a = row.getArray(8)
-      sb.append('[')
-      var i = 0
-      while (i < a.numElements()) {
-        if (i > 0) sb.append(", ")
-        sb.append(a.getInt(i))
-        i += 1
-      }
-      sb.append(']')
+      renderList(a)(i => sb.append(a.getInt(i)))
     }
     // 9: connectivity — [[a, b, bond_order], ...], bond order NOT prepped
     if (row.isNullAt(9)) sb.append("null")
     else {
       val a = row.getArray(9)
-      sb.append('[')
-      var i = 0
-      while (i < a.numElements()) {
-        if (i > 0) sb.append(", ")
+      renderList(a) { i =>
         val t = a.getStruct(i, 3)
-        sb.append('[').append(t.getInt(0)).append(", ").append(t.getInt(1))
-          .append(", ").append(PyJson.pyJsonFloat(t.getDouble(2))).append(']')
-        i += 1
+        sb.append('[')
+        if (t.isNullAt(0)) sb.append("null") else sb.append(t.getInt(0))
+        sb.append(", ")
+        if (t.isNullAt(1)) sb.append("null") else sb.append(t.getInt(1))
+        sb.append(", ")
+        if (t.isNullAt(2)) sb.append("null")
+        else sb.append(PyJson.pyJsonFloat(t.getDouble(2)))
+        sb.append(']')
       }
-      sb.append(']')
     }
     UTF8String.fromString(sb.toString)
   }

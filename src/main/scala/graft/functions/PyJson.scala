@@ -161,13 +161,19 @@ object PyJson {
               i += 4
             case c2 => err(s"bad escape '\\$c2'")
           }
-        } else sb.append(c)
+        } else if (c < ' ') err("raw control character in string") // strict json.loads
+        else sb.append(c)
         i += 1
       }
       expect('"')
       sb.toString
     }
 
+    // STRICT number grammar, same as CPython json.loads: leading zeros
+    // ('01'), a bare trailing dot ('1.'), and a dotless exponent-less
+    // empty fraction are rejected — a lenient parser would manufacture
+    // digests for documents the reference never hashed.
+    private def digit(c: Char): Boolean = c >= '0' && c <= '9'
     private def num(): Any = {
       val start = i
       if (i < s.length && s.charAt(i) == '-') i += 1
@@ -176,10 +182,23 @@ object PyJson {
         lit("Infinity", null)
         return java.lang.Double.valueOf(Double.NegativeInfinity)
       }
+      if (i >= s.length || !digit(s.charAt(i))) err("bad number")
+      if (s.charAt(i) == '0') {
+        i += 1
+        if (i < s.length && digit(s.charAt(i))) err("leading zero")
+      } else while (i < s.length && digit(s.charAt(i))) i += 1
       var isFloat = false
-      while (i < s.length && { val c = s.charAt(i)
-        if (c == '.' || c == 'e' || c == 'E') { isFloat = true; true }
-        else (c >= '0' && c <= '9') || c == '+' || c == '-' }) i += 1
+      if (i < s.length && s.charAt(i) == '.') {
+        isFloat = true; i += 1
+        if (i >= s.length || !digit(s.charAt(i))) err("bad fraction")
+        while (i < s.length && digit(s.charAt(i))) i += 1
+      }
+      if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        isFloat = true; i += 1
+        if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        if (i >= s.length || !digit(s.charAt(i))) err("bad exponent")
+        while (i < s.length && digit(s.charAt(i))) i += 1
+      }
       val text = s.substring(start, i)
       if (isFloat) java.lang.Double.valueOf(text.toDouble)
       else new java.math.BigInteger(text)
@@ -244,6 +263,8 @@ object PyJson {
     sb.toString
   }
 
+  private final val HexDigits = "0123456789abcdef"
+
   /** json.dumps rendering of a float VALUE: non-finite floats use the
     * json constant spellings (NaN/Infinity/-Infinity), finite floats use
     * Python repr. This is the form every embedded-float renderer
@@ -269,9 +290,14 @@ object PyJson {
         case '\b' => sb.append("\\b")
         case '\f' => sb.append("\\f")
         case _ =>
-          if (c < 0x20 || c > 0x7e)
-            sb.append(String.format(java.util.Locale.ROOT, "\\u%04x", Integer.valueOf(c)))
-          else sb.append(c)
+          if (c < 0x20 || c > 0x7e) {
+            // manual nibble append — a String.format per character would
+            // allocate a Formatter for every non-ASCII char, the common
+            // case for any non-English corpus
+            sb.append('\\').append('u')
+            sb.append(HexDigits((c >> 12) & 0xf)).append(HexDigits((c >> 8) & 0xf))
+            sb.append(HexDigits((c >> 4) & 0xf)).append(HexDigits(c & 0xf))
+          } else sb.append(c)
       }
       k += 1
     }

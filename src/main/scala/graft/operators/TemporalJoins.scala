@@ -67,25 +67,26 @@ object TemporalJoins {
     val overlap = rightVals.toSet.intersect(lCols.toSet)
     require(overlap.isEmpty,
       s"rightVals collide with left column names: ${overlap.mkString(", ")} — alias them first")
+    // backtick-quoted refs EVERYWHERE a caller-supplied name is resolved:
+    // a column name containing dots must be a literal lookup, not a
+    // nested-field path — on both sides, not just the left
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     val rvType = org.apache.spark.sql.types.StructType(
-      right.select(rightVals.map(col): _*).schema.map(_.copy(nullable = true)))
+      right.select(rightVals.map(q): _*).schema.map(_.copy(nullable = true)))
     require(
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rvType),
       s"rightVals must be orderable types (no MAP); got ${rvType.simpleString}")
     val lType = org.apache.spark.sql.types.StructType(
       left.schema.map(_.copy(nullable = true)))
-    // backtick-quoted refs: a left column name containing dots must be a
-    // literal lookup, not a nested-field path
-    def q(c: String) = col("`" + c.replace("`", "``") + "`")
-    val l = left.select(col(key).as("__k"), col(leftTs).as("__t"),
+    val l = left.select(q(key).as("__k"), q(leftTs).as("__t"),
       lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
       struct(lCols.map(q): _*).as("__lrow"))
     // null rightTs is never an as-of match — dropping it here also makes
     // the nulls-first sort safe: the only null-__t rows left are left-side
     // rows, which correctly see an empty running frame (null payload)
-    val r = right.filter(col(rightTs).isNotNull)
-      .select(col(key).as("__k"), col(rightTs).as("__t"),
-        lit(0).as("__side"), struct(rightVals.map(col): _*).as("__rv"),
+    val r = right.filter(q(rightTs).isNotNull)
+      .select(q(key).as("__k"), q(rightTs).as("__t"),
+        lit(0).as("__side"), struct(rightVals.map(q): _*).as("__rv"),
         lit(null).cast(lType).as("__lrow"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)

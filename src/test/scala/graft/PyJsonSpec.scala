@@ -96,7 +96,12 @@ class PyJsonSpec extends SparkSuite {
   }
 
   test("malformed JSON yields null, not a job-killing exception") {
-    val df = Seq("{\"a\": 1}", "{broken", "[1, 2", "").toDF("j")
+    // includes the lenient-grammar traps strict json.loads rejects:
+    // leading zeros, bare trailing dot, empty exponent, raw control char
+    // in a string — a digest must never be manufactured for a document
+    // the reference would have refused to hash
+    val df = Seq("{\"a\": 1}", "{broken", "[1, 2", "",
+        "{\"a\": 01}", "[1.]", "[1e]", "[\"ab\"]").toDF("j")
       .select(PyCanonicalJson(col("j")).as("c"))
     val got = df.collect().map(r => Option(r.getString(0)))
     assert(got(0) === Some("{\"a\": 1}"))

@@ -62,13 +62,13 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(e.getMessage.contains("orderable"))
   }
 
-  test("asOfJoin: left column names containing dots survive the round trip") {
+  test("asOfJoin: column names containing dots survive on BOTH sides") {
     val left = Seq((1L, "k1", ts("2024-01-01 00:05:00")))
       .toDF("my.id", "k", "t")
-    val right = Seq(("k1", ts("2024-01-01 00:00:00"), 7L)).toDF("k", "rt", "v")
-    val out = TemporalJoins.asOfJoin(left, right, "k", "t", "rt", Seq("v"))
-    assert(out.columns.toSeq === Seq("my.id", "k", "t", "v"))
-    val row = out.select(col("`my.id`"), col("v")).as[(Long, Long)].collect()
+    val right = Seq(("k1", ts("2024-01-01 00:00:00"), 7L)).toDF("k", "rt", "my.v")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "t", "rt", Seq("my.v"))
+    assert(out.columns.toSeq === Seq("my.id", "k", "t", "my.v"))
+    val row = out.select(col("`my.id`"), col("`my.v`")).as[(Long, Long)].collect()
     assert(row === Array((1L, 7L)))
   }
 
