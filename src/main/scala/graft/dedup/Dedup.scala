@@ -203,6 +203,20 @@ object Dedup {
   def minhashPairsFromShingles(sh: DataFrame, k: Int = 16, bands: Int = 4,
                                minJaccard: Double = 0.2,
                                bucketCap: Int = 1024): DataFrame = {
+    // empty fast path (mirrors components()): an incremental batch that
+    // fully matched the index arrives here with zero remaining rows — a
+    // common shape on reprocessing streams — and would otherwise pay the
+    // whole persist/size-pass/checkpoint machinery (~8 scheduler
+    // round-trips) to produce no pairs. The probe is one limit-1 read of
+    // the caller's (typically checkpointed) frame.
+    if (sh.isEmpty) {
+      val spark = sh.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("jaccard", DoubleType))))
+    }
     // 128-bit content key over the shingle-hash array (two seeded
     // xxhash64s; a single 64-bit key would collide at billions of docs);
     // one row per distinct content, min-id representative. Persisted:
