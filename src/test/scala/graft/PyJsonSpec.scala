@@ -27,11 +27,18 @@ class PyJsonSpec extends SparkSuite {
     val out = df.select(
       col("sha256"), col("canonical"),
       PyCanonicalJson(col("json")).as("got_canonical"),
-      Hashing.pyDictHash256(col("json")).as("got_sha"))
+      Hashing.pyDictHash256(col("json")).as("got_sha"),
+      // idempotence: the canonical form must be a fixed point of the
+      // canonicalizer (re-parsing our own rendering and re-rendering must
+      // change nothing — catches parse/render asymmetries the one-shot
+      // compare can't)
+      PyCanonicalJson(PyCanonicalJson(col("json"))).as("got_twice"))
     val badCanon = out.filter(col("got_canonical") =!= col("canonical")).count()
     val badSha = out.filter(col("got_sha") =!= col("sha256")).count()
+    val badFix = out.filter(col("got_twice") =!= col("got_canonical")).count()
     assert(badCanon === 0L, "canonical rendering drifted from CPython")
     assert(badSha === 0L, "digest mismatch vs reference-pinned sha256")
+    assert(badFix === 0L, "canonicalization is not idempotent")
   }
 
   test("float repr matches Python repr across notation boundaries") {
