@@ -33,9 +33,23 @@ import graft.text.TextFunctions
   * 100 TB — the exact cost this operator exists to avoid). Counting the
   * aggregated benchmark first costs one action on the SMALL side and
   * makes the common case (eval suites: thousands of docs, millions of
-  * grams) an explicit broadcast with the corpus never shuffled; past
-  * the gate the plan degrades to the shuffled join that an
-  * over-threshold broadcast would have OOM'd on.
+  * grams) an explicit broadcast with the corpus never shuffled.
+  *
+  * Past the gate the corpus STILL never shuffles in full: the oversized
+  * regime builds a Bloom filter over the benchmark grams (~7 bits/gram
+  * at 3% fpp — two orders denser than the 8-byte hashes a broadcast
+  * ships, so a gram set far past broadcast size still fits every
+  * executor) and pre-filters corpus grams with Spark's native
+  * `BloomFilterMightContain` predicate BEFORE the exact join. Only true
+  * hits plus the fpp sliver of false positives enter the shuffle, and
+  * the exact join then removes the false positives — output is
+  * byte-identical to the broadcast path. This is the same
+  * sketch-then-verify shape Spark's own runtime row-level filtering
+  * injects for large joins, applied here with a measured item count
+  * (the filter is sized from the exact distinct-gram count, not an
+  * estimate; the public `stat.bloomFilter` aggregation is used for the
+  * build because the internal `bloom_filter_agg` silently caps its
+  * size at `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`).
   */
 object Decontaminate {
 
@@ -43,6 +57,12 @@ object Decontaminate {
     * ≈ 64 MB of hashes before overhead — comfortably inside a default
     * driver/executor budget, far past any real eval suite. */
   private[dedup] val MaxBroadcastGrams = 8L * 1000 * 1000
+
+  /** False-positive rate for the oversized-benchmark Bloom pre-filter —
+    * Spark's own runtime-filter default. At 3% the filter costs ~7.3
+    * bits per gram and the exact verify join sees 3% of non-matching
+    * corpus grams instead of 100%. */
+  private[dedup] val BloomFpp = 0.03
 
   /** Distinct 64-bit gram hashes per doc: tokenize, slide an `n`-token
     * window, hash each gram's tokens joined with a 0x1F separator (US —
@@ -71,15 +91,60 @@ object Decontaminate {
       .localCheckpoint(eager = true)
     // measured-size gate (see scaladoc): explicit broadcast keeps the
     // corpus stream shuffle-free in the common case; the oversized case
-    // takes the shuffled join a forced broadcast would have OOM'd on
+    // Bloom-prefilters the corpus grams so only candidate hits shuffle
+    val nGrams = benchGrams.count()
     val joined =
-      if (benchGrams.count() <= MaxBroadcastGrams)
+      if (nGrams <= MaxBroadcastGrams)
         gramHashes(corpus, idCol, textCol, n).join(broadcast(benchGrams), "g")
       else
-        gramHashes(corpus, idCol, textCol, n).join(benchGrams, "g")
+        bloomPrefiltered(corpus, benchGrams, nGrams, idCol, textCol, n, BloomFpp)
+    hitCounts(joined, idCol)
+  }
+
+  /** The oversized-benchmark path, callable directly (and testable at
+    * small scale): Bloom-prefilter corpus grams against the benchmark
+    * gram set, then exact-verify the survivors. Output is identical to
+    * [[flagContaminated]] — the verify join removes the Bloom's false
+    * positives — only the plan differs. */
+  def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            fpp: Double = BloomFpp): DataFrame = {
+    val benchGrams = gramHashes(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+      .localCheckpoint(eager = true)
+    val nGrams = benchGrams.count()
+    if (nGrams == 0L) // degenerate: nothing to build a filter from
+      hitCounts(gramHashes(corpus, idCol, textCol, n).limit(0), idCol)
+    else
+      hitCounts(
+        bloomPrefiltered(corpus, benchGrams, nGrams, idCol, textCol, n, fpp),
+        idCol)
+  }
+
+  /** Build the Bloom filter over `benchGrams` (distributed aggregation,
+    * sized from the measured count), probe it with the native codegen'd
+    * `might_contain` predicate on the corpus gram stream, then
+    * exact-join the survivors. The filter bytes ride the task binary —
+    * broadcast once per stage, never per task. */
+  private def bloomPrefiltered(corpus: DataFrame, benchGrams: DataFrame,
+                               nGrams: Long, idCol: String, textCol: String,
+                               n: Int, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.Bridge
+    val bloom = benchGrams.stat.bloomFilter("g", nGrams, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(out.toByteArray, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("g"))))
+    gramHashes(corpus, idCol, textCol, n)
+      .filter(mightContain)
+      .join(benchGrams, "g") // exact verify: false positives drop here
+  }
+
+  private def hitCounts(joined: DataFrame, idCol: String): DataFrame =
     joined
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
       .select(col("id").as(idCol), col("n_hits"))
-  }
 }

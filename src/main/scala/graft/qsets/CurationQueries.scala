@@ -31,6 +31,22 @@ object CurationQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // The oversized-benchmark regime of the same operator, forced at
+    // small scale: the benchmark gram set becomes a Bloom filter probed
+    // by the native `might_contain` predicate BEFORE the exact join, so
+    // corpus grams that cannot match never enter the shuffle. The exact
+    // verify join drops the Bloom's false positives — the result is
+    // byte-identical to dd_decontaminate (same oracle), only the plan
+    // differs. This is the path a 100 TB corpus takes when the eval
+    // suite outgrows broadcast size.
+    "dd_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % BENCH_MOD === 0)
+      val corpus = docs.filter(col("doc_id") % BENCH_MOD =!= 0)
+      Decontaminate.flagContaminatedBloom(corpus, bench, "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Contamination REMOVAL — the surgery step after dd_decontaminate's
     // flagging pass: every corpus token covered by a 3-gram that also
     // occurs in the benchmark is cut, and the cleaned text is rebuilt
@@ -183,25 +199,32 @@ object CurationQueries extends QuerySet {
     })
   )
 
+  /** Shared by dd_decontaminate and dd_decontaminate_bloom: the Bloom
+    * path is sketch-then-verify, so its OUTPUT is defined to be
+    * identical — same oracle proves it. */
+  private val decontaminateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+       |  FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
+       |  FROM pos WHERE doc_id % $BENCH_MOD = 0),
+       |corp AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS g
+       |  FROM pos WHERE doc_id % $BENCH_MOD <> 0)
+       |SELECT doc_id, COUNT(*) AS n_hits
+       |FROM corp JOIN bench USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
-    "dd_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-         |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-         |  FROM toks),
-         |bench AS (
-         |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
-         |  FROM pos WHERE doc_id % $BENCH_MOD = 0),
-         |corp AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS g
-         |  FROM pos WHERE doc_id % $BENCH_MOD <> 0)
-         |SELECT doc_id, COUNT(*) AS n_hits
-         |FROM corp JOIN bench USING (g)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "dd_decontaminate" -> decontaminateSql,
+
+    "dd_decontaminate_bloom" -> decontaminateSql,
 
     "dd_scrub_spans" ->
       s"""WITH corpus AS (

@@ -50,6 +50,40 @@ class CurationSpec extends SparkSuite {
     assert(flagged.isEmpty)
   }
 
+  test("bloom decontamination path is output-identical to the exact path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val exact = Decontaminate.flagContaminated(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a deliberately sloppy filter (30% fpp) must still verify away every
+    // false positive — the exact join is the correctness boundary
+    val bloom = Decontaminate.flagContaminatedBloom(
+      corpus, bench, "doc_id", "text", n = 3, fpp = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the fixture actually exercises the path
+  }
+
+  test("bloom decontamination probes with the native predicate before the join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val plan = Decontaminate.flagContaminatedBloom(
+      corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a BloomFilterMightContain probe in the plan:\n$plan")
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((10L, "some training document text here")).toDF("doc_id", "text")
+    val out = Decontaminate.flagContaminatedBloom(corpus, bench, "doc_id", "text", n = 3)
+    assert(out.columns.toSeq === Seq("doc_id", "n_hits"))
+    assert(out.isEmpty)
+  }
+
   test("hash sample is deterministic and content-keyed") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = docs.filter(Sampling.hashSample(col("text"), "4"))
