@@ -32,7 +32,8 @@ val notes: Seq[(String, String)] = Seq(
   "j14_bucketed_join" -> "Bucketed co-located join: both sides pre-bucketed on the join key, sort-merge reads buckets directly (SelectedBucketsCount) with NO exchange on either input; only the final rollup shuffles.",
   "pipe_curate" -> "End-to-end curation: quality gate -> min_by exact dedup -> chunk -> per-shard 512-token bin packing composed in one plan; the only window is the per-shard running offset.",
   "dd_incremental" -> "Incremental dedup batch step: index read excludes the current batch partition, candidates from a band join bounded by the hot-band stop-list, one set-Jaccard verify, survivors overwrite their own batch=N partition (idempotent retry).",
-  "dd_decontaminate" -> "Benchmark decontamination: the benchmark gram set aggregates small and broadcasts under a MEASURED-size gate (counted on the small side, explicit hint when under 8M grams - a static-estimate SMJ would make the corpus stream pay its shuffle write before AQE could convert); corpus grams travel as 64-bit hashes into the broadcast hash join, only the per-doc hit counts aggregate. Past the gate the same plan runs the shuffled join a forced broadcast would have OOM'd on.",
+  "dd_decontaminate" -> "Benchmark decontamination: the benchmark gram set aggregates small and broadcasts under a MEASURED-size gate (counted on the small side, explicit hint when under 8M grams - a static-estimate SMJ would make the corpus stream pay its shuffle write before AQE could convert); corpus grams travel as 64-bit hashes into the broadcast hash join, only the per-doc hit counts aggregate. Past the gate the operator switches to the Bloom-prefiltered plan below.",
+  "dd_decontaminate_bloom" -> "The oversized-benchmark regime: the benchmark gram set becomes a Bloom filter (~7 bits/gram, sized from the measured count) probed by the native codegen'd might_contain predicate BEFORE any join, so corpus grams that cannot match never enter a shuffle even when the gram set is far past broadcast size; the exact join then removes the fpp sliver of false positives - output byte-identical to the broadcast path (same oracle).",
   "samp_hash" -> "Content-hash sampling: a narrow md5-threshold filter, no shuffle before the (ordered) output; the scan reads only the projected columns.",
   "tx_entropy" -> "Token entropy: explode feeds two stacked hash aggregations, both map-side combinable - only (doc, token) counts cross the first shuffle, per-doc partials the second; the log2 arithmetic runs post-aggregate on one row per doc.",
   "tx_boiler_grams" -> "Boilerplate profile: grams travel as xxhash64; the vocabulary-sized document-frequency aggregate joins back to the gram stream (AQE broadcasts it at this scale, shuffles+skew-splits beyond), DF as a hash aggregate - never a window over the gram stream.",
