@@ -89,4 +89,78 @@ class TemporalJoinsSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("disjoint"))
   }
+
+  // ---- randomized equivalence vs a driver-side brute-force reference ----
+  // The oracle queries (j15/j16) pin ONE clean dataset; these sweep many
+  // seeded random shapes — timestamp ties, null timestamps, keys missing
+  // from one side, bin-boundary-straddling intervals — against an
+  // independent O(n·m) implementation of the documented contract.
+
+  private def seededRng(seed: Long) = new scala.util.Random(seed)
+
+  test("asOfJoin matches brute force on seeded random data (ties, nulls, key gaps)") {
+    for (seed <- 0 until 8) {
+      val rng = seededRng(seed.toLong)
+      // coarse timestamp grid (0..19 seconds) forces plenty of exact ties
+      def randTs(): Option[Timestamp] =
+        if (rng.nextInt(10) == 0) None
+        else Some(new Timestamp(rng.nextInt(20) * 1000L))
+      val keys = Vector("a", "b", "c")
+      val left = (1 to 40).map(i =>
+        (i.toLong, keys(rng.nextInt(keys.size)), randTs().orNull))
+      val right = (1 to 30).map(_ =>
+        (keys(rng.nextInt(keys.size)), randTs().orNull, rng.nextInt(5).toLong))
+      val l = left.toDF("id", "k", "t")
+      val r = right.toDF("k", "rt", "v")
+      val got = TemporalJoins.asOfJoin(l, r, "k", "t", "rt", Seq("v"))
+        .select(col("id"), col("v")).collect()
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .toMap
+      // brute force per documented contract: greatest rightTs <= leftTs
+      // within the key; null rightTs never matches; null leftTs never
+      // matches; ties on rightTs break by greatest payload
+      val want = left.map { case (id, k, t) =>
+        val m = Option(t).flatMap { lt =>
+          val cands = right.filter { case (rk, rt, _) =>
+            rk == k && rt != null && !rt.after(lt) }
+          if (cands.isEmpty) None
+          else {
+            val maxTs = cands.map(_._2.getTime).max
+            Some(cands.filter(_._2.getTime == maxTs).map(_._3).max)
+          }
+        }
+        id -> m
+      }.toMap
+      assert(got === want, s"asOfJoin mismatch at seed=$seed")
+    }
+  }
+
+  test("rangeJoinBinned matches brute force on seeded random data (boundaries, empties)") {
+    for (seed <- 0 until 8) {
+      val rng = seededRng(100L + seed)
+      val keys = Vector("a", "b")
+      // second-granularity points; bin width deliberately NOT aligned to
+      // the value grid so intervals straddle bin boundaries
+      val pts = (1 to 40).map(i =>
+        (i.toLong, keys(rng.nextInt(keys.size)), new Timestamp(rng.nextInt(120) * 1000L)))
+      val ivs = (1 to 15).map { i =>
+        val s = rng.nextInt(120)
+        // includes empty (len=0) and inverted (len<0) intervals → no bins
+        val len = rng.nextInt(40) - 5
+        (1000L + i, keys(rng.nextInt(keys.size)),
+          new Timestamp(s * 1000L), new Timestamp((s + len) * 1000L))
+      }
+      val p = pts.toDF("pid", "k", "t")
+      val iv = ivs.toDF("iid", "k", "s", "e")
+      val got = TemporalJoins.rangeJoinBinned(p, iv, "k", "t", "s", "e", binWidthSec = 7L)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pk, t) <- pts
+        (iid, ik, s, e) <- ivs
+        if pk == ik && !t.before(s) && t.before(e) // start <= t < end
+      } yield (pid, iid)).toSet
+      assert(got === want, s"rangeJoinBinned mismatch at seed=$seed")
+    }
+  }
 }
