@@ -36,20 +36,23 @@ import graft.text.TextFunctions
   * grams) an explicit broadcast with the corpus never shuffled.
   *
   * Past the gate the corpus STILL never shuffles in full: the oversized
-  * regime builds a Bloom filter over the benchmark grams (~7 bits/gram
-  * at 3% fpp — two orders denser than the 8-byte hashes a broadcast
-  * ships, so a gram set far past broadcast size still fits every
-  * executor) and pre-filters corpus grams with Spark's native
+  * regime builds a Bloom filter over the benchmark grams (~7.3 bits/gram
+  * at 3% fpp — ~9× denser than the 8-byte hashes a broadcast ships, so
+  * a gram set well past broadcast size still fits every executor) and
+  * pre-filters corpus grams with Spark's native
   * `BloomFilterMightContain` predicate BEFORE the exact join. Only true
   * hits plus the fpp sliver of false positives enter the shuffle, and
   * the exact join then removes the false positives — output is
   * byte-identical to the broadcast path. This is the same
   * sketch-then-verify shape Spark's own runtime row-level filtering
-  * injects for large joins, applied here with a measured item count
-  * (the filter is sized from the exact distinct-gram count, not an
-  * estimate; the public `stat.bloomFilter` aggregation is used for the
-  * build because the internal `bloom_filter_agg` silently caps its
-  * size at `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`).
+  * injects for large joins, applied here with a measured item count:
+  * the filter is sized from the exact distinct-gram count via a direct
+  * `treeAggregate` over the public sketch API, because BOTH SQL routes
+  * to a Bloom build (`bloom_filter_agg`, and `stat.bloomFilter` which
+  * delegates to it on Spark 4) silently clamp the filter to
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+  * (defaults 4M items / 64M bits) — a clamp that would quietly push
+  * fpp toward 1 in exactly the >8M-gram regime this path exists for.
   */
 object Decontaminate {
 
@@ -83,16 +86,24 @@ object Decontaminate {
     * Returns (id, n_hits) — the number of DISTINCT contaminated grams per
     * flagged doc, the usual triage signal (1 shared gram = boilerplate;
     * hundreds = an embedded test passage). */
+  /** Benchmark gram set, checkpointed (one benchmark pass feeds the
+    * count gate, the Bloom build, and the verify join), plus its exact
+    * distinct count. Shared by both public entry points so the two
+    * paths can never drift in gram canonicalization. */
+  private def benchGramsWithCount(benchmark: DataFrame, idCol: String,
+                                  textCol: String, n: Int): (DataFrame, Long) = {
+    val g = gramHashes(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+      .localCheckpoint(eager = true)
+    (g, g.count())
+  }
+
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
                        idCol: String, textCol: String, n: Int): DataFrame = {
-    val benchGrams = gramHashes(benchmark, idCol, textCol, n)
-      .select(col("g")).distinct()
-      // both the count gate and the join read this: one benchmark pass
-      .localCheckpoint(eager = true)
+    val (benchGrams, nGrams) = benchGramsWithCount(benchmark, idCol, textCol, n)
     // measured-size gate (see scaladoc): explicit broadcast keeps the
     // corpus stream shuffle-free in the common case; the oversized case
     // Bloom-prefilters the corpus grams so only candidate hits shuffle
-    val nGrams = benchGrams.count()
     val joined =
       if (nGrams <= MaxBroadcastGrams)
         gramHashes(corpus, idCol, textCol, n).join(broadcast(benchGrams), "g")
@@ -109,10 +120,7 @@ object Decontaminate {
   def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             fpp: Double = BloomFpp): DataFrame = {
-    val benchGrams = gramHashes(benchmark, idCol, textCol, n)
-      .select(col("g")).distinct()
-      .localCheckpoint(eager = true)
-    val nGrams = benchGrams.count()
+    val (benchGrams, nGrams) = benchGramsWithCount(benchmark, idCol, textCol, n)
     if (nGrams == 0L) // degenerate: nothing to build a filter from
       hitCounts(gramHashes(corpus, idCol, textCol, n).limit(0), idCol)
     else
@@ -121,17 +129,24 @@ object Decontaminate {
         idCol)
   }
 
-  /** Build the Bloom filter over `benchGrams` (distributed aggregation,
-    * sized from the measured count), probe it with the native codegen'd
-    * `might_contain` predicate on the corpus gram stream, then
-    * exact-join the survivors. The filter bytes ride the task binary —
-    * broadcast once per stage, never per task. */
+  /** Build the Bloom filter over `benchGrams` (distributed
+    * `treeAggregate` over the public sketch API — sized from the
+    * measured count, NOT clamped by the runtime-filter confs the SQL
+    * builds apply; see object scaladoc), probe it with the native
+    * codegen'd `might_contain` predicate on the corpus gram stream,
+    * then exact-join the survivors. The filter bytes ride the task
+    * binary — broadcast once per stage, never per task. */
   private def bloomPrefiltered(corpus: DataFrame, benchGrams: DataFrame,
                                nGrams: Long, idCol: String, textCol: String,
                                n: Int, fpp: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftshim.Bridge
-    val bloom = benchGrams.stat.bloomFilter("g", nGrams, fpp)
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = benchGrams.select(col("g"))
+      .as(org.apache.spark.sql.Encoders.scalaLong).rdd
+      .treeAggregate(BloomFilter.create(nGrams, fpp))(
+        (bf, g) => { bf.putLong(g); bf },
+        (a, b) => a.mergeInPlace(b))
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
     val mightContain = Bridge.column(new BloomFilterMightContain(

@@ -76,6 +76,36 @@ class CurationSpec extends SparkSuite {
       s"expected a BloomFilterMightContain probe in the plan:\n$plan")
   }
 
+  test("bloom build is sized from the measured count, not the runtime-filter clamps") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // the SQL builds (bloom_filter_agg, and stat.bloomFilter which
+    // delegates to it) silently clamp to these confs; the operator's
+    // treeAggregate build must NOT — pin that by making the clamp absurd
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "64")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val df = Decontaminate.flagContaminatedBloom(
+        corpus, bench, "doc_id", "text", n = 3, fpp = 0.01)
+      val filterBytes = df.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(_.collect {
+        case m: BloomFilterMightContain =>
+          m.bloomFilterExpression.asInstanceOf[Literal].value.asInstanceOf[Array[Byte]]
+      })
+      assert(filterBytes.nonEmpty, "expected a BloomFilterMightContain literal in the plan")
+      // a 64-bit-clamped filter serializes to ~tens of bytes; the real
+      // one (hundreds of grams at 1% fpp) needs kilobits
+      assert(filterBytes.head.length > 200,
+        s"bloom filter looks clamped: ${filterBytes.head.length} bytes")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    }
+  }
+
   test("bloom decontamination with an empty benchmark flags nothing") {
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val corpus = Seq((10L, "some training document text here")).toDF("doc_id", "text")

@@ -112,8 +112,12 @@ class TemporalJoinsSpec extends SparkSuite {
         (keys(rng.nextInt(keys.size)), randTs().orNull, rng.nextInt(5).toLong))
       val l = left.toDF("id", "k", "t")
       val r = right.toDF("k", "rt", "v")
-      val got = TemporalJoins.asOfJoin(l, r, "k", "t", "rt", Seq("v"))
+      val rows = TemporalJoins.asOfJoin(l, r, "k", "t", "rt", Seq("v"))
         .select(col("id"), col("v")).collect()
+      // exactly one output row per left row — a tie-break regression that
+      // duplicated rows would vanish inside toMap without this
+      assert(rows.length === left.size, s"asOfJoin cardinality at seed=$seed")
+      val got = rows
         .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
         .toMap
       // brute force per documented contract: greatest rightTs <= leftTs
@@ -152,15 +156,18 @@ class TemporalJoinsSpec extends SparkSuite {
       }
       val p = pts.toDF("pid", "k", "t")
       val iv = ivs.toDF("iid", "k", "s", "e")
-      val got = TemporalJoins.rangeJoinBinned(p, iv, "k", "t", "s", "e", binWidthSec = 7L)
+      val rows = TemporalJoins.rangeJoinBinned(p, iv, "k", "t", "s", "e", binWidthSec = 7L)
         .select(col("pid"), col("iid")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getLong(0), r.getLong(1)))
       val want = (for {
         (pid, pk, t) <- pts
         (iid, ik, s, e) <- ivs
         if pk == ik && !t.before(s) && t.before(e) // start <= t < end
       } yield (pid, iid)).toSet
-      assert(got === want, s"rangeJoinBinned mismatch at seed=$seed")
+      // each matching pair exactly ONCE — a regression emitting one row
+      // per overlapped bin would survive a set-only compare
+      assert(rows.length === want.size, s"rangeJoinBinned cardinality at seed=$seed")
+      assert(rows.toSet === want, s"rangeJoinBinned mismatch at seed=$seed")
     }
   }
 }
