@@ -74,6 +74,41 @@ class OperatorSpec extends SparkSuite {
     assert(kept === Set(1L, 7L))
   }
 
+  test("components matches driver-side union-find on seeded random graphs") {
+    // the iterative min-label propagation is the one operator where a
+    // convergence bug shows up only on awkward topologies — sweep seeded
+    // random graphs (long chains, stars, disconnected singleton pairs)
+    // against an independent union-find
+    for (seed <- 0 until 6) {
+      val rng = new scala.util.Random(400L + seed)
+      val nNodes = 60
+      // ~0.7 edges/node keeps many multi-hop chains below the transitive
+      // closure, plus a deliberate long path to stress iteration count
+      val edges = ((1 to 40).map(_ => (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong)) ++
+        (0 until 10).map(i => (100L + i, 101L + i))) // an 11-node chain
+        .filter { case (a, b) => a != b }
+      val got = Dedup.components(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map { n =>
+        // canonical label = min node id in the component
+        val root = find(n)
+        n -> nodes.filter(find(_) == root).min
+      }.toMap
+      assert(got === want, s"components mismatch at seed=$seed")
+    }
+  }
+
   test("iterative closure reaches all descendants and terminates") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)).toDF("parent", "child")
     val roots = Seq(Tuple1(1L)).toDF("root_id")
