@@ -62,7 +62,35 @@ object TemporalJoins {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightVals, forward = false)
+
+  /** Forward (earliest-at-or-after) as-of join — the mirror of
+    * [[asOfJoin]]: for every left row, attaches `rightVals` from the
+    * right row with the SMALLEST `rightTs` >= the left row's `leftTs`
+    * within the same `key` group (inclusive at equal timestamps), or
+    * nulls when no right row follows it. The "next event after" shape:
+    * conversion lag, next-reading-after-calibration, SLA attribution.
+    *
+    * Same single-exchange mechanics and guards as [[asOfJoin]], with the
+    * window frame reversed (CurrentRow..UnboundedFollowing, running
+    * `first(ignoreNulls)`). Tie-break asymmetry is inherent to the sort
+    * direction: when several right rows share (key, ts), the LEAST
+    * payload struct wins here (the greatest wins in the backward join);
+    * pre-aggregate the right side to unique (key, ts) for any other
+    * tie-break. Null handling matches SQL ASOF: null `rightTs` rows can
+    * never match and are dropped; null `leftTs` rows are preserved with
+    * null `rightVals` — routed AROUND the window here, because under the
+    * nulls-first sort a null-ts left row would otherwise see every right
+    * row in its following frame. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightVals, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String], forward: Boolean): DataFrame = {
     val lCols = left.columns.toIndexedSeq
     val overlap = rightVals.toSet.intersect(lCols.toSet)
     require(overlap.isEmpty,
@@ -78,22 +106,39 @@ object TemporalJoins {
       s"rightVals must be orderable types (no MAP); got ${rvType.simpleString}")
     val lType = org.apache.spark.sql.types.StructType(
       left.schema.map(_.copy(nullable = true)))
+    // at equal timestamps the right row must fall INSIDE the left row's
+    // frame: before it for the backward running frame, after it for the
+    // forward one — hence the side tags swap with the direction
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left.select(q(key).as("__k"), q(leftTs).as("__t"),
-      lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
+      lit(lSide).as("__side"), lit(null).cast(rvType).as("__rv"),
       struct(lCols.map(q): _*).as("__lrow"))
     // null rightTs is never an as-of match — dropping it here also makes
-    // the nulls-first sort safe: the only null-__t rows left are left-side
-    // rows, which correctly see an empty running frame (null payload)
+    // the nulls-first sort safe for the backward frame: the only null-__t
+    // rows left are left-side rows, which see an empty preceding frame
     val r = right.filter(q(rightTs).isNotNull)
       .select(q(key).as("__k"), q(rightTs).as("__t"),
-        lit(0).as("__side"), struct(rightVals.map(q): _*).as("__rv"),
+        lit(rSide).as("__side"), struct(rightVals.map(q): _*).as("__rv"),
         lit(null).cast(lType).as("__lrow"))
-    val w = Window.partitionBy(col("__k"))
+    val ord = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val matched =
+      if (forward) {
+        // null-ts left rows sort first under asc and would see EVERY
+        // right row in their following frame — route them around the
+        // window with a null payload instead
+        val w = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        r.unionByName(l.filter(col("__t").isNotNull))
+          .withColumn("__asof", first(col("__rv"), ignoreNulls = true).over(w))
+          .unionByName(l.filter(col("__t").isNull)
+            .withColumn("__asof", lit(null).cast(rvType)))
+      } else {
+        val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        r.unionByName(l)
+          .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      }
+    matched
+      .filter(col("__side") === lSide)
       // getField (not dotted col strings): left column names containing
       // dots must resolve as literal struct fields, not nested paths
       .select(lCols.map(c => col("__lrow").getField(c).as(c)) ++

@@ -39,6 +39,27 @@ object TemporalQueries extends QuerySet {
         .orderBy(col("event_id"))
     }),
 
+    // J17 — forward as-of join: every click attributed to the user's
+    // NEXT purchase at or after it (conversion-lag shape — the mirror of
+    // j15). Right side pre-aggregated to unique (user_id, ts) so the
+    // tie-break is explicit; clicks with no later purchase keep the -1
+    // sentinels (same convention as j15).
+    "j17_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"),
+          max_by(col("value"), col("event_id")).as("purchase_value"))
+      TemporalJoins.asOfJoinForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // J16 — range join: each signup opens a 6-hour attribution window;
     // count and sum the same user's clicks inside it. Inner semantics —
     // only signups with at least one in-window click appear. The bin
@@ -74,6 +95,21 @@ object TemporalQueries extends QuerySet {
         |  COALESCE(p.purchase_value, -1.0) AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "j17_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id,
+        |         arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |  COALESCE(p.purchase_id, -1) AS purchase_id,
+        |  COALESCE(p.purchase_value, -1.0) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "j16_range_join" ->

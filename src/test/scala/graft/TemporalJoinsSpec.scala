@@ -90,6 +90,22 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(e2.getMessage.contains("disjoint"))
   }
 
+  test("asOfJoinForward: inclusive next-match, null left ts routed around the window") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 00:30:00")),         // next purchase at 00:30 (tie, inclusive)
+      (2L, "k1", ts("2024-01-01 02:00:00")),         // nothing after → null
+      (3L, "k1", null.asInstanceOf[Timestamp])       // null ts → null match, row preserved
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", Option(ts("2024-01-01 00:30:00")), 10L),
+      ("k1", Option(ts("2024-01-01 00:05:00")), 5L), // earlier — must NOT match forward
+      ("k1", Option.empty[Timestamp], 999L)          // null ts never matches
+    ).toDF("k", "rt", "v")
+    val out = TemporalJoins.asOfJoinForward(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("id").select("id", "v").as[(Long, Option[Long])].collect()
+    assert(out === Array((1L, Some(10L)), (2L, None), (3L, None)))
+  }
+
   // ---- randomized equivalence vs a driver-side brute-force reference ----
   // The oracle queries (j15/j16) pin ONE clean dataset; these sweep many
   // seeded random shapes — timestamp ties, null timestamps, keys missing
@@ -136,6 +152,28 @@ class TemporalJoinsSpec extends SparkSuite {
         id -> m
       }.toMap
       assert(got === want, s"asOfJoin mismatch at seed=$seed")
+
+      // forward direction over the same data, against the mirrored brute
+      // force: smallest rightTs >= leftTs; ties break by LEAST payload
+      val fRows = TemporalJoins.asOfJoinForward(l, r, "k", "t", "rt", Seq("v"))
+        .select(col("id"), col("v")).collect()
+      assert(fRows.length === left.size, s"asOfJoinForward cardinality at seed=$seed")
+      val fGot = fRows
+        .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .toMap
+      val fWant = left.map { case (id, k, t) =>
+        val m = Option(t).flatMap { lt =>
+          val cands = right.filter { case (rk, rt, _) =>
+            rk == k && rt != null && !rt.before(lt) }
+          if (cands.isEmpty) None
+          else {
+            val minTs = cands.map(_._2.getTime).min
+            Some(cands.filter(_._2.getTime == minTs).map(_._3).min)
+          }
+        }
+        id -> m
+      }.toMap
+      assert(fGot === fWant, s"asOfJoinForward mismatch at seed=$seed")
     }
   }
 

@@ -42,6 +42,7 @@ val notes: Seq[(String, String)] = Seq(
   "tx_heavy_hitters" -> "Misra-Gries heavy hitters: bounded O(m) sketch state per task, partials merge by counter-sum + rebase, only m counters per task cross the shuffle - vs a groupBy(token) that would shuffle the whole token stream.",
   "pipe_fates" -> "Drop-reason audit: one scoring pass, winner pick as the min_by hash aggregate over quality passers, ids-only join back to tag fates - the documents are never shuffled twice.",
   "j15_asof_join" -> "Backward as-of join with NO join node: both sides tagged and unioned, ONE hash exchange on the key, a running last(ignoreNulls) window frame carries the most recent right payload onto each left row - the distributed merge form of ASOF, never a quadratic inequality BNLJ.",
+  "j17_asof_forward" -> "Forward (earliest-at-or-after) as-of join - the mirror of j15 with the frame reversed: same single exchange and tagged union, a running first(ignoreNulls) over CurrentRow..UnboundedFollowing carries the NEXT right payload back onto each left row; null-ts left rows are routed around the window (they would otherwise see every right row in their following frame).",
   "j16_range_join" -> "Interval containment as an equi join: intervals explode into fixed-width bins (bounded fan-out), points map to exactly one bin, the join runs equi on (key,bin) and the exact predicate filters after - a plain SMJ/hash join AQE can size or broadcast, never a BNLJ.",
   "dd_bucketed_incremental" -> "Bucketed-index incremental dedup: candidate and verify joins read the accumulated index tables bucket-aligned (zero exchange on the index side - the side that grows without bound under daily ingest); only the arriving batch shuffles to the bucket layout. Final plan reads the survivor checkpoint; the zero-exchange index reads are pinned in BucketedIndexSpec.",
   "f7_spec_hash" -> "Reference hash_dict parity digest: scan -> project through the codegen'd py_canonical_json + sha2 pipeline -> ordered output; one narrow projection, no shuffle before the final ORDER BY.",
