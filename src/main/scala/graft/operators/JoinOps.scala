@@ -67,12 +67,21 @@ object JoinOps {
     * form of the reference's Python BFS loop
     * (`qcfractal/components/record_socket.py:210-236`).
     *
-    * `edges(parentCol, childCol)`; returns (root, descendant) pairs.
-    * Each iteration is one shuffle join of the (shrinking) frontier
-    * against the edge table; the loop terminates when the frontier is
-    * empty or `maxIter` is hit. Frontiers are localCheckpointed so the
-    * plan does not grow linearly with depth (lineage blow-up is the
-    * classic iterative-join failure mode at scale).
+    * `edges(parentCol, childCol)`; returns (root, descendant) pairs — a
+    * root reachable from itself (a cycle through it, or a self-loop)
+    * appears as its own descendant, same as the reference's visited-set
+    * BFS. Each iteration is one shuffle join of the (shrinking) frontier
+    * against the edge table, then an anti-join against the accumulated
+    * result so ALREADY-VISITED nodes leave the frontier — that
+    * visited-set subtraction is what makes cyclic graphs terminate in
+    * diameter+1 iterations (without it a cycle keeps the frontier
+    * oscillating for all `maxIter` rounds) and makes the per-iteration
+    * batches disjoint by construction, so no result-wide distinct
+    * shuffle is needed at the end. Frontiers are localCheckpointed so
+    * the plan does not grow linearly with depth (lineage blow-up is the
+    * classic iterative-join failure mode at scale). Hitting `maxIter`
+    * with a live frontier logs a WARN: the closure is truncated at that
+    * depth.
     */
   def closure(edges: DataFrame, roots: DataFrame, rootCol: String,
               parentCol: String, childCol: String, maxIter: Int = 30): DataFrame = {
@@ -89,11 +98,19 @@ object JoinOps {
       val next = frontier.join(e, frontier("node") === e(parentCol))
         .select(col("root"), col(childCol).as("node"))
         .distinct()
+        // visited-set subtraction: acc is a union of <= maxIter disjoint
+        // checkpointed batches, so this anti-join's build side is bounded
+        // by the closure size, never the iteration count
+        .join(acc, Seq("root", "node"), "left_anti")
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else { acc = acc.union(next); frontier = next }
       i += 1
     }
-    acc.distinct()
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"closure truncated at maxIter=$maxIter with a non-empty frontier — " +
+          s"results cover only the first $maxIter hops")
+    acc
   }
 }

@@ -117,6 +117,44 @@ class OperatorSpec extends SparkSuite {
     assert(got === Set(2L, 3L, 4L, 5L))
   }
 
+  test("closure terminates on cycles in diameter hops, root reachable via cycle included") {
+    // 1→2→3→1 cycle plus a branch; the visited-set subtraction must
+    // empty the frontier after the cycle closes, not oscillate to maxIter
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 9L)).toDF("parent", "child")
+    val roots = Seq(Tuple1(1L)).toDF("root_id")
+    val rows = JoinOps.closure(edges, roots, "root_id", "parent", "child",
+      maxIter = 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each pair exactly once (no result-wide distinct needed), and the
+    // root appears as its own descendant because the cycle returns to it
+    assert(rows.length === rows.toSet.size)
+    assert(rows.map(_._2).toSet === Set(1L, 2L, 3L, 9L))
+  }
+
+  test("closure matches driver-side BFS on seeded random graphs with cycles") {
+    for (seed <- 0 until 5) {
+      val rng = new scala.util.Random(700L + seed)
+      val n = 30
+      val edges = (1 to 45).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val rootIds = Seq(0L, 7L, 13L)
+      val got = JoinOps.closure(edges.toDF("parent", "child"),
+          rootIds.map(Tuple1(_)).toDF("root_id"), "root_id", "parent", "child")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"closure emitted duplicates at seed=$seed")
+      val adj = edges.groupBy(_._1).map { case (p, es) => p -> es.map(_._2).toSet }
+      val want = rootIds.flatMap { root =>
+        val visited = scala.collection.mutable.Set[Long]()
+        var frontier = Set(root)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+          visited ++= next
+          frontier = next
+        }
+        visited.map(root -> _)
+      }.toSet
+      assert(got.toSet === want, s"closure mismatch at seed=$seed")
+    }
+  }
+
   test("brute-force knn: self excluded, scores sorted, k respected") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
