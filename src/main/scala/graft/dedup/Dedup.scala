@@ -387,6 +387,10 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       i += 1
     }
+    if (!converged)
+      log.warn(s"components did not converge within maxIter=$maxIter — " +
+        s"labels may be non-minimal for components with diameter > $maxIter " +
+        "(clusters can split where they should merge); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
