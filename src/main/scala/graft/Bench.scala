@@ -99,9 +99,14 @@ object Bench {
         }
       }
     }
+    // a query that fails in a LATER rep keeps the timings it already
+    // earned (median of completed reps) — a transient failure must not
+    // erase real measurements from the round artifact. The failure is
+    // still visible: the name lands in the "failed" list of the full
+    // artifact and the run exits nonzero.
     val results = names.map { name =>
       val ts = times(name).sorted
-      name -> (if (failed.contains(name) || ts.isEmpty) -1.0 else ts(ts.size / 2))
+      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
     // per-query rep spread — written into the tracked full artifact only
     // (not the driver's stdout line) so a noisy median is visible in the
@@ -123,7 +128,9 @@ object Bench {
       val (lo, hi) = spreads(n)
       s"\"" + n + s"\":[${fmt(lo)},${fmt(hi)}]"
     }.mkString("{", ",", "}")
-    val fullJson = json.dropRight(1) + s""","reps":$reps,"spread":$spreadJson}"""
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson = json.dropRight(1) +
+      s""","reps":$reps,"failed":$failedJson,"spread":$spreadJson}"""
     // the driver's recorded stdout tail truncates around 2000 chars — far
     // less than the full per-query line — so persist the full JSON to a
     // TRACKED repo file (bench_full.json) for round-over-round comparison

@@ -157,6 +157,17 @@ object PyJson {
             case 't'  => sb.append('\t')
             case 'u'  =>
               if (i + 4 >= s.length) err("bad \\u")
+              // all four chars must be hex digits: Integer.parseInt(_, 16)
+              // alone would accept a sign ("\u+041"), canonicalizing
+              // strings CPython json.loads rejects
+              var h = 0
+              while (h < 4) {
+                val hc = s.charAt(i + 1 + h)
+                val isHex = (hc >= '0' && hc <= '9') ||
+                  (hc >= 'a' && hc <= 'f') || (hc >= 'A' && hc <= 'F')
+                if (!isHex) err("bad \\u")
+                h += 1
+              }
               sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
               i += 4
             case c2 => err(s"bad escape '\\$c2'")

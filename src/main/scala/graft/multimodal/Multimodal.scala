@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode/feature-extract as
   * partition-batched transforms.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `decodeStub` produces deterministic fake features from the bytes. The
-  * Spark-side plumbing — binary schema, metadata extraction, partition
-  * batching, feature schema — is real and is what matters at scale: the
-  * decode runs once per row inside a `mapPartitions` batch, the binary
-  * column is projected only where needed (lazy column, SURVEY S6), and the
-  * output is a fixed-width feature vector ready for the similarity ops.
+  * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
+  * (JDK built-in — PNG and JPEG codecs, zero new dependencies) inside a
+  * `mapPartitions` batch, producing dims, channel count, per-channel
+  * pixel sums and a bounded nearest-neighbor thumbnail per row. The
+  * remaining `decodeStub`/`thumbnailStub` paths stand in for codecs the
+  * JDK does NOT ship (audio/video): they keep the production batching
+  * shape — one iterator pass per partition, fixed-width output, binary
+  * column projected only where needed (lazy column, SURVEY S6) — with
+  * deterministic fake features.
   */
 object Multimodal {
 
@@ -64,6 +66,107 @@ object Multimodal {
           if (n <= outBytes) d.content
           else Array.tabulate(outBytes)(i => d.content(i * n / outBytes))
         BinaryDoc(d.doc_id, out)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real image decode (JDK ImageIO — PNG/JPEG)
+  // ---------------------------------------------------------------------
+
+  case class ImageDoc(doc_id: Long, image: Array[Byte])
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, channels: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long,
+                          thumb_w: Int, thumb_h: Int, thumb_sum: Long)
+
+  /** Deterministic synthetic RGB image for `id`: dims and every pixel are
+    * pure integer arithmetic in the id, so an external oracle can predict
+    * the DECODED stats without running a codec — which is exactly what
+    * makes the decode verifiable end-to-end (a wrong or lossy decode
+    * cannot reproduce the formula sums). */
+  def syntheticPixelImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode a BufferedImage with the named ImageIO writer ("png"/"jpg"). */
+  def encodeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Attach a REAL binary image column: per-row deterministic PNG bytes
+    * (the production analogue is reading the raw image bytes column from
+    * the lake). Runs as one `mapPartitions` pass — encoder instantiation
+    * and byte buffers amortize per partition, not per row. */
+  def withPngPayload(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[ImageDoc] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => ImageDoc(id, encodeImage(syntheticPixelImage(id), "png")))
+    }
+  }
+
+  /** REAL image decode: `ImageIO.read` (PNG/JPEG via the JDK's built-in
+    * codecs) inside a partition batch → dims, channel count, per-channel
+    * pixel sums, and a bounded `thumbW`×`thumbH` nearest-neighbor
+    * thumbnail (deterministic resample: source pixel at floor(i·src/dst),
+    * so the thumbnail is oracle-predictable too — a Graphics2D scale
+    * would be renderer-dependent). Undecodable rows surface as width=-1
+    * rather than killing the task: at 100 TB some payloads WILL be
+    * corrupt, and one bad blob must not fail a 10-hour job. */
+  def decodeImages(spark: SparkSession, images: Dataset[ImageDoc],
+                   thumbW: Int = 4, thumbH: Int = 4): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { d =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.image))
+          catch { case _: java.io.IOException => null }
+        if (img == null) DecodedImage(d.doc_id, -1, -1, 0, 0L, 0L, 0L, 0, 0, 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var ts = 0L
+          var ty = 0
+          while (ty < thumbH) {
+            var tx = 0
+            while (tx < thumbW) {
+              val rgb = img.getRGB(tx * w / thumbW, ty * h / thumbH)
+              ts += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              tx += 1
+            }
+            ty += 1
+          }
+          DecodedImage(d.doc_id, w, h, img.getRaster.getNumBands,
+            sr, sg, sb, thumbW, thumbH, ts)
+        }
       }
     }
   }

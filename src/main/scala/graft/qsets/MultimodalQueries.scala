@@ -5,12 +5,33 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 
-/** Multimodal-column queries: binary payload metadata (oracle-checked) and
-  * the stubbed decode/feature-extract pipeline (rows-only — the decode stub
-  * is engine-specific by design). */
+/** Multimodal-column queries: binary payload metadata, a REAL PNG
+  * decode pipeline (`mm_decode` — ImageIO encode→decode roundtrip whose
+  * decoded pixel stats the oracle predicts arithmetically), and the
+  * stubbed opaque-codec fallback. All oracle-checked. */
 object MultimodalQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // REAL image decode: deterministic per-doc PNGs (pixel formula in
+    // doc_id) encoded with ImageIO, decoded back with ImageIO, stats +
+    // nearest-neighbor thumbnail emitted. The oracle computes the same
+    // stats from the formula alone — only a correct lossless decode can
+    // match it. Binary bytes never leave the partition batch.
+    "mm_decode" -> ((s, dir) => {
+      val imgs = Multimodal.withPngPayload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+      Multimodal.decodeImages(s, imgs).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("thumb_w").cast("long").as("thumb_w"),
+          col("thumb_h").cast("long").as("thumb_h"),
+          col("thumb_sum"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Columnar metadata over opaque binary payloads.
     "mm_binary_meta" -> ((s, dir) => {
@@ -47,6 +68,40 @@ object MultimodalQueries extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Predicts the DECODED stats of mm_decode from the pixel formula —
+    // dims 8+id%9 × 8+id%7, channel c at (x,y) = (id·kc + x·ac + y·bc)
+    // % 256, thumbnail = 4×4 nearest-neighbor (source pixel at
+    // floor(t·dim/4)). Any loss in the encode→decode roundtrip breaks
+    // the hash match.
+    "mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 100),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        |sums AS (
+        |  SELECT doc_id,
+        |    SUM((doc_id*31 + x*7 + y*13) % 256) AS sum_r,
+        |    SUM((doc_id*17 + x*5 + y*11) % 256) AS sum_g,
+        |    SUM((doc_id*23 + x*3 + y*19) % 256) AS sum_b
+        |  FROM px GROUP BY doc_id),
+        |txs AS (SELECT doc_id, w, h, unnest(range(4)) AS tx FROM d),
+        |tp AS (SELECT doc_id, w, h, tx, unnest(range(4)) AS ty FROM txs),
+        |tsum AS (
+        |  SELECT doc_id,
+        |    SUM((doc_id*31 + ((tx*w)//4)*7 + ((ty*h)//4)*13) % 256
+        |      + (doc_id*17 + ((tx*w)//4)*5 + ((ty*h)//4)*11) % 256
+        |      + (doc_id*23 + ((tx*w)//4)*3 + ((ty*h)//4)*19) % 256) AS thumb_sum
+        |  FROM tp GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(sum_b AS BIGINT) AS sum_b,
+        |  CAST(4 AS BIGINT) AS thumb_w, CAST(4 AS BIGINT) AS thumb_h,
+        |  CAST(thumb_sum AS BIGINT) AS thumb_sum
+        |FROM d JOIN sums USING (doc_id) JOIN tsum USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // DuckDB cannot slice BLOBs, but the builder's documents are ASCII
     // (octet_length == length for every row), so char slicing on the text
     // then encode() reproduces the byte slicing exactly.

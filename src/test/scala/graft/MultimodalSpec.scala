@@ -19,6 +19,59 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L) === 5)
   }
 
+  test("png decode: ImageIO roundtrip recovers the exact pixel formula") {
+    val ids = Seq(0L, 5L, 17L, 62L).toDF("doc_id")
+    val out = Multimodal.decodeImages(
+        spark, Multimodal.withPngPayload(spark, ids, "doc_id"))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 5L, 17L, 62L)) {
+      val d = out(id)
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      assert(d.width === w); assert(d.height === h); assert(d.channels === 3)
+      // driver-side reference sums straight from the formula
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 5 + y * 11) % 256
+        sb += (id * 23 + x * 3 + y * 19) % 256
+      }
+      assert(d.sum_r === sr); assert(d.sum_g === sg); assert(d.sum_b === sb)
+      var ts = 0L
+      for (ty <- 0 until 4; tx <- 0 until 4) {
+        val x = tx * w / 4; val y = ty * h / 4
+        ts += (id * 31 + x * 7 + y * 13) % 256 +
+          (id * 17 + x * 5 + y * 11) % 256 + (id * 23 + x * 3 + y * 19) % 256
+      }
+      assert(d.thumb_sum === ts)
+    }
+  }
+
+  test("jpeg decode: dims/channels exact, stats within lossy tolerance") {
+    // JPEG is lossy — dims and channel count must survive exactly; pixel
+    // sums must land within a few percent at max quality. This pins that
+    // the decoder handles a second real codec, not just PNG.
+    val img = Multimodal.syntheticPixelImage(7L)
+    val bytes = Multimodal.encodeImage(img, "jpg")
+    val ds = Seq(Multimodal.ImageDoc(7L, bytes)).toDS()
+    val d = Multimodal.decodeImages(spark, ds).collect().head
+    assert(d.width === img.getWidth); assert(d.height === img.getHeight)
+    assert(d.channels === 3)
+    val exact = Multimodal.decodeImages(
+      spark, Seq(Multimodal.ImageDoc(7L, Multimodal.encodeImage(img, "png"))).toDS()
+    ).collect().head
+    val n = (d.width * d.height).toDouble
+    assert(math.abs(d.sum_r - exact.sum_r) / n < 40.0, "mean-abs channel drift")
+    assert(math.abs(d.sum_g - exact.sum_g) / n < 40.0)
+    assert(math.abs(d.sum_b - exact.sum_b) / n < 40.0)
+  }
+
+  test("image decode: corrupt payload yields width=-1 row, not a task failure") {
+    val ds = Seq(Multimodal.ImageDoc(1L, Array[Byte](1, 2, 3, 4))).toDS()
+    val d = Multimodal.decodeImages(spark, ds).collect().head
+    assert(d.width === -1)
+    assert(d.channels === 0)
+  }
+
   test("json source FAILFAST rejects corrupt rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_").toFile
     dir.deleteOnExit()
