@@ -288,6 +288,60 @@ object Dedup {
     finally groups.unpersist(blocking = true)
   }
 
+  /** MinHash+LSH with an ENGINE-PORTABLE hash function: per-seed minima of
+    * md5 hex digests (lexicographic min over lowercase hex — identical
+    * byte comparison in any engine) instead of xxhash64, so an external
+    * SQL engine can reproduce the signatures, the banding AND the verified
+    * pair set end-to-end. This anchors the LSH *pipeline* to an oracle —
+    * candidate generation goes through the same [[boundedBucketPairs]]
+    * path as the production [[minhashPairs]], and the exact-Jaccard verify
+    * is the same intersect/size arithmetic on shingle sets. The production
+    * path keeps xxhash64 (one 8-byte hash per shingle vs k full md5
+    * passes over shingle STRINGS here — the portable form trades
+    * throughput for reproducibility and is meant as a correctness anchor,
+    * not the scale path).
+    *
+    * Band key = the r min-digests of the band joined with '|' — grouping
+    * on the concatenated string directly, no second hash, so the bucket
+    * value is itself reproducible. No exact-dup pre-collapse (the oracle
+    * would have to mirror it; caller bounds the input instead). */
+  def minhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 2, k: Int = 8, bands: Int = 4,
+                           minJaccard: Double = 0.5,
+                           bucketCap: Int = 1024): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val toks = docs.select(col(idCol).as("id"),
+      graft.text.TextFunctions.wsTokens(col(textCol)).as("toks"))
+    // (id, sh) is read twice (signature pass + verify join) — persist the
+    // narrow projection, release after the checkpointed result below
+    val sh = toks.filter(size(col("toks")) >= shingleN)
+      .select(col("id"),
+        graft.text.TextFunctions.shinglesFromTokens(col("toks"), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sig = array((0 until k).map(i =>
+        array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s))))): _*)
+      val bandKeys = (0 until bands).map(b =>
+        concat_ws("|", slice(col("sig"), b * r + 1, r)))
+      val banded = sh.select(col("id"), sig.as("sig"))
+        .select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
+      val cand = boundedBucketPairs(banded, Seq(col("band"), col("bh")),
+          col("id"), bucketCap)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      pairs.localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = true)
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd
     * expression), split into `bands` 16-bit chunks; docs sharing a chunk
     * are candidates, verified by Hamming distance. Same scale shape as

@@ -74,6 +74,23 @@ object DedupQueries extends QuerySet {
         .limit(100)
     }),
 
+    // MinHash+LSH with the PORTABLE md5 hash family: signatures, band
+    // keys, candidates and the verified pair set are all reproducible in
+    // any engine with md5 — so this row is hash-checked end-to-end by the
+    // DuckDB oracle, anchoring the LSH pipeline itself (banding via
+    // boundedBucketPairs + exact-Jaccard verify), not just its
+    // exact-Jaccard sibling. Production stays on xxhash64 (dd_minhash).
+    // Doubled subset: every doc gets a planted +1000000 exact copy, so
+    // the oracle-checked output carries ~300 guaranteed jaccard-1.0
+    // pairs (identical md5 signatures in both engines) on top of the
+    // natural near-dups.
+    "dd_minhash_md5" -> ((s, dir) => {
+      val docs = doubled(s, dir).filter(col("doc_id") % COPY_OFFSET < 300)
+      Dedup.minhashPairsPortable(docs, "doc_id", "text",
+          shingleN = 2, k = 8, bands = 4, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash+LSH near-dup candidates with exact-Jaccard verification.
     // No SQL oracle (xxhash64-based) — planted duplicates guarantee that
     // every doc pairs with its copy at jaccard=1.0.
@@ -255,6 +272,47 @@ object DedupQueries extends QuerySet {
         |FROM batch
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors minhashPairsPortable exactly: word-2-gram distinct shingles,
+    // per-seed min of md5(seed || ':' || shingle) lowercase-hex digests
+    // (lexicographic min ≡ Spark's array_min over ASCII hex), band key =
+    // the 2 min-digests of the band joined with '|', candidates = pairs
+    // sharing any band key, verify = exact set Jaccard >= 0.5. The doc
+    // subset (300) keeps every band bucket far below the Spark side's
+    // 1024 cap, so no bridge pairs perturb the all-pairs banding.
+    "dd_minhash_md5" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300),
+        |t0 AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM d),
+        |sh AS (
+        |  SELECT id, list_distinct([array_to_string(t[i:i+1], ' ')
+        |                            for i in range(1, len(t))]) AS sh
+        |  FROM t0 WHERE len(t) >= 2),
+        |e AS (SELECT id, unnest(sh) AS s FROM sh),
+        |hs AS (
+        |  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS h
+        |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        |  GROUP BY id, seed),
+        |sig AS (SELECT id, list(h ORDER BY seed) AS sig FROM hs GROUP BY id),
+        |band AS (
+        |  SELECT id, b, array_to_string(sig[2*b+1:2*b+2], '|') AS bh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id),
+        |ji AS (
+        |  SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS n_inter,
+        |         len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM cand JOIN sh a ON a.id = id_a JOIN sh b ON b.id = id_b)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+        |FROM ji
+        |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH toks AS (

@@ -43,9 +43,14 @@ object SimilarityQueries extends QuerySet {
     }),
 
     // SRP-LSH bucketed ANN: same contract as sim_knn_brute but only
-    // bucket-local candidates (recall < 1, cost /2^bits). Rows-only check.
+    // bucket-local candidates (recall < 1, cost tables/2^bits). 6
+    // independent 6-bit tables + Hamming-1 multiprobe — per-table misses
+    // multiply, so recall rises to 1-(1-p)^6 while each probe still
+    // scans only its own bucket. Rows-only check; recall@5 measured
+    // per-round in verify_recall.json (floor 0.6).
     "sim_knn_lsh" -> ((s, dir) => {
-      Vectors.lshKnn(queriesDf(s, dir, 10), corpus(s, dir), dim = 64, bits = 4, k = 5)
+      Vectors.lshKnn(queriesDf(s, dir, 10), corpus(s, dir), dim = 64, bits = 6,
+          k = 5, tables = 6)
         .orderBy(col("q_id"), col("rank"))
     }),
 

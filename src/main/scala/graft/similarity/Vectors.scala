@@ -182,24 +182,40 @@ object Vectors {
     rankTopK(joined, k)
   }
 
-  /** LSH-bucketed ANN. With `multiProbe` (default) each query also probes
-    * every bucket at Hamming distance 1 from its own — bits+1 cheap probe
-    * rows per query instead of the single-bucket recall cliff (a vector
-    * just across one hyperplane lands one bit-flip away). Corpus vectors
-    * live in exactly one bucket, so probes never duplicate a candidate. */
+  /** LSH-bucketed ANN over `tables` INDEPENDENT SRP hash tables (distinct
+    * hyperplane seeds via SrpBands — all signatures computed in ONE
+    * codegen'd pass over the vector). A query's candidates are the union
+    * of its bucket in every table; with `multiProbe` (default) each query
+    * also probes every bucket at Hamming distance 1 from its own —
+    * tables·(bits+1) cheap probe rows per query instead of the
+    * single-bucket recall cliff. Per-table miss probability multiplies
+    * across tables (recall 1-(1-p)^L), which is the standard LSH knob:
+    * raise `tables` for recall at fixed bucket size, raise `bits` for
+    * smaller buckets at fixed recall.
+    *
+    * Scale shape: the corpus is EXPLODED to `tables` (table, bucket, vec)
+    * rows but never shuffled — probes are broadcast and joined
+    * bucket-local; a candidate surfacing in several tables is collapsed
+    * by a (q_id, vec_id) dedup on 3-scalar rows BEFORE the bounded top-k
+    * heap (duplicates would occupy multiple heap slots), so the dedup
+    * shuffle carries candidate ids + score, never vectors. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, bits: Int,
-             k: Int, multiProbe: Boolean = true, roundScale: Int = 6): DataFrame = {
-    def sig(c: Column): Column =
-      element_at(graft.functions.SrpBands(c, bits, bands = 1), 1)
-    val cb = corpus.withColumn("bucket", sig(col("c_vec")))
-    val qb0 = queries.withColumn("bucket0", sig(col("q_vec")))
+             k: Int, multiProbe: Boolean = true, tables: Int = 1,
+             roundScale: Int = 6): DataFrame = {
+    def sigs(c: Column): Column = graft.functions.SrpBands(c, bits, tables)
+    val cb = corpus.select(col("vec_id"), col("c_vec"),
+        posexplode(sigs(col("c_vec"))).as(Seq("table", "bucket")))
+    val qb0 = queries.select(col("q_id"), col("q_vec"),
+        posexplode(sigs(col("q_vec"))).as(Seq("table", "bucket0")))
     val probes = col("bucket0") +:
       (if (multiProbe) (0 until bits).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
        else Seq.empty[Column])
     val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+    val joined = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
+      .select(col("q_id"), col("score"), col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
     rankTopK(joined, k)
   }
 }

@@ -59,6 +59,26 @@ class OperatorSpec extends SparkSuite {
     assert((0 until 20).forall(i => exact.contains((i.toLong, i + 100L))))
   }
 
+  test("portable md5 minhash finds planted duplicates, agrees with xxhash verify") {
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"token$i alpha beta gamma delta epsilon zeta eta theta iota"))
+    val planted = docs ++ docs.map { case (id, t) => (id + 100L, t) }
+    val pairs = Dedup.minhashPairsPortable(planted.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 2, k = 8, bands = 4, minJaccard = 0.9).collect()
+    val exact = pairs.filter(_.getAs[Double]("jaccard") == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 20).forall(i => exact.contains((i.toLong, i + 100L))))
+    // verified jaccard is hash-family-independent: any pair BOTH pipelines
+    // emit must carry the same exact-Jaccard value
+    val prod = Dedup.minhashPairs(planted.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    pairs.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      prod.get(key).foreach(j => assert(j === r.getAs[Double]("jaccard")))
+    }
+  }
+
   test("components: chains merge to min label, singletons keep their own") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val got = Dedup.components(pairs).collect()
