@@ -102,14 +102,21 @@ object Molecules {
   * render as Python `repr` ([[PyJson.pyFloatRepr]]); lists with `", "`
   * separators.
   *
-  * Verification boundary, stated honestly: QCElemental itself is not
-  * installable in this build environment, so parity is pinned
-  * (`MoleculeCodecSpec`) against fixtures generated by REAL CPython+numpy
-  * executing the transcribed algorithm (`tools/make_hash_fixtures.py`) —
-  * the byte-level risks (Python float repr, json separators, banker's
-  * rounding, zero flips) are genuinely cross-checked against CPython;
-  * the field list and noise constants are transcribed from QCElemental's
-  * published source and NOT independently executed here.
+  * Verification: pinned two independent ways (`MoleculeCodecSpec`).
+  * (1) Against the REFERENCE'S OWN literal digests — the get_hash values
+  * its test suite asserts (`qcportal/qcportal/molecules/test_models.py:68`,
+  * `qcfractal/qcfractal/components/molecules/test_client.py:292-294`) over
+  * its own `qcarchivetesting/molecule_data` payloads, which validates the
+  * transcribed field handling and noise constants end-to-end (including
+  * the property-default semantics: absent masses compute element-table
+  * defaults, absent real is all-True — MASS_NOISE=6 rounding makes the
+  * element masses version-stable). (2) Against fixtures generated by REAL
+  * CPython+numpy executing the transcribed algorithm
+  * (`tools/make_hash_fixtures.py`), which pins the byte-level behaviors
+  * (Python float repr, json separators, banker's rounding, zero flips)
+  * across a wider input range than the three reference vectors cover.
+  * QCElemental itself remains uninstallable here; (1) bounds the
+  * transcription risk to inputs outside the reference's own coverage.
   *
   * Input is a 10-field struct (see [[QcelMoleculeCanonical.apply]] for the
   * normalized field types); stays inside whole-stage codegen via a static

@@ -184,7 +184,68 @@ def gen_molecules():
     print(f"molecules: {len(mols)} fixtures written")
 
 
+# Default atomic masses a qcelemental Molecule computes for a payload that
+# omits them (property getter falls back to the element table). MASS_NOISE=6
+# rounding makes these version-stable: any published table value for these
+# isotopes rounds to the same 6 decimals.
+DEFAULT_MASSES = {"O": 15.99491461957, "H": 1.00782503223, "C": 12.0}
+
+# The reference's own pinned get_hash digests:
+#   qcportal/qcportal/molecules/test_models.py:68 (water_dimer_minima)
+#   qcfractal/qcfractal/components/molecules/test_client.py:292-294
+REFERENCE_VECTORS = [
+    ("water_dimer_minima", "3c4b98f515d64d1adc1648fe1fe1d6789e978d34"),
+    ("water_stacked", "27061c76f7de3eca6a2d9521d660661fe177192f"),
+    ("benzene_dimer", "0990d963680c22adde43bd650dff75e3b16808be"),
+]
+
+MOLECULE_DATA = "/root/reference/qcarchivetesting/qcarchivetesting/molecule_data"
+
+
+def gen_reference_molecules():
+    """Vectors whose digests come from the REFERENCE REPO ITSELF (literal
+    asserts in its test suite), closing the F8 transcription boundary: a
+    field-handling or constant transcription error would fail these even
+    though the CPython-generated fixtures above cannot catch it. Molecule
+    payloads are the reference's own molecule_data/*.json with qcelemental
+    property-default semantics applied (masses computed when absent, real
+    all-True, connectivity None)."""
+    with open(os.path.join(OUT, "qcel_reference_hash_vectors.jsonl"), "w") as out:
+        for name, pinned in REFERENCE_VECTORS:
+            with open(os.path.join(MOLECULE_DATA, name + ".json")) as f:
+                d = json.load(f)
+            n = len(d["symbols"])
+            mol = {
+                "symbols": d["symbols"],
+                "masses": d.get("masses",
+                                [DEFAULT_MASSES[s] for s in d["symbols"]]),
+                "molecular_charge": d.get("molecular_charge", 0.0),
+                "molecular_multiplicity": d.get("molecular_multiplicity", 1),
+                "real": d.get("real", [True] * n),
+                "geometry": d["geometry"],
+                "fragments": [np.array(f) for f in d["fragments"]],
+                "fragment_charges": d["fragment_charges"],
+                "fragment_multiplicities": d["fragment_multiplicities"],
+            }
+            concat, digest = get_hash(mol)
+            assert digest == pinned, f"{name}: {digest} != pinned {pinned}"
+
+            def clean(x):
+                if isinstance(x, np.ndarray):
+                    return x.tolist()
+                if isinstance(x, (list, tuple)):
+                    return [clean(v) for v in x]
+                return x
+            rec = {k: clean(v) for k, v in mol.items()}
+            out.write(json.dumps({"name": name, "molecule": rec,
+                                  "canonical": concat,
+                                  "sha1": digest}, sort_keys=True) + "\n")
+    print(f"reference molecule vectors: {len(REFERENCE_VECTORS)} written, "
+          "all digests match the reference's pinned values")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_pyjson()
     gen_molecules()
+    gen_reference_molecules()
