@@ -171,6 +171,88 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real audio decode (JDK javax.sound.sampled — WAV/PCM)
+  // ---------------------------------------------------------------------
+
+  case class AudioDoc(doc_id: Long, audio: Array[Byte])
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+                          bits: Int, n_samples: Long, sum_abs: Long, peak: Int)
+
+  /** Deterministic synthetic 16-bit mono PCM signal for `id`: length and
+    * every sample are integer arithmetic in the id, so the DECODED stats
+    * are oracle-predictable (same strategy as [[syntheticPixelImage]]). */
+  def syntheticPcm(id: Long): Array[Int] = {
+    val n = (2048 + (id % 7) * 256).toInt
+    Array.tabulate(n)(t => (((id * 31 + t * 7) % 4096) - 2048).toInt)
+  }
+
+  /** Encode PCM samples as a real WAV container via the JDK's
+    * AudioSystem writer (RIFF header + 16-bit little-endian frames). */
+  def encodeWav(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var t = 0
+    while (t < samples.length) {
+      bytes(2 * t) = (samples(t) & 0xff).toByte
+      bytes(2 * t + 1) = ((samples(t) >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL binary audio column: per-row deterministic WAV bytes
+    * (production analogue: the raw audio bytes column). */
+  def withWavPayload(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[AudioDoc] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => AudioDoc(id, encodeWav(syntheticPcm(id))))
+    }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` (the JDK's WAV
+    * codec) inside a partition batch → format metadata plus integer
+    * signal stats (total |sample| sum, peak) that an oracle can predict.
+    * Undecodable rows surface as sample_rate=-1 rather than failing the
+    * task — same corrupt-blob policy as [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, docs: Dataset[AudioDoc]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(d.audio))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val bps = fmt.getSampleSizeInBits / 8
+          val n = bytes.length / (bps * fmt.getChannels)
+          var sumAbs = 0L; var peak = 0
+          if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val v = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+              val a = math.abs(v)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 2
+            }
+          }
+          DecodedAudio(d.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, n.toLong, sumAbs, peak)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            DecodedAudio(d.doc_id, -1, 0, 0, 0L, 0L, 0)
+        }
+      }
+    }
+  }
+
   /** STUB decode: deterministic fake "feature extraction" — 8 block sums
     * over the payload bytes. Real implementation would decode the image /
     * resample the audio here; the batching shape (one iterator pass per

@@ -33,6 +33,22 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode: deterministic per-doc WAVs (16-bit mono PCM,
+    // sample formula in doc_id) through the JDK's WAV codec; format
+    // metadata + integer signal stats the oracle predicts arithmetically.
+    "mm_audio_decode" -> ((s, dir) => {
+      val wavs = Multimodal.withWavPayload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+      Multimodal.decodeAudio(s, wavs).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_samples"), col("sum_abs"),
+          col("peak").cast("long").as("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Columnar metadata over opaque binary payloads.
     "mm_binary_meta" -> ((s, dir) => {
       Multimodal.binaryMetadata(
@@ -68,6 +84,24 @@ object MultimodalQueries extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Predicts the DECODED stats of mm_audio_decode from the sample
+    // formula: n = 2048 + (id%7)·256 samples, s(t) = (id·31 + t·7) %
+    // 4096 − 2048. A header mis-parse or byte-order slip breaks the
+    // hash match.
+    "mm_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2048 + (doc_id % 7) * 256 AS n
+        |  FROM documents WHERE doc_id < 100),
+        |t AS (SELECT doc_id, n, unnest(range(n)) AS t FROM d),
+        |s AS (SELECT doc_id, n, (doc_id*31 + t*7) % 4096 - 2048 AS v FROM t)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
+
     // Predicts the DECODED stats of mm_decode from the pixel formula —
     // dims 8+id%9 × 8+id%7, channel c at (x,y) = (id·kc + x·ac + y·bc)
     // % 256, thumbnail = 4×4 nearest-neighbor (source pixel at

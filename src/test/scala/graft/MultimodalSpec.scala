@@ -65,6 +65,29 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(d.sum_b - exact.sum_b) / n < 40.0)
   }
 
+  test("wav decode: AudioSystem roundtrip recovers the exact sample formula") {
+    val ids = Seq(0L, 3L, 13L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(
+        spark, Multimodal.withWavPayload(spark, ids, "doc_id"))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 3L, 13L)) {
+      val d = out(id)
+      val pcm = Multimodal.syntheticPcm(id)
+      assert(d.sample_rate === 8000); assert(d.channels === 1)
+      assert(d.bits === 16)
+      assert(d.n_samples === pcm.length.toLong)
+      assert(d.sum_abs === pcm.map(v => math.abs(v).toLong).sum)
+      assert(d.peak === pcm.map(math.abs).max)
+    }
+  }
+
+  test("audio decode: corrupt payload yields sample_rate=-1 row") {
+    val ds = Seq(Multimodal.AudioDoc(1L, Array[Byte](9, 9, 9, 9))).toDS()
+    val d = Multimodal.decodeAudio(spark, ds).collect().head
+    assert(d.sample_rate === -1)
+    assert(d.channels === 0)
+  }
+
   test("image decode: corrupt payload yields width=-1 row, not a task failure") {
     val ds = Seq(Multimodal.ImageDoc(1L, Array[Byte](1, 2, 3, 4))).toDS()
     val d = Multimodal.decodeImages(spark, ds).collect().head
