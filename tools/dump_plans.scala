@@ -28,7 +28,10 @@ val notes: Seq[(String, String)] = Seq(
   "s2_typed_payload" -> "Per-type nested payload structs: the record_type filter prunes sibling partition directories at listing time AND nested-schema pruning drops the unselected subtype structs from ReadSchema.",
   "st1_lifecycle" -> "Integrated claim->payload->return->history->revert chain in one plan: the claim is a TakeOrderedAndProject top-k, payload dims broadcast, the event-sourced history union feeds the rank-2 revert pick.",
   "dd_embcos_lsh" -> "Embedding near-dup: all SRP band signatures from one codegen'd srp_bands pass, ids-only candidates through the bounded bucket-collect, vectors joined back once per surviving pair. The signature subtree materializes eagerly inside boundedBucketPairs; this final plan reads the candidate checkpoint.",
-  "sim_knn_lsh" -> "LSH ANN probe: bucket = one-pass codegen'd srp_bands signature on both sides, multi-probe queries broadcast, per-query top-k via the bounded TopKByScore aggregate.",
+  "sim_knn_lsh" -> "LSH ANN probe over L independent tables: all signatures from one codegen'd srp_bands pass, multi-probe queries broadcast and joined bucket-local (corpus exploded but never shuffled), cross-table duplicate candidates collapsed on 3-scalar rows before the bounded TopKByScore heap.",
+  "dd_minhash_md5" -> "Portable-hash LSH anchor: per-seed md5 minima and concatenated band keys are engine-reproducible, candidates go through the same bounded bucket-collect as the production pipeline, exact-Jaccard verify joins shingles once per surviving pair - the whole pair set hash-checks against the DuckDB oracle. Final plan reads the pair checkpoint.",
+  "mm_decode" -> "Real image decode: deterministic PNGs encode and decode inside one mapPartitions batch (ImageIO, no UDF in the columnar path); only the fixed-width decoded stats leave the partition, and the oracle predicts them from the pixel formula.",
+  "mm_audio_decode" -> "Real audio decode: WAV payloads through the JDK codec in the same partition-batch shape; integer signal stats out, oracle-predicted.",
   "j14_bucketed_join" -> "Bucketed co-located join: both sides pre-bucketed on the join key, sort-merge reads buckets directly (SelectedBucketsCount) with NO exchange on either input; only the final rollup shuffles.",
   "pipe_curate" -> "End-to-end curation: quality gate -> min_by exact dedup -> chunk -> per-shard 512-token bin packing composed in one plan; the only window is the per-shard running offset.",
   "dd_incremental" -> "Incremental dedup batch step: index read excludes the current batch partition, candidates from a band join bounded by the hot-band stop-list, one set-Jaccard verify, survivors overwrite their own batch=N partition (idempotent retry).",
