@@ -144,6 +144,66 @@ object Sampling {
     }
   }
 
+  /** Token-budget selection: keep the maximal PREFIX of `df` in
+    * (`orderCols`) order whose running `tokensCol` sum stays within
+    * `budget` — "assemble the highest-priority B-token training mix",
+    * the epoch-planning primitive.
+    *
+    * The selected set is a pure function of the global order, so the
+    * implementation is free to avoid a global-order window (which plans
+    * as a SINGLE-partition sort at any scale): rows range-partition by
+    * the order columns, per-shard token totals aggregate to the driver
+    * (one row per shard), and the prefix sums over those totals decide
+    * whole shards — every shard strictly before the crossing point is
+    * selected WITHOUT any per-row state, every shard after it is
+    * dropped, and only the ONE boundary shard runs a per-row running
+    * sum (a window over that shard's bounded rows). Shard boundary
+    * placement (range sampling) therefore never affects the output,
+    * only which shard pays the fine scan. Cost: one range exchange of
+    * (order, token) rows + a counts-only aggregate + a window over
+    * ~1/shards of the data.
+    *
+    * Ties: `orderCols` must end in a unique tiebreaker (the id) so the
+    * global order — and with it the selected set — is total. */
+  def tokenBudget(df: DataFrame, orderCols: Seq[Column], tokensCol: Column,
+                  budget: Long, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val ranged = df.repartitionByRange(shards, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__tok", tokensCol.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per shard; range partitions are ordered by pid, so the
+      // driver-side prefix scan below walks the global order
+      val totals = ranged.groupBy(col("__pid")).agg(sum(col("__tok")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      var boundary = -1
+      var before = 0L
+      for (pid <- 0 until shards if boundary < 0) {
+        val t = totals.getOrElse(pid, 0L)
+        if (acc + t > budget) { boundary = pid; before = acc }
+        else acc += t
+      }
+      val out =
+        if (boundary < 0) ranged // whole corpus fits the budget
+        else {
+          val full = ranged.filter(col("__pid") < boundary)
+          val w = Window.partitionBy(col("__pid"))
+            .orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val fine = ranged.filter(col("__pid") === boundary)
+            .withColumn("__run", sum(col("__tok")).over(w))
+            .filter(col("__run") <= budget - before)
+            .drop("__run")
+          full.unionByName(fine)
+        }
+      // the result escapes this scope: materialize, then release the cache
+      out.drop("__pid", "__tok").localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = true)
+  }
+
   /** Power-of-two-free LINEAR histogram of a count column: integer
     * bucket = value div `width` — exact integer arithmetic on both
     * engine and oracle, no float log edge cases. The standard corpus

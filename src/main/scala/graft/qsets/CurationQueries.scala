@@ -127,6 +127,23 @@ object CurationQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget epoch planning: the maximal prefix of the corpus in
+    // (tokens desc, doc_id) priority order that fits a 100k-token
+    // budget. The selected set is a pure function of the global order,
+    // so the oracle checks it with a plain running-sum window while the
+    // engine decides whole shards from counts-only totals and fine-scans
+    // only the boundary shard (Sampling.tokenBudget scaladoc).
+    "samp_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      graft.operators.Sampling.tokenBudget(docs,
+          Seq(col("n_tok").desc, col("doc_id").asc), col("n_tok"),
+          budget = 100000L)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain mixing: per-source quotas (first-N by doc_id), the
     // deterministic form of "mix sources at fixed proportions".
     "samp_mix" -> ((s, dir) => {
@@ -266,6 +283,21 @@ object CurationQueries extends QuerySet {
       """SELECT doc_id, source
         |FROM documents
         |WHERE substr(md5(text), 1, 1) < '2'
+        |ORDER BY doc_id""".stripMargin,
+
+    // The selection contract directly: running token sum over the
+    // (n_tok DESC, doc_id) order, keep while <= budget.
+    "samp_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d)
+        |SELECT doc_id, n_tok FROM r WHERE run <= 100000
         |ORDER BY doc_id""".stripMargin,
 
     "samp_split_leakfree" ->

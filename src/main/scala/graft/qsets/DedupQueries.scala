@@ -91,6 +91,19 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Survivors over the PORTABLE pair set: connected components +
+    // min-id representative, oracle-checked end-to-end through the LSH
+    // pipeline via a recursive-CTE reachability closure in DuckDB — the
+    // components/survivors machinery anchored through banding itself,
+    // not only through exact-dup pairs (dd_survivors_exact).
+    "dd_survivors_md5" -> ((s, dir) => {
+      val docs = doubled(s, dir).filter(col("doc_id") % COPY_OFFSET < 300)
+      val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text",
+        shingleN = 2, k = 8, bands = 4, minJaccard = 0.9)
+      Dedup.survivors(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidates with exact-Jaccard verification.
     // No SQL oracle (xxhash64-based) — planted duplicates guarantee that
     // every doc pairs with its copy at jaccard=1.0.
@@ -271,6 +284,56 @@ object DedupQueries extends QuerySet {
         |SELECT doc_id
         |FROM batch
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same md5 pipeline as dd_minhash_md5 at threshold 0.9, then
+    // survivors = min-id per connected component: undirected reachability
+    // closure as a recursive CTE, label = min reachable id, keep docs
+    // that are their own label (or in no pair at all). Component shapes
+    // here are planted pairs + small natural clusters, so the closure is
+    // tiny; the ENGINE side still runs the scale machinery
+    // (checkpointed min-label propagation).
+    "dd_survivors_md5" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300),
+        |t0 AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM d),
+        |sh AS (
+        |  SELECT id, list_distinct([array_to_string(t[i:i+1], ' ')
+        |                            for i in range(1, len(t))]) AS sh
+        |  FROM t0 WHERE len(t) >= 2),
+        |e AS (SELECT id, unnest(sh) AS s FROM sh),
+        |hs AS (
+        |  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS h
+        |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+        |  GROUP BY id, seed),
+        |sig AS (SELECT id, list(h ORDER BY seed) AS sig FROM hs GROUP BY id),
+        |band AS (
+        |  SELECT id, b, array_to_string(sig[2*b+1:2*b+2], '|') AS bh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM band x JOIN band y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, len(list_intersect(a.sh, b.sh)) AS n_inter,
+        |           len(a.sh) AS na, len(b.sh) AS nb
+        |    FROM cand JOIN sh a ON a.id = id_a JOIN sh b ON b.id = id_b)
+        |  WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM edges
+        |  UNION
+        |  SELECT e2.a AS id, reach.r AS r
+        |  FROM edges e2 JOIN reach ON reach.id = e2.b),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM d LEFT JOIN lab ON lab.id = d.doc_id
+        |WHERE lab.label IS NULL OR lab.label = d.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors minhashPairsPortable exactly: word-2-gram distinct shingles,

@@ -206,6 +206,27 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("token budget: maximal prefix of the global order, shard-invariant") {
+    // 100 docs with distinct token counts; priority = tokens desc, id asc.
+    // Driver-side reference: greedy prefix over the sorted order.
+    val docs = (0L until 100L).map(i => (i, 10L + (i * 37L) % 90L))
+      .toDF("doc_id", "n_tok")
+    def ref(budget: Long): Set[Long] = {
+      var acc = 0L
+      docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, t) => (-t, id) }
+        .takeWhile { case (_, t) => { acc += t; acc <= budget } }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 500L, 2345L, 100000L); shards <- Seq(1, 4, 32)) {
+      val got = Sampling.tokenBudget(docs,
+          Seq(col("n_tok").desc, col("doc_id").asc), col("n_tok"),
+          budget, shards = shards)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got === ref(budget), s"budget=$budget shards=$shards")
+    }
+  }
+
   test("linear histogram buckets by exact integer division") {
     val vals = Seq(0L, 31L, 32L, 63L, 64L, 100L).toDF("v")
     val h = Sampling.linearHistogram(vals, col("v"), 32)
