@@ -8,15 +8,23 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode/feature-extract as
   * partition-batched transforms.
   *
-  * IMAGE decode is REAL: [[decodeImages]] runs `javax.imageio.ImageIO`
-  * (JDK built-in — PNG and JPEG codecs, zero new dependencies) inside a
-  * `mapPartitions` batch, producing dims, channel count, per-channel
-  * pixel sums and a bounded nearest-neighbor thumbnail per row. The
-  * remaining `decodeStub`/`thumbnailStub` paths stand in for codecs the
-  * JDK does NOT ship (audio/video): they keep the production batching
-  * shape — one iterator pass per partition, fixed-width output, binary
-  * column projected only where needed (lazy column, SURVEY S6) — with
-  * deterministic fake features.
+  * What is REAL vs stubbed, per modality — the honest JVM boundary:
+  *  - IMAGE: fully real. [[decodeImages]] runs `javax.imageio.ImageIO`
+  *    (JDK PNG + JPEG codecs, zero new dependencies) — dims, channels,
+  *    per-channel sums, nearest-neighbor thumbnail.
+  *  - AUDIO: fully real for WAV/PCM. [[decodeAudio]] runs
+  *    `javax.sound.sampled.AudioSystem` — format metadata + integer
+  *    signal stats.
+  *  - VIDEO: real at the CONTAINER level — [[demuxVideo]] walks
+  *    ISO-BMFF/MP4 boxes (bounds-checked, largesize/run-to-end aware)
+  *    for structure, track counts and movie-header fields, which is the
+  *    metadata pass that prunes payloads before expensive decode at
+  *    scale; frame DECODE has no JVM codec and stays behind
+  *    [[decodeStub]] with deterministic fake features.
+  * Every decoder runs inside a `mapPartitions` batch — one iterator
+  * pass per partition, fixed-width output, binary column projected only
+  * where needed (lazy column, SURVEY S6) — and treats corrupt payloads
+  * as data (sentinel rows), never task failures.
   */
 object Multimodal {
 
@@ -248,6 +256,136 @@ object Multimodal {
           case _: javax.sound.sampled.UnsupportedAudioFileException |
                _: java.io.IOException =>
             DecodedAudio(d.doc_id, -1, 0, 0, 0L, 0L, 0)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real video container demux (ISO-BMFF / MP4 box walk — pure JVM)
+  // ---------------------------------------------------------------------
+
+  case class VideoDoc(doc_id: Long, video: Array[Byte])
+  case class DemuxedVideo(doc_id: Long, n_boxes: Int, n_tracks: Int,
+                          timescale: Long, duration: Long,
+                          mdat_bytes: Long, top_types: String)
+
+  /** Box types that CONTAIN other boxes (walked recursively). */
+  private val containerBoxes = Set("moov", "trak", "mdia", "minf", "stbl",
+    "edts", "udta", "moof", "traf")
+
+  /** Deterministic minimal-but-valid MP4: ftyp + moov(mvhd, n traks with
+    * tkhd) + mdat, every field integer arithmetic in the id. The box
+    * structure is real ISO-BMFF (length-prefixed fourcc boxes, versioned
+    * full boxes), so the walker below exercises the same code path a real
+    * MP4 takes. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def fourcc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    // ftyp
+    u32(20); fourcc("ftyp"); fourcc("isom"); u32(0x200); fourcc("isom")
+    // moov
+    val nTracks = (1 + id % 3).toInt
+    val timescale = 1000 + id % 100
+    val duration = 5000 + (id * 7) % 1000
+    u32(8 + 108 + nTracks * 100L); fourcc("moov") // trak box = 8 + 92 tkhd
+    // mvhd v0: version/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved, reserved, matrix, predefined, next_track_id
+    u32(108); fourcc("mvhd"); u32(0); u32(0); u32(0); u32(timescale)
+    u32(duration); u32(0x00010000); u32(0x01000000); u32(0); u32(0)
+    val matrix = Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+    matrix.foreach(u32)
+    (0 until 6).foreach(_ => u32(0))
+    u32(nTracks + 1L)
+    // traks, each holding one tkhd v0 (84-byte payload)
+    for (i <- 0 until nTracks) {
+      u32(8 + 92L); fourcc("trak")
+      u32(92); fourcc("tkhd"); u32(0); u32(0); u32(0); u32(i + 1L); u32(0)
+      u32(duration); u32(0); u32(0); u32(0); u32(0)
+      matrix.foreach(u32)
+      u32(0); u32(0)
+    }
+    // mdat
+    val n = (100 + id % 50).toInt
+    u32(8 + n.toLong); fourcc("mdat")
+    var j = 0
+    while (j < n) { bb.write(((id * 13 + j * 7) % 256).toInt); j += 1 }
+    bb.toByteArray
+  }
+
+  def withMp4Payload(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[VideoDoc] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => VideoDoc(id, syntheticMp4(id)))
+    }
+  }
+
+  /** REAL container demux: a bounds-checked recursive ISO-BMFF box walk
+    * (handles 32-bit sizes, 64-bit `largesize`, and size-0 run-to-end
+    * boxes) collecting box count, track count, movie-header
+    * timescale/duration, and mdat payload size. This is the demux level a
+    * JVM can do honestly without a codec — frame DECODE stays behind
+    * [[decodeStub]], and at scale this metadata pass is what prunes
+    * payloads before any expensive decode stage. Malformed payloads
+    * surface as n_boxes=-1 rows, same corrupt-blob policy as the image
+    * and audio decoders. */
+  def demuxVideo(spark: SparkSession, docs: Dataset[VideoDoc]): Dataset[DemuxedVideo] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        try {
+          val b = d.video
+          var nBoxes = 0; var nTracks = 0
+          var timescale = 0L; var duration = 0L; var mdat = 0L
+          val top = scala.collection.mutable.ArrayBuffer.empty[String]
+          def u32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          def walk(start: Long, end: Long, depth: Int): Unit = {
+            if (depth > 8) throw new IllegalArgumentException("box nesting > 8")
+            var off = start
+            while (off + 8 <= end) {
+              val size0 = u32(off.toInt)
+              val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
+              val (size, hdr) =
+                if (size0 == 1) { // 64-bit largesize
+                  if (off + 16 > end) throw new IllegalArgumentException("truncated largesize")
+                  ((u32(off.toInt + 8) << 32) | u32(off.toInt + 12), 16L)
+                } else if (size0 == 0) (end - off, 8L) // runs to end
+                else (size0, 8L)
+              if (size < hdr || off + size > end)
+                throw new IllegalArgumentException(s"bad box size $size at $off")
+              nBoxes += 1
+              if (depth == 0) top += typ
+              typ match {
+                case "trak" => nTracks += 1
+                case "mvhd" =>
+                  val p = off.toInt + hdr.toInt
+                  val version = b(p) & 0xff
+                  if (version == 0) {
+                    timescale = u32(p + 12); duration = u32(p + 16)
+                  } else { // v1: 64-bit creation/modification times
+                    timescale = u32(p + 20)
+                    duration = (u32(p + 24) << 32) | u32(p + 28)
+                  }
+                case "mdat" => mdat += size - hdr
+                case _ => ()
+              }
+              if (containerBoxes.contains(typ)) walk(off + hdr, off + size, depth + 1)
+              off += size
+            }
+            if (off != end) throw new IllegalArgumentException("trailing bytes")
+          }
+          walk(0L, b.length.toLong, 0)
+          DemuxedVideo(d.doc_id, nBoxes, nTracks, timescale, duration,
+            mdat, top.mkString(","))
+        } catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+            DemuxedVideo(d.doc_id, -1, 0, 0L, 0L, 0L, "")
         }
       }
     }

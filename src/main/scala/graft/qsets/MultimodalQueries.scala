@@ -49,6 +49,22 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video container demux: deterministic minimal MP4s walked by
+    // the bounds-checked ISO-BMFF box parser; box/track counts and
+    // movie-header fields oracle-predicted. Frame decode stays behind
+    // the declared stub (no JVM video codec).
+    "mm_video_demux" -> ((s, dir) => {
+      val vids = Multimodal.withMp4Payload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+      Multimodal.demuxVideo(s, vids).toDF()
+        .select(col("doc_id"),
+          col("n_boxes").cast("long").as("n_boxes"),
+          col("n_tracks").cast("long").as("n_tracks"),
+          col("timescale"), col("duration"), col("mdat_bytes"),
+          col("top_types"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Columnar metadata over opaque binary payloads.
     "mm_binary_meta" -> ((s, dir) => {
       Multimodal.binaryMetadata(
@@ -84,6 +100,22 @@ object MultimodalQueries extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Predicts the DEMUXED structure of mm_video_demux from the
+    // generator formulas: n tracks = 1 + id%3, boxes = ftyp + moov +
+    // mvhd + (trak+tkhd)·n + mdat, timescale/duration/mdat sizes are
+    // direct arithmetic. A box-walk slip (header size, container
+    // recursion, field offset) breaks the hash match.
+    "mm_video_demux" ->
+      """SELECT doc_id,
+        |  CAST(4 + 2 * (1 + doc_id % 3) AS BIGINT) AS n_boxes,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        |  CAST(1000 + doc_id % 100 AS BIGINT) AS timescale,
+        |  CAST(5000 + (doc_id * 7) % 1000 AS BIGINT) AS duration,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS mdat_bytes,
+        |  'ftyp,moov,mdat' AS top_types
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
     // Predicts the DECODED stats of mm_audio_decode from the sample
     // formula: n = 2048 + (id%7)·256 samples, s(t) = (id·31 + t·7) %
     // 4096 − 2048. A header mis-parse or byte-order slip breaks the

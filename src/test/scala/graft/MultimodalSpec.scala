@@ -88,6 +88,48 @@ class MultimodalSpec extends SparkSuite {
     assert(d.channels === 0)
   }
 
+  test("mp4 demux: box walk recovers generator structure, handles largesize") {
+    val ids = Seq(0L, 5L, 11L).toDF("doc_id")
+    val out = Multimodal.demuxVideo(
+        spark, Multimodal.withMp4Payload(spark, ids, "doc_id"))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 5L, 11L)) {
+      val d = out(id)
+      val nt = (1 + id % 3).toInt
+      assert(d.n_tracks === nt)
+      assert(d.n_boxes === 4 + 2 * nt)
+      assert(d.timescale === 1000 + id % 100)
+      assert(d.duration === 5000 + (id * 7) % 1000)
+      assert(d.mdat_bytes === 100 + id % 50)
+      assert(d.top_types === "ftyp,moov,mdat")
+    }
+    // 64-bit largesize box: same mdat payload behind a size==1 header
+    val base = Multimodal.syntheticMp4(3L)
+    val mdatLen = (100 + 3 % 50) // payload bytes
+    val prefixLen = base.length - (8 + mdatLen)
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(base, 0, prefixLen)
+    big.write(Array[Byte](0, 0, 0, 1)) // size = 1 -> largesize follows
+    big.write("mdat".getBytes("US-ASCII"))
+    val ls = 16L + mdatLen
+    (56 to 0 by -8).foreach(s => big.write(((ls >> s) & 0xff).toInt))
+    big.write(base, prefixLen + 8, mdatLen)
+    val d = Multimodal.demuxVideo(spark,
+      Seq(Multimodal.VideoDoc(3L, big.toByteArray)).toDS()).collect().head
+    assert(d.mdat_bytes === mdatLen.toLong)
+    assert(d.n_boxes === 4 + 2 * (1 + 3 % 3))
+  }
+
+  test("mp4 demux: malformed payloads yield n_boxes=-1, not task failures") {
+    val bad = Seq(
+      Multimodal.VideoDoc(1L, Array[Byte](0, 0, 0, 99, 'f', 't', 'y', 'p')), // size > buffer
+      Multimodal.VideoDoc(2L, Array[Byte](1, 2, 3)),                         // truncated header
+      Multimodal.VideoDoc(3L, Array[Byte](0, 0, 0, 4, 'm', 'o', 'o', 'v'))). // size < header
+      toDS()
+    val out = Multimodal.demuxVideo(spark, bad).collect()
+    assert(out.forall(_.n_boxes === -1))
+  }
+
   test("image decode: corrupt payload yields width=-1 row, not a task failure") {
     val ds = Seq(Multimodal.ImageDoc(1L, Array[Byte](1, 2, 3, 4))).toDS()
     val d = Multimodal.decodeImages(spark, ds).collect().head
