@@ -104,6 +104,39 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("shard"))
     }),
 
+    // S7 byte round-trip: the content-addressed store's READ side as a
+    // real Spark source. Distinct document contents write as sharded
+    // sha256-named blob files (executor-side, content-addressed: one
+    // object per distinct sha, idempotent overwrite), then read back
+    // through Spark's `binaryFile` source — the idiomatic external-file
+    // scan, parallelized per file with the same (path, length, content)
+    // schema an object-store read gives. The output re-hashes the read
+    // content, so a single corrupted/truncated byte anywhere in the
+    // store breaks the oracle hash match: this IS the streamed byte
+    // download path, verified end-to-end.
+    "s7_external_read" -> ((s, dir) => {
+      val store = scratch(dir, "s7store") + "/v1"
+      val objects = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(sha2(col("text"), 256).as("sha"), col("text"))
+        .dropDuplicates("sha")
+      objects.foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val sha = r.getString(0)
+          val d = java.nio.file.Paths.get(store, sha.substring(0, 2))
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(d.resolve(sha + ".bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+      s.read.format("binaryFile").load(s"$store/*/*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9a-f]{64})\\.bin$", 1).as("sha256"),
+          col("length").cast("long").as("size_bytes"),
+          sha2(col("content"), 256).as("sha256_readback"))
+        .orderBy(col("sha256"))
+    }),
+
     // Bucketed co-located join: orders and lineitem each written bucketed
     // by their join key (same bucket count, built once and reused across
     // runs like any production layout), then joined straight off the
@@ -175,6 +208,15 @@ object SourcesSinks extends QuerySet {
         |WHERE o_orderkey % 3 = 1
         |GROUP BY 1, 2
         |ORDER BY record_type, status""".stripMargin,
+
+    // One row per distinct content object; readback sha must equal the
+    // object name (byte-exact storage round trip).
+    "s7_external_read" ->
+      """SELECT DISTINCT sha256(text) AS sha256,
+        |  CAST(strlen(text) AS BIGINT) AS size_bytes,
+        |  sha256(text) AS sha256_readback
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY sha256""".stripMargin,
 
     "s7_file_manifest" ->
       """WITH batch AS (
