@@ -32,6 +32,10 @@ val notes: Seq[(String, String)] = Seq(
   "dd_minhash_md5" -> "Portable-hash LSH anchor: per-seed md5 minima and concatenated band keys are engine-reproducible, candidates go through the same bounded bucket-collect as the production pipeline, exact-Jaccard verify joins shingles once per surviving pair - the whole pair set hash-checks against the DuckDB oracle. Final plan reads the pair checkpoint.",
   "mm_decode" -> "Real image decode: deterministic PNGs encode and decode inside one mapPartitions batch (ImageIO, no UDF in the columnar path); only the fixed-width decoded stats leave the partition, and the oracle predicts them from the pixel formula.",
   "mm_audio_decode" -> "Real audio decode: WAV payloads through the JDK codec in the same partition-batch shape; integer signal stats out, oracle-predicted.",
+  "mm_video_demux" -> "Video container demux: bounds-checked recursive ISO-BMFF box walk in a partition batch - the metadata pass that prunes payloads before any (external) frame decode; structure and movie-header fields out, oracle-predicted.",
+  "samp_token_budget" -> "Token-budget selection without a global-order window: range partition by priority, counts-only shard totals decide whole shards at the driver, exactly one boundary shard runs a per-row running sum - the single-partition sort a naive SUM OVER (ORDER BY) would plan never appears.",
+  "s7_external_read" -> "External byte store read path: Spark's binaryFile source scans the sharded content-addressed blobs (one task per file at scale), content re-hashed in the projection so storage corruption is oracle-visible.",
+  "dd_survivors_md5" -> "Survivors through the portable-hash LSH pipeline: same banding/verify as dd_minhash_md5 at 0.9, then checkpointed min-label propagation; the DuckDB oracle replays it as a recursive-CTE reachability closure.",
   "j14_bucketed_join" -> "Bucketed co-located join: both sides pre-bucketed on the join key, sort-merge reads buckets directly (SelectedBucketsCount) with NO exchange on either input; only the final rollup shuffles.",
   "pipe_curate" -> "End-to-end curation: quality gate -> min_by exact dedup -> chunk -> per-shard 512-token bin packing composed in one plan; the only window is the per-shard running offset.",
   "dd_incremental" -> "Incremental dedup batch step: index read excludes the current batch partition, candidates from a band join bounded by the hot-band stop-list, one set-Jaccard verify, survivors overwrite their own batch=N partition (idempotent retry).",
