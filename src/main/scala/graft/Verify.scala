@@ -145,7 +145,7 @@ object Verify {
       ("dd_embcos_incremental",
         () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
       ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.6),
-      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.6))
+      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.7))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)

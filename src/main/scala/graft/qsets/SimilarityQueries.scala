@@ -91,11 +91,13 @@ object SimilarityQueries extends QuerySet {
     }),
 
     // IVF ANN: KMeans coarse quantizer, nprobe nearest cells scanned per
-    // query. Rows-only check (centroids are engine-specific); the unit
-    // suite pins nprobe=nlist ≡ brute-force equality.
+    // query — nprobe 6 of 16 cells (37% of the corpus scored; recall
+    // measured per-round in verify_recall.json, floor 0.7). Rows-only
+    // check (centroids are engine-specific); the unit suite pins
+    // nprobe=nlist ≡ brute-force equality.
     "sim_knn_ivf" -> ((s, dir) => {
       Vectors.ivfKnn(queriesDf(s, dir, 10), corpus(s, dir),
-          nlist = 16, nprobe = 4, k = 5)
+          nlist = 16, nprobe = 6, k = 5)
         .orderBy(col("q_id"), col("rank"))
     })
   )
