@@ -132,39 +132,60 @@ object Vectors {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
-  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
-    * a KMeans coarse quantizer assigns every corpus vector to one of
-    * `nlist` cells (trained once, seeded, deterministic); each query
-    * scores only the vectors in its `nprobe` nearest cells. Cost is
-    * O(|Q|·nlist) for cell selection plus O(|Q|·|C|·nprobe/nlist) for
-    * scoring — with nprobe = nlist this degrades gracefully to exact
-    * brute force (the property the unit test pins). The centroid table is
-    * nlist rows — broadcast, never shuffled. */
-  def ivfKnn(queries: DataFrame, corpus: DataFrame, nlist: Int, nprobe: Int,
-             k: Int, roundScale: Int = 6, seed: Long = 42L): DataFrame = {
+  // IVF (inverted-file) ANN — the other standard scale path next to LSH:
+  // a KMeans coarse quantizer assigns every corpus vector to one of
+  // `nlist` cells (trained once, seeded, deterministic); each query
+  // scores only the vectors in its `nprobe` nearest cells. Cost is
+  // O(|Q|·nlist) for cell selection plus O(|Q|·|C|·nprobe/nlist) for
+  // scoring. The centroid table is nlist rows — broadcast, never
+  // shuffled. Split as fit (index build) + probe (per-query work);
+  // ivfKnn composes them for one-shot use.
+
+  /** Train the IVF coarse quantizer — the PERSISTENT half of the index.
+    * In production this runs once per corpus snapshot and its outputs
+    * (cell assignments + the nlist-row centroid table) are stored
+    * artifacts, like the signature indexes; per-query work is
+    * [[ivfProbe]] only. Returns (assigned corpus with its `cell`,
+    * centroid table).
+    *
+    * Coarse quantization needs rough cells, not converged clusters:
+    * cap iterations AND train on a bounded pseudo-random sample
+    * (~256·nlist rows, the standard IVF train-set size). Fitting on the
+    * full corpus would be 8 driver-coordinated full passes before the
+    * first query. The sample is top-targetRows by id-hash — uniform,
+    * deterministic, and taken with per-partition heaps
+    * (TakeOrderedAndProject) in ONE scan; no dedicated counting pass
+    * over the corpus. Smaller corpora pass through whole. */
+  def ivfFit(corpus: DataFrame, nlist: Int,
+             seed: Long = 42L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-
     val feat = corpus.select(col("vec_id"),
       array_to_vector(col("c_vec")).as("features"))
-    // coarse quantization needs rough cells, not converged clusters:
-    // cap iterations AND train on a bounded pseudo-random sample
-    // (~256·nlist rows, the standard IVF train-set size). Fitting on the
-    // full corpus would be 8 driver-coordinated full passes before the
-    // first query. The sample is top-targetRows by id-hash — uniform,
-    // deterministic, and taken with per-partition heaps
-    // (TakeOrderedAndProject) in ONE scan; no dedicated counting pass
-    // over the corpus. Smaller corpora pass through whole.
     val targetRows = 256 * nlist
     val trainFeat = feat.orderBy(xxhash64(col("vec_id"))).limit(targetRows)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(8).fit(trainFeat)
     val cells = model.transform(feat)
       .select(col("vec_id"), col("prediction").as("cell"))
     val assigned = corpus.join(cells, "vec_id")
-
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, nlist: Int, nprobe: Int,
+             k: Int, roundScale: Int = 6, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = ivfFit(corpus, nlist, seed)
+    ivfProbe(queries, assigned, centroids, nprobe, k, roundScale)
+  }
+
+  /** Probe a fitted IVF index: score each query against the vectors in
+    * its `nprobe` nearest cells (by L2 to the broadcast centroids). With
+    * nprobe = nlist this degrades gracefully to exact brute force (the
+    * property the unit test pins). */
+  def ivfProbe(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+               nprobe: Int, k: Int, roundScale: Int = 6): DataFrame = {
 
     // nprobe nearest cells per query by L2 to the centroid
     val qCells = queries.crossJoin(broadcast(centroids))
