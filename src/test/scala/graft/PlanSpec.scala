@@ -48,6 +48,26 @@ class PlanSpec extends SparkSuite {
       "an un-broadcast cross join would shuffle the corpus")
   }
 
+  test("lsh knn: probes broadcast onto the exploded corpus, no corpus shuffle pre-join") {
+    val p = plan("sim_knn_lsh")
+    assert(p.contains("BroadcastExchange"), "multi-probe query side must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "bucket join must be broadcast-hash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucket equi-join must never degrade to a nested loop")
+    // the corpus flows scan -> signatures -> explode -> join with NO
+    // exchange; the only hash exchanges are the candidate dedup and the
+    // bounded top-k aggregate, both AFTER candidates are id+score rows
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      "corpus-side shuffle crept in before the candidate join")
+  }
+
+  test("image decode: typed partition batch, no shuffle before the output sort") {
+    val p = plan("mm_decode")
+    assert(p.contains("MapPartitions"), "decode must run as a partition batch")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "decode pipelines are narrow until the final ORDER BY")
+  }
+
   test("exact dedup shuffles the content hash, not the documents") {
     val p = plan("dd_exact")
     assert(p.contains("hashpartitioning(content_hash"))
