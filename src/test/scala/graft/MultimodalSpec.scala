@@ -130,6 +130,17 @@ class MultimodalSpec extends SparkSuite {
     assert(out.forall(_.n_boxes === -1))
   }
 
+  test("mp4 demux: 200 random-byte payloads never fail a task (seeded fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).map { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Multimodal.VideoDoc(i.toLong, b)
+    }.toDS()
+    val out = Multimodal.demuxVideo(spark, docs).collect()
+    assert(out.length === 200)
+  }
+
   test("image decode: corrupt payload yields width=-1 row, not a task failure") {
     val ds = Seq(Multimodal.ImageDoc(1L, Array[Byte](1, 2, 3, 4))).toDS()
     val d = Multimodal.decodeImages(spark, ds).collect().head

@@ -102,6 +102,17 @@ class PyJsonSpec extends SparkSuite {
     assert(PyJson.canonical("""{"b": 0, "a": 1, "a": 2}""") === """{"a": 2, "b": 0}""")
   }
 
+  test("\\u escapes require four hex digits, rejecting parseInt's sign leniency") {
+    // Integer.parseInt(_, 16) accepts "+041"/"-041" — json.loads does
+    // not, so such strings must canonicalize to null, never to a digest
+    val df = Seq("[\"\\u0041\"]", "[\"\\u+041\"]", "[\"\\u-041\"]",
+        "[\"\\u00g1\"]", "[\"\\u004\"]").toDF("j")
+      .select(PyCanonicalJson(col("j")).as("c"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got(0) === Some("[\"A\"]"))
+    assert(got.drop(1).forall(_.isEmpty))
+  }
+
   test("malformed JSON yields null, not a job-killing exception") {
     // includes the lenient-grammar traps strict json.loads rejects:
     // leading zeros, bare trailing dot, empty exponent, raw control char
