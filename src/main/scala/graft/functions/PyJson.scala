@@ -244,7 +244,8 @@ object PyJson {
     val e = sci.indexOf('e')
     val mant = sci.substring(0, e)
     val exp = Integer.parseInt(sci.substring(e + 1))
-    val digits = if (mant.length > 1) mant.charAt(0) + mant.substring(2) else mant
+    val digits =
+      if (mant.length > 1) s"${mant.charAt(0)}${mant.substring(2)}" else mant
     val sb = new java.lang.StringBuilder
     if (neg) sb.append('-')
     if (exp >= -4 && exp < 16) {
