@@ -89,6 +89,14 @@ object GraftExtensions {
             longArg("srp_bands", 4, seed))
         case _ => arity("srp_bands", "3-4 (vector, bits, bands[, seed])")
       }),
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSim],
+        "cosine_sim(a, b) - one-pass native cosine similarity of two " +
+          "float/double vectors"),
+      {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => arity("cosine_sim", "2 (vector, vector)")
+      }),
     (FunctionIdentifier("py_canonical_json"),
       info("py_canonical_json", classOf[PyCanonicalJson],
         "py_canonical_json(json_text) - CPython json.dumps(sort_keys=True, " +

@@ -28,7 +28,16 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native one-pass [[graft.functions.CosineSim]]
+    * expression — bit-identical to the HOF form `dot/(norm·norm)` (same
+    * left-to-right fold per accumulator) but one traversal instead of
+    * three lambda walks; this is the scoring kernel every ANN candidate
+    * and near-dup pair pays at corpus scale. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** The composable HOF form — kept as the cross-check reference for the
+    * native kernel (pinned equal in CodegenSpec). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be broadcast-sized; corpus is streamed. */

@@ -42,7 +42,48 @@ class CodegenSpec extends SparkSuite {
       graft.functions.SrpBands(arrD, 8, 2, 42L),
       graft.functions.SrpBands(arrF, 8, 2, 42L),
       graft.functions.PyCanonicalJson(str),
-      graft.functions.QcelMoleculeCanonical(molStruct)))
+      graft.functions.QcelMoleculeCanonical(molStruct),
+      graft.functions.CosineSim(arrD, arrD),
+      graft.functions.CosineSim(arrF, arrD)))
     assert(proj != null)
+  }
+
+  test("native cosine_sim is bit-identical to the HOF form (seeded sweep)") {
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Vectors
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(96)
+      (i.toLong,
+        Array.fill(d)(rnd.nextDouble() * 2 - 1),
+        Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineHof(col("a"), col("b")).as("hof"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        "native cosine must be BIT-identical to the HOF fold")
+    }
+    // float input: native must match the HOF over the double-cast vectors
+    val fdf = rows.map { case (i, a, b) =>
+      (i, a.map(_.toFloat), b.map(_.toFloat)) }.toDF("id", "a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineHof(Vectors.toDouble(col("a")),
+          Vectors.toDouble(col("b"))).as("hof"))
+    fdf.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // malformed vectors fail loudly, never silently mis-score
+    val ex = intercept[Exception] {
+      Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+        .select(Vectors.cosine(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch")
+      || Option(ex.getCause).exists(_.getMessage.contains("length mismatch")))
   }
 }
