@@ -253,7 +253,10 @@ object Dedup {
     val repPairs = cand
       .join(shOnly.select(col("rep").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shOnly.select(col("rep").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // sh is HashedShingles output (sorted distinct) — two-pointer count,
+      // no per-pair hash set or intersection array (SortedIntersectCount)
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -138,7 +138,7 @@ object IncrementalDedup {
     val droppedReps = cand
       .join(reps.select(col("rep"), col("sh")), "rep")
       .join(index.select(col("id").as("idx_id"), col("sh").as("idx_sh")), "idx_id")
-      .withColumn("n_inter", size(array_intersect(col("sh"), col("idx_sh"))))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sh"), col("idx_sh")))
       .withColumn("j", col("n_inter").cast("double") /
         (size(col("sh")) + size(col("idx_sh")) - col("n_inter")))
       .filter(col("j") >= minJaccard)

@@ -44,7 +44,8 @@ class CodegenSpec extends SparkSuite {
       graft.functions.PyCanonicalJson(str),
       graft.functions.QcelMoleculeCanonical(molStruct),
       graft.functions.CosineSim(arrD, arrD),
-      graft.functions.CosineSim(arrF, arrD)))
+      graft.functions.CosineSim(arrF, arrD),
+      graft.functions.SortedIntersectCount(arrL, arrL)))
     assert(proj != null)
   }
 

@@ -79,6 +79,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("sorted intersect count ≡ size(array_intersect) on sorted-distinct arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      def arr() = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+        .distinct.sorted.toSeq
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(
+        graft.functions.SortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(e === 0L)
+  }
+
   test("components: chains merge to min label, singletons keep their own") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val got = Dedup.components(pairs).collect()
