@@ -58,17 +58,27 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — local iteration aid;
+    // the driver never sets it, so recorded rounds always time everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // warm-up: codegen + parquet footers for the main fact/dim tables,
     // plus one throwaway streaming micro-query so the first timed st_*
     // query isn't charged for structured-streaming engine init
     Seq("a2_pricing_summary", "j2_revenue_by_region", "f_scalar_suite")
       .foreach(run)
     warmUpStreaming(spark)
-
-    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — local iteration aid;
-    // the driver never sets it, so recorded rounds always time everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // seed the shared minhash pair cache so the consumer rows
+    // (dd_minhash, dd_survivors) time derive-from-checkpoint cost in
+    // EVERY rep — including 1-rep scale runs, where shuffled order would
+    // otherwise bill the one-time pipeline to whichever consumer runs
+    // first. The pipeline itself is billed by dd_minhash_pipeline, which
+    // recomputes fresh each timed run. Skipped when a filtered run
+    // excludes the whole family.
+    if (Set("dd_minhash", "dd_survivors", "dd_minhash_pipeline")
+          .exists(n => only.forall(_.contains(n))))
+      run("dd_minhash_pipeline")
     // Repeat-median over INTERLEAVED passes: one back-to-back pass is
     // hostage to whatever GC/cache pressure the PREVIOUS query left behind
     // — round-7 recorded numbers carried up to 3.6x phantom inflation vs

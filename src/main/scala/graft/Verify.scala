@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * The eight approximate queries (minhash/simhash/LSH/IVF families) have
+  * The approximate queries (minhash/simhash/LSH/IVF families) have
   * no SQL oracle — their candidate sets depend on engine-specific hashes —
   * so alongside the rows-only dump this also MEASURES their quality
   * against ground truth the data plants (exact +1000000-id copies; the
@@ -136,6 +136,8 @@ object Verify {
     // probabilistic families carry their tested floors
     val checks: Seq[(String, () => Double, Double)] = Seq(
       ("dd_minhash", () => plantedPairRecall(pairs("dd_minhash"), docIds, OFF), 1.0),
+      ("dd_minhash_pipeline",
+        () => plantedPairRecall(pairs("dd_minhash_pipeline"), docIds, OFF), 1.0),
       ("dd_simhash", () => plantedPairRecall(pairs("dd_simhash"), docIds, OFF), 1.0),
       ("dd_survivors", () => copyDrop("dd_survivors", docIds.length.toLong), 1.0),
       ("dd_incremental", () => copyDrop("dd_incremental", docIds.length.toLong), 1.0),

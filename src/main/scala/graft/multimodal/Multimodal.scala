@@ -144,9 +144,13 @@ object Multimodal {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { d =>
+        // NonFatal, not just IOException: JDK ImageIO codecs throw
+        // IllegalArgumentException / ArrayIndexOutOfBoundsException /
+        // NegativeArraySizeException on truncated payloads, and those must
+        // become sentinel rows too, not task failures
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.image))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) DecodedImage(d.doc_id, -1, -1, 0, 0L, 0L, 0L, 0, 0, 0L)
         else {
           val w = img.getWidth; val h = img.getHeight

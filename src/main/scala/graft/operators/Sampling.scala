@@ -176,7 +176,11 @@ object Sampling {
     try {
       // one row per shard; range partitions are ordered by pid, so the
       // driver-side prefix scan below walks the global order
-      val totals = ranged.groupBy(col("__pid")).agg(sum(col("__tok")).as("t"))
+      // coalesce: a shard whose rows all have null tokensCol would yield a
+      // null aggregate and getLong would throw; null tokens count as 0,
+      // matching the window's null-skipping running sum on the boundary shard
+      val totals = ranged.groupBy(col("__pid"))
+        .agg(coalesce(sum(col("__tok")), lit(0L)).as("t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       var acc = 0L
       var boundary = -1

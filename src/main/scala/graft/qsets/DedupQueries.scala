@@ -45,10 +45,13 @@ object DedupQueries extends QuerySet {
   // hash that a later session could collide with after GC) + data dir;
   // entries for a stopped context are never served to a new one. Entries
   // are not evicted — bounded by contexts-per-JVM (one in every driver
-  // entry point). The shared pass is a deliberate bench-visibility trade:
-  // rep 1 of whichever consumer runs first pays the full pipeline (its
-  // cost stays visible in bench_full.json's spread), later reps measure
-  // the derive-from-checkpoint cost a production pipeline would pay.
+  // entry point). BILLING: the pipeline cost is a first-class bench row —
+  // `dd_minhash_pipeline` recomputes the full pass fresh every run (and
+  // refreshes this cache), while Bench seeds the cache in warm-up, so
+  // dd_minhash/dd_survivors always measure the derive-from-checkpoint
+  // cost a production consumer pays and the one-time pipeline cost is
+  // never mis-billed to whichever consumer happens to run first (the
+  // round-9 artifact's phantom 11x sf1 ratio on dd_minhash).
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
@@ -102,6 +105,21 @@ object DedupQueries extends QuerySet {
         shingleN = 2, k = 8, bands = 4, minJaccard = 0.9)
       Dedup.survivors(docs, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // The PIPELINE bill: same verified pair set as dd_minhash, but always
+    // computed FRESH (shingle → signature → band → bounded-bucket →
+    // exact-Jaccard verify) and refreshed into the shared cache — so the
+    // bench bills the one-time pipeline cost to THIS row and the consumer
+    // rows below measure derive-from-checkpoint cost, the split a
+    // production dedup pipeline has (materialize the candidate-pair table
+    // once per corpus snapshot; every consumer derives from it). Same
+    // no-oracle status and measured recall as dd_minhash (identical rows).
+    "dd_minhash_pipeline" -> ((s, dir) => {
+      val fresh = Dedup.minhashPairs(doubled(s, dir), "doc_id", "text",
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.5)
+      pairCache.put((s.sparkContext.applicationId, dir), fresh)
+      fresh.orderBy(col("id_a"), col("id_b"))
     }),
 
     // MinHash+LSH near-dup candidates with exact-Jaccard verification.

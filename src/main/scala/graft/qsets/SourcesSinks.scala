@@ -114,6 +114,12 @@ object SourcesSinks extends QuerySet {
     // content, so a single corrupted/truncated byte anywhere in the
     // store breaks the oracle hash match: this IS the streamed byte
     // download path, verified end-to-end.
+    // LOCAL-MODE NOTE: foreachPartition writes via java.nio to a
+    // driver-relative path, correct only while executors share the
+    // driver filesystem (local[*]). On a cluster the store path must be
+    // shared storage reached through Hadoop FileSystem
+    // (FileSystem.get(new Path(store).toUri, hadoopConf)) — the
+    // binaryFile READ side already ports as-is.
     "s7_external_read" -> ((s, dir) => {
       val store = scratch(dir, "s7store") + "/v1"
       val objects = t(s, dir, "documents").filter(col("doc_id") < 200)

@@ -29,10 +29,15 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine via the native one-pass [[graft.functions.CosineSim]]
-    * expression — bit-identical to the HOF form `dot/(norm·norm)` (same
-    * left-to-right fold per accumulator) but one traversal instead of
-    * three lambda walks; this is the scoring kernel every ANN candidate
-    * and near-dup pair pays at corpus scale. */
+    * expression — for DOUBLE-array inputs (as all callers here ensure via
+    * [[toDouble]]) it is bit-identical to the HOF form `dot/(norm·norm)`
+    * (same left-to-right fold per accumulator) but one traversal instead
+    * of three lambda walks. On raw float arrays the two differ in low
+    * bits: the HOF multiplies in float precision, the kernel widens each
+    * element to double first (CodegenSpec's float case pins the kernel
+    * against the double-cast HOF, the accurate statement). This is the
+    * scoring kernel every ANN candidate and near-dup pair pays at corpus
+    * scale. */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
   /** The composable HOF form — kept as the cross-check reference for the

@@ -110,13 +110,22 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents", 8)
 
-    // embeddings: circular rotation by k per copy
+    // embeddings: circular rotation by k per copy. Dimension measured from
+    // the data (not hardcoded): element_at past the array end yields silent
+    // nulls under non-ANSI semantics, so a wrong constant would corrupt
+    // every scaled copy without an error.
+    val dim = embeddings.select(size(col("embedding")).as("d"))
+      .agg(min(col("d")), max(col("d"))).head() match {
+      case r if r.getInt(0) == r.getInt(1) => r.getInt(0)
+      case r => sys.error(
+        s"ragged embedding widths ${r.getInt(0)}..${r.getInt(1)} — refusing to rotate")
+    }
     write(scaled(embeddings, k =>
       if (k == 0) embeddings
       else shift(embeddings, k, "vec_id" -> nVec)
         .withColumn("embedding",
-          transform(sequence(lit(0), lit(63)),
-            i => element_at(col("embedding"), pmod(i + lit(k), lit(64)) + 1)))),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => element_at(col("embedding"), pmod(i + lit(k), lit(dim)) + 1)))),
       "embeddings", 4)
 
     spark.stop()
