@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   *  - AUDIO: fully real for WAV/PCM. [[decodeAudio]] runs
   *    `javax.sound.sampled.AudioSystem` — format metadata + integer
   *    signal stats.
-  *  - VIDEO: real at the CONTAINER level — [[demuxVideo]] walks
-  *    ISO-BMFF/MP4 boxes (bounds-checked, largesize/run-to-end aware)
-  *    for structure, track counts and movie-header fields, which is the
-  *    metadata pass that prunes payloads before expensive decode at
-  *    scale; frame DECODE has no JVM codec and stays behind
-  *    [[decodeStub]] with deterministic fake features.
+  *  - VIDEO: container demux real ([[demuxVideo]] walks ISO-BMFF/MP4
+  *    boxes, bounds-checked, largesize/run-to-end aware — the metadata
+  *    pass that prunes payloads before expensive decode at scale), and
+  *    frame DECODE real for intra-coded tracks ([[decodeVideoFrames]]:
+  *    stsz/stco sample table resolved, each MJPEG / M-PNG sample through
+  *    the real ImageIO decoder). Only genuinely opaque codecs the JVM
+  *    cannot decode (H.264 etc.) remain behind [[decodeStub]].
   * Every decoder runs inside a `mapPartitions` batch — one iterator
   * pass per partition, fixed-width output, binary column projected only
   * where needed (lazy column, SURVEY S6) — and treats corrupt payloads
@@ -390,6 +391,176 @@ object Multimodal {
         } catch {
           case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
             DemuxedVideo(d.doc_id, -1, 0, 0L, 0L, 0L, "")
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real video FRAME decode (MJPEG/M-PNG samples in ISO-BMFF — the
+  // sample-table path: stsz sizes + stco chunk offset, frames through
+  // the real ImageIO decoder)
+  // ---------------------------------------------------------------------
+
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic ISO-BMFF container whose track carries intra-coded
+    * image samples (PNG by default — a real lossless QuickTime video
+    * codec, which makes the DECODED per-frame stats oracle-predictable;
+    * "jpg" gives true MJPEG, pinned by a lossy-tolerance unit test).
+    * The sample table is real: `stsz` records each frame's actual
+    * encoded byte size, `stco` records the mdat payload offset, and the
+    * frame decoder below honors BOTH rather than assuming layout — the
+    * same indirection a real MP4 demuxer resolves. Frame f of doc id is
+    * [[syntheticPixelImage]](id·1000 + f), so every decoded pixel stat
+    * is integer arithmetic in (id, f). */
+  def syntheticFramedMp4(id: Long, codec: String = "png"): Array[Byte] = {
+    val n = (2 + id % 4).toInt
+    val frames = Array.tabulate(n)(f =>
+      encodeImage(syntheticPixelImage(id * 1000 + f), codec))
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def fourcc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    val stszSize = 20L + 4 * n
+    val stcoSize = 20L
+    val stblSize = 8L + stszSize + stcoSize
+    val minfSize = 8L + stblSize
+    val mdiaSize = 8L + minfSize
+    val trakSize = 8L + 92 + mdiaSize
+    val moovSize = 8L + 108 + trakSize
+    // mdat payload = ftyp + moov + mdat header
+    val chunkOffset = 20L + moovSize + 8L
+    u32(20); fourcc("ftyp"); fourcc("isom"); u32(0x200); fourcc("isom")
+    u32(moovSize); fourcc("moov")
+    u32(108); fourcc("mvhd"); u32(0); u32(0); u32(0); u32(1000)
+    u32(n.toLong); u32(0x00010000); u32(0x01000000); u32(0); u32(0)
+    val matrix = Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+    matrix.foreach(u32)
+    (0 until 6).foreach(_ => u32(0))
+    u32(2L)
+    u32(trakSize); fourcc("trak")
+    u32(92); fourcc("tkhd"); u32(0); u32(0); u32(0); u32(1L); u32(0)
+    u32(n.toLong); u32(0); u32(0); u32(0); u32(0)
+    matrix.foreach(u32)
+    u32(0); u32(0)
+    u32(mdiaSize); fourcc("mdia")
+    u32(minfSize); fourcc("minf")
+    u32(stblSize); fourcc("stbl")
+    u32(stszSize); fourcc("stsz"); u32(0) // version/flags
+    u32(0) // sample_size 0 → per-sample table follows
+    u32(n.toLong)
+    frames.foreach(f => u32(f.length.toLong))
+    u32(stcoSize); fourcc("stco"); u32(0)
+    u32(1L) // one chunk
+    u32(chunkOffset)
+    u32(8L + frames.map(_.length.toLong).sum); fourcc("mdat")
+    frames.foreach(bb.write)
+    bb.toByteArray
+  }
+
+  def withFramedMp4Payload(spark: SparkSession, ids: DataFrame, idCol: String,
+                           codec: String = "png"): Dataset[VideoDoc] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => VideoDoc(id, syntheticFramedMp4(id, codec)))
+    }
+  }
+
+  /** REAL video frame decode for intra-coded (MJPEG / M-PNG) tracks: the
+    * bounds-checked box walk locates the sample table, `stsz` gives each
+    * sample's byte size, `stco` gives the chunk's file offset, each
+    * sample slice decodes through `ImageIO` — the same real decoder
+    * [[decodeImages]] uses — into per-frame dims and channel sums. This
+    * retires the stub for every codec the JVM can actually decode;
+    * genuinely opaque codecs (H.264 etc.) remain behind [[decodeStub]],
+    * now the declared fallback only. Corrupt payloads follow the uniform
+    * policy: a malformed CONTAINER yields one frame_idx=-1 sentinel row,
+    * an undecodable individual FRAME a width=-1 row — never a task
+    * failure. */
+  def decodeVideoFrames(spark: SparkSession, docs: Dataset[VideoDoc]): Dataset[VideoFrame] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        try {
+          val b = d.video
+          var sizes: Array[Int] = null
+          var chunkOff = -1L
+          var mdatStart = -1L; var mdatEnd = -1L
+          def u32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          def walk(start: Long, end: Long, depth: Int): Unit = {
+            if (depth > 8) throw new IllegalArgumentException("box nesting > 8")
+            var off = start
+            while (off + 8 <= end) {
+              val size0 = u32(off.toInt)
+              val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
+              val (size, hdr) =
+                if (size0 == 1) {
+                  if (off + 16 > end) throw new IllegalArgumentException("truncated largesize")
+                  ((u32(off.toInt + 8) << 32) | u32(off.toInt + 12), 16L)
+                } else if (size0 == 0) (end - off, 8L)
+                else (size0, 8L)
+              if (size < hdr || off + size > end)
+                throw new IllegalArgumentException(s"bad box size $size at $off")
+              typ match {
+                case "stsz" =>
+                  val p = off.toInt + hdr.toInt
+                  val fixed = u32(p + 4)
+                  val cnt = u32(p + 8)
+                  if (cnt > (size - hdr - 12) / 4 && fixed == 0)
+                    throw new IllegalArgumentException("stsz count exceeds box")
+                  sizes =
+                    if (fixed != 0) Array.fill(cnt.toInt)(fixed.toInt)
+                    else Array.tabulate(cnt.toInt)(i => u32(p + 12 + 4 * i).toInt)
+                case "stco" =>
+                  val p = off.toInt + hdr.toInt
+                  if (u32(p + 4) >= 1) chunkOff = u32(p + 8)
+                case "mdat" =>
+                  mdatStart = off + hdr; mdatEnd = off + size
+                case _ => ()
+              }
+              if (containerBoxes.contains(typ)) walk(off + hdr, off + size, depth + 1)
+              off += size
+            }
+            if (off != end) throw new IllegalArgumentException("trailing bytes")
+          }
+          walk(0L, b.length.toLong, 0)
+          if (sizes == null || chunkOff < 0 || mdatStart < 0)
+            throw new IllegalArgumentException("no sample table")
+          var off = chunkOff
+          sizes.toIndexedSeq.zipWithIndex.map { case (sz, i) =>
+            if (off < mdatStart || off + sz > mdatEnd)
+              throw new IllegalArgumentException(s"sample $i outside mdat")
+            val slice = java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+            off += sz
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(slice))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) VideoFrame(d.doc_id, i, -1, -1, 0L, 0L, 0L)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              VideoFrame(d.doc_id, i, w, h, sr, sg, sb)
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(VideoFrame(d.doc_id, -1, -1, -1, 0L, 0L, 0L))
         }
       }
     }

@@ -49,10 +49,29 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video FRAME decode: deterministic framed MP4s (real stsz/stco
+    // sample table, PNG-coded samples — a lossless QuickTime video
+    // codec) demuxed by the sample-table walk and decoded frame-by-frame
+    // through ImageIO. The oracle predicts every frame's pixel sums from
+    // the generator formula — only a correct sample-table resolution AND
+    // a correct lossless decode can hash-match. MJPEG (lossy) is covered
+    // by a tolerance pin in MultimodalSpec.
+    "mm_video_frames" -> ((s, dir) => {
+      val vids = Multimodal.withFramedMp4Payload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+      Multimodal.decodeVideoFrames(s, vids).toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // REAL video container demux: deterministic minimal MP4s walked by
     // the bounds-checked ISO-BMFF box parser; box/track counts and
-    // movie-header fields oracle-predicted. Frame decode stays behind
-    // the declared stub (no JVM video codec).
+    // movie-header fields oracle-predicted. Frame decode for codecs the
+    // JVM can't decode stays behind the declared stub.
     "mm_video_demux" -> ((s, dir) => {
       val vids = Multimodal.withMp4Payload(
         s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
@@ -100,6 +119,30 @@ object MultimodalQueries extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Predicts the DECODED per-frame stats of mm_video_frames from the
+    // generator formulas: n_frames = 2 + id%4, frame f = the synthetic
+    // pixel image for fid = id·1000 + f (dims 8+fid%9 × 8+fid%7, channel
+    // sums per the mm_decode formulas). A sample-table slip (stsz size,
+    // stco offset, slice bounds) or any decode loss breaks the match.
+    "mm_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT doc_id, unnest(range(nf)) AS f FROM d),
+        |dim AS (
+        |  SELECT doc_id, f, doc_id*1000 + f AS fid,
+        |    8 + (doc_id*1000 + f) % 9 AS w, 8 + (doc_id*1000 + f) % 7 AS h
+        |  FROM fr),
+        |xs AS (SELECT doc_id, f, fid, w, h, unnest(range(w)) AS x FROM dim),
+        |px AS (SELECT doc_id, f, fid, w, h, x, unnest(range(h)) AS y FROM xs)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM((fid*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((fid*17 + x*5 + y*11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((fid*23 + x*3 + y*19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Predicts the DEMUXED structure of mm_video_demux from the
     // generator formulas: n tracks = 1 + id%3, boxes = ftyp + moov +
     // mvhd + (trak+tkhd)·n + mdat, timescale/duration/mdat sizes are

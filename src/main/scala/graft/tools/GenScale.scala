@@ -120,12 +120,23 @@ object GenScale {
       case r => sys.error(
         s"ragged embedding widths ${r.getInt(0)}..${r.getInt(1)} — refusing to rotate")
     }
+    // Copy k>0: rotate by (k mod dim), then flip signs by a per-(k,i)
+    // hash bit. Rotation ALONE collides once copies exceed dim — copy k
+    // and copy k+dim would get the same rotation, planting identical
+    // vectors cross-copy (fabricated exact near-dups the engine would be
+    // blamed for at 100 copies). The sign pattern is distinct per k,
+    // preserves norms and within-copy cosines exactly (sign_i^2 = 1
+    // cancels in every dot product), and ±1 multiplication is exact in
+    // IEEE floats — copies stay internally identical, mutually
+    // decorrelated.
     write(scaled(embeddings, k =>
       if (k == 0) embeddings
       else shift(embeddings, k, "vec_id" -> nVec)
         .withColumn("embedding",
           transform(sequence(lit(0), lit(dim - 1)),
-            i => element_at(col("embedding"), pmod(i + lit(k), lit(dim)) + 1)))),
+            i => element_at(col("embedding"), pmod(i + lit(k), lit(dim)) + 1) *
+              when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))))),
       "embeddings", 4)
 
     spark.stop()

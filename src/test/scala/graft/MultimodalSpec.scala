@@ -141,6 +141,89 @@ class MultimodalSpec extends SparkSuite {
     assert(out.length === 200)
   }
 
+  test("video frames: sample-table walk + PNG decode recover the per-frame formula") {
+    val ids = Seq(0L, 7L, 42L).toDF("doc_id")
+    val out = Multimodal.decodeVideoFrames(
+        spark, Multimodal.withFramedMp4Payload(spark, ids, "doc_id"))
+      .collect().map(d => (d.doc_id, d.frame_idx) -> d).toMap
+    for (id <- Seq(0L, 7L, 42L)) {
+      val nf = (2 + id % 4).toInt
+      assert((0 until nf).forall(f => out.contains((id, f))))
+      for (f <- 0 until nf) {
+        val d = out((id, f))
+        val fid = id * 1000 + f
+        val w = (8 + fid % 9).toInt; val h = (8 + fid % 7).toInt
+        assert(d.width === w); assert(d.height === h)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (fid * 31 + x * 7 + y * 13) % 256
+          sg += (fid * 17 + x * 5 + y * 11) % 256
+          sb += (fid * 23 + x * 3 + y * 19) % 256
+        }
+        assert(d.sum_r === sr); assert(d.sum_g === sg); assert(d.sum_b === sb)
+      }
+    }
+  }
+
+  test("video frames: true MJPEG samples decode within lossy tolerance") {
+    // JPEG-coded samples: sample table and dims must resolve exactly,
+    // pixel sums land within the same mean-abs drift bound the still-image
+    // JPEG pin uses — the frame path drives a second real codec.
+    val jpegDocs = Multimodal.withFramedMp4Payload(
+      spark, Seq(9L).toDF("doc_id"), "doc_id", codec = "jpg")
+    val got = Multimodal.decodeVideoFrames(spark, jpegDocs)
+      .collect().map(d => d.frame_idx -> d).toMap
+    val nf = (2 + 9 % 4).toInt
+    assert(got.keySet === (0 until nf).toSet)
+    for (f <- 0 until nf) {
+      val fid = 9L * 1000 + f
+      val w = (8 + fid % 9).toInt; val h = (8 + fid % 7).toInt
+      val d = got(f)
+      assert(d.width === w); assert(d.height === h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (fid * 31 + x * 7 + y * 13) % 256
+        sg += (fid * 17 + x * 5 + y * 11) % 256
+        sb += (fid * 23 + x * 3 + y * 19) % 256
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(d.sum_r - sr) / n < 40.0, s"frame $f mean-abs drift r")
+      assert(math.abs(d.sum_g - sg) / n < 40.0, s"frame $f mean-abs drift g")
+      assert(math.abs(d.sum_b - sb) / n < 40.0, s"frame $f mean-abs drift b")
+    }
+  }
+
+  test("video frames: corrupt container and corrupt frame follow sentinel policy") {
+    // malformed CONTAINER → one frame_idx=-1 row
+    val badContainer = Seq(Multimodal.VideoDoc(1L, Array[Byte](9, 9, 9))).toDS()
+    val c = Multimodal.decodeVideoFrames(spark, badContainer).collect()
+    assert(c.length === 1 && c.head.frame_idx === -1)
+    // a valid container whose FIRST sample bytes are zeroed (undecodable
+    // image) → width=-1 for that frame, later frames still decode...
+    val good = Multimodal.syntheticFramedMp4(3L)
+    val nf = (2 + 3 % 4).toInt
+    // find first PNG signature (first sample start) and zero 8 bytes
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val start = good.indices.find(i =>
+      i + 4 <= good.length && sig.indices.forall(j => good(i + j) == sig(j))).get
+    val broken = good.clone()
+    (start until start + 8).foreach(broken(_) = 0)
+    val out = Multimodal.decodeVideoFrames(spark,
+      Seq(Multimodal.VideoDoc(3L, broken)).toDS()).collect()
+      .map(d => d.frame_idx -> d).toMap
+    assert(out.size === nf)
+    assert(out(0).width === -1)
+    assert((1 until nf).forall(out(_).width > 0))
+    // seeded fuzz: random-byte payloads never fail the task
+    val rnd = new scala.util.Random(7)
+    val fuzz = (0 until 100).map { i =>
+      val b = new Array[Byte](rnd.nextInt(96))
+      rnd.nextBytes(b)
+      Multimodal.VideoDoc(i.toLong, b)
+    }.toDS()
+    assert(Multimodal.decodeVideoFrames(spark, fuzz).collect().length === 100)
+  }
+
   test("image decode: corrupt payload yields width=-1 row, not a task failure") {
     val ds = Seq(Multimodal.ImageDoc(1L, Array[Byte](1, 2, 3, 4))).toDS()
     val d = Multimodal.decodeImages(spark, ds).collect().head
