@@ -146,8 +146,8 @@ object Verify {
       ("dd_embcos_lsh", () => plantedPairRecall(pairs("dd_embcos_lsh"), vecIds, OFF), 0.95),
       ("dd_embcos_incremental",
         () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
-      ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.6),
-      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.7))
+      ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.75),
+      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.75))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)
@@ -159,7 +159,36 @@ object Verify {
         "  \"%s\": {\"recall\": %.4f, \"floor\": %.2f, \"pass\": %s}",
         name, Double.box(value), Double.box(floor), Boolean.box(ok))
     }
-    val json = results.mkString("{\n", ",\n", "\n}")
+    // Recall-vs-cost tradeoff curves: a real user tunes the ANN families
+    // on a curve, not a point — sweep `tables` (and one bits variant) for
+    // LSH and `nprobe` for IVF, recording recall@5 against the brute
+    // truth plus the MEASURED mean deduped candidates per query (the
+    // cost axis: what fraction of the corpus each query actually scores).
+    def curveRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      if (knnTruth.isEmpty) return 1.0
+      val got = df.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      knnTruth.intersect(got).size.toDouble / knnTruth.size
+    }
+    def fmtPoint(fields: (String, String)*): String =
+      fields.map { case (k, v) => "\"" + k + "\": " + v }
+        .mkString("      {", ", ", "}")
+    val lshCurve = Seq((2, 6), (4, 6), (6, 6), (8, 6), (6, 8)).map { case (t, b) =>
+      val (knn, cand) = graft.qsets.SimilarityQueries.lshSweepPoint(spark, sfDir, t, b)
+      fmtPoint("tables" -> t.toString, "bits" -> b.toString,
+        "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))),
+        "avg_candidates" -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(cand)))
+    }
+    val ivfCurve = Seq(2, 4, 6, 8, 12).map { np =>
+      val (knn, cand) = graft.qsets.SimilarityQueries.ivfSweepPoint(spark, sfDir, np)
+      fmtPoint("nprobe" -> np.toString, "nlist" -> "16",
+        "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))),
+        "avg_candidates" -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(cand)))
+    }
+    val curveJson =
+      "  \"curves\": {\n    \"sim_knn_lsh\": [\n" + lshCurve.mkString(",\n") +
+        "\n    ],\n    \"sim_knn_ivf\": [\n" + ivfCurve.mkString(",\n") + "\n    ]\n  }"
+    val json = (results :+ curveJson).mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), json)
     // tracked copy at the repo root, same rationale as bench_full.json:
     // the driver records only a bounded stdout tail, but the repo file is

@@ -36,6 +36,31 @@ object SimilarityQueries extends QuerySet {
       (assigned.localCheckpoint(eager = true), centroids)
     })
 
+  /** Diagnostic sweep point for the LSH recall-vs-cost curve recorded in
+    * verify_recall.json (not part of the query surface): the top-5
+    * result at (tables, bits) plus the measured mean deduped candidates
+    * per query — the cost a real user trades recall against. */
+  def lshSweepPoint(s: SparkSession, dir: String,
+                    tables: Int, bits: Int): (DataFrame, Double) = {
+    val knn = Vectors.lshKnn(queriesDf(s, dir, 10), corpus(s, dir),
+      dim = 64, bits = bits, k = 5, tables = tables)
+    val cand = Vectors.lshScores(queriesDf(s, dir, 10), corpus(s, dir),
+      bits = bits, tables = tables).count().toDouble
+    (knn, cand / 10.0)
+  }
+
+  /** Diagnostic sweep point for the IVF recall-vs-cost curve: top-5 at
+    * `nprobe` against the session-cached index, plus mean candidates
+    * per query (the scored fraction of the corpus). */
+  def ivfSweepPoint(s: SparkSession, dir: String, nprobe: Int): (DataFrame, Double) = {
+    val (assigned, centroids) = ivfIndex(s, dir)
+    val knn = Vectors.ivfProbe(queriesDf(s, dir, 10), assigned, centroids,
+      nprobe = nprobe, k = 5)
+    val cand = Vectors.ivfScores(queriesDf(s, dir, 10), assigned, centroids,
+      nprobe = nprobe).count().toDouble
+    (knn, cand / 10.0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact brute-force cosine top-5 per query vector, via the bounded
@@ -109,11 +134,26 @@ object SimilarityQueries extends QuerySet {
 
     // IVF ANN probe against the session-cached index: nprobe 6 of 16
     // cells (37% of the corpus scored; recall measured per-round in
-    // verify_recall.json, floor 0.7). Rows-only check (centroids are
-    // engine-specific); the unit suite pins nprobe=nlist ≡ brute-force
-    // equality and seed determinism.
+    // verify_recall.json, floor 0.7). Rows-only check (KMeans centroids
+    // are engine-specific); the probe MATH is oracle-anchored by
+    // sim_knn_ivf_anchor below, and the unit suite pins nprobe=nlist ≡
+    // brute-force equality and seed determinism.
     "sim_knn_ivf" -> ((s, dir) => {
       val (assigned, centroids) = ivfIndex(s, dir)
+      Vectors.ivfProbe(queriesDf(s, dir, 10), assigned, centroids,
+          nprobe = 6, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF probe path ORACLE ANCHOR: the deterministic sampled-pivot
+    // quantizer (centroids = vectors of the 16 ids with smallest
+    // md5(vec_id) — reproducible in any engine with md5) feeds the SAME
+    // ivfProbe used by sim_knn_ivf, so cell selection (rounded-L2
+    // argmin + tie-break), candidate scoring, and the bounded top-k are
+    // all hash-checked by DuckDB end-to-end. Only the KMeans fit itself
+    // remains engine-specific.
+    "sim_knn_ivf_anchor" -> ((s, dir) => {
+      val (assigned, centroids) = Vectors.pivotFit(corpus(s, dir), nlist = 16)
       Vectors.ivfProbe(queriesDf(s, dir, 10), assigned, centroids,
           nprobe = 6, k = 5)
         .orderBy(col("q_id"), col("rank"))
@@ -128,6 +168,45 @@ object SimilarityQueries extends QuerySet {
         |scored AS (
         |  SELECT q_id, vec_id, round(list_cosine_similarity(qe, e), 6) AS score
         |  FROM q JOIN v ON vec_id <> q_id)
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors pivotFit + ivfProbe exactly: pivot pick by smallest
+    // md5(vec_id), cells numbered in pivot-id order, assignment and
+    // probe selection by squared-L2 rounded to 9 (ties → lowest cell),
+    // cosine scoring rounded to 6, top-5 by (score desc, vec_id). Any
+    // slip in the probe math breaks the hash match.
+    "sim_knn_ivf_anchor" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e AS centroid
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, centroid
+        |  FROM piv),
+        |assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1, len(v.e)+1)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qe, cell FROM (
+        |    SELECT q.q_id, q.qe, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum([(q.qe[i] - c.centroid[i])**2 for i in range(1, len(q.qe)+1)]), 9),
+        |        c.cell) AS cr
+        |    FROM q CROSS JOIN cent c) WHERE cr <= 6),
+        |scored AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(qe, e), 6) AS score
+        |  FROM probes JOIN assigned USING (cell)
+        |  WHERE vec_id <> q_id)
         |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
         |FROM scored
         |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)

@@ -194,27 +194,66 @@ object Vectors {
     ivfProbe(queries, assigned, centroids, nprobe, k, roundScale)
   }
 
+  /** Deterministic sampled-pivot coarse quantizer: centroids are the
+    * CORPUS VECTORS of the `nlist` ids with lexicographically smallest
+    * `md5(vec_id)` — a uniform pseudo-random pivot pick every engine with
+    * md5 reproduces exactly (the same quantizer family as FAISS's
+    * random-pivot coarse index; KMeans in [[ivfFit]] buys better cell
+    * balance but is not SQL-reproducible). Cells number 0..nlist-1 in
+    * pivot-id order; every corpus vector goes to its nearest pivot by
+    * squared L2 rounded to 9 decimals (ties → lowest cell), via a
+    * `min_by` hash aggregate — no per-vector sort window. Feeding the
+    * result through the SAME [[ivfProbe]] used in production makes the
+    * whole probe path (cell selection arithmetic, candidate scoring,
+    * bounded top-k) oracle-checkable end-to-end; only the KMeans fit
+    * stays engine-specific. */
+  def pivotFit(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val wp = Window.orderBy(col("pivot_id"))
+    val centroids = corpus
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .select(col("vec_id").as("pivot_id"), col("c_vec").as("centroid"))
+      .withColumn("cell", (row_number().over(wp) - 1).cast("int"))
+      .select(col("cell"), col("centroid"))
+    val best = corpus.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(aggregate(
+        zip_with(col("c_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 9))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+    (corpus.join(best, "vec_id"), centroids)
+  }
+
   /** Probe a fitted IVF index: score each query against the vectors in
     * its `nprobe` nearest cells (by L2 to the broadcast centroids). With
     * nprobe = nlist this degrades gracefully to exact brute force (the
     * property the unit test pins). */
   def ivfProbe(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
-               nprobe: Int, k: Int, roundScale: Int = 6): DataFrame = {
+               nprobe: Int, k: Int, roundScale: Int = 6): DataFrame =
+    rankTopK(ivfScores(queries, assigned, centroids, nprobe, roundScale), k)
 
-    // nprobe nearest cells per query by L2 to the centroid
+  /** The scored-candidate stage of [[ivfProbe]], exposed for the recall
+    * sweep's cost axis (candidates per query at a given nprobe). */
+  def ivfScores(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+                nprobe: Int, roundScale: Int = 6): DataFrame = {
+    // nprobe nearest cells per query by L2 to the centroid; d2 rounded to
+    // 9 decimals so the probe ORDER is stable against summation-order
+    // noise (and engine-reproducible for the pivotFit oracle anchor) —
+    // real cell-distance gaps are many orders of magnitude wider
     val qCells = queries.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
+      .withColumn("d2", round(aggregate(
         zip_with(col("q_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+        lit(0.0), (acc, x) => acc + x), 9))
     val wc = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("cell").asc)
     val probes = qCells.withColumn("cr", row_number().over(wc))
       .filter(col("cr") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
 
-    val joined = assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
-    rankTopK(joined, k)
+      .select(col("q_id"), col("score"), col("vec_id"))
   }
 
   /** LSH-bucketed ANN over `tables` INDEPENDENT SRP hash tables (distinct
@@ -236,7 +275,16 @@ object Vectors {
     * shuffle carries candidate ids + score, never vectors. */
   def lshKnn(queries: DataFrame, corpus: DataFrame, dim: Int, bits: Int,
              k: Int, multiProbe: Boolean = true, tables: Int = 1,
-             roundScale: Int = 6): DataFrame = {
+             roundScale: Int = 6): DataFrame =
+    rankTopK(lshScores(queries, corpus, bits, multiProbe, tables, roundScale), k)
+
+  /** The scored-candidate stage of [[lshKnn]], exposed so the recall
+    * sweep can measure the COST axis (deduped candidates per query) of a
+    * (tables, bits) configuration alongside its recall — a user tunes
+    * LSH on that curve, not on a single recall point. */
+  def lshScores(queries: DataFrame, corpus: DataFrame, bits: Int,
+                multiProbe: Boolean = true, tables: Int = 1,
+                roundScale: Int = 6): DataFrame = {
     def sigs(c: Column): Column = graft.functions.SrpBands(c, bits, tables)
     val cb = corpus.select(col("vec_id"), col("c_vec"),
         posexplode(sigs(col("c_vec"))).as(Seq("table", "bucket")))
@@ -246,11 +294,10 @@ object Vectors {
       (if (multiProbe) (0 until bits).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
        else Seq.empty[Column])
     val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
-    val joined = cb.join(broadcast(qb), Seq("table", "bucket"))
+    cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), roundScale))
       .select(col("q_id"), col("score"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
-    rankTopK(joined, k)
   }
 }
