@@ -131,6 +131,19 @@ object Verify {
     }
     val docIds = ids("documents", "doc_id")
     val vecIds = ids("embeddings", "vec_id")
+    // dd_minhash_capped: the planted boilerplate family (doc_id < 500,
+    // doc_id % 10 < 3 — must mirror the query's predicate) is one
+    // homogeneous near-dup cluster processed under ACTIVE bucket capping;
+    // exactly one member should survive. Extra survivors = fragmentation
+    // under the cap, the quantity this row exists to measure.
+    def cappedDedupRate(): Double = {
+      val boiler = docIds.filter(d => d < 500 && d % 10 < 3)
+      if (boiler.length <= 1) return 1.0
+      val surv = out("dd_minhash_capped").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val surviving = boiler.count(surv.contains)
+      1.0 - (surviving - 1).toDouble / (boiler.length - 1)
+    }
     // measurement → documented floor (unit suites pin the same floors);
     // planted exact copies must ALWAYS be recovered (floor 1.0), the
     // probabilistic families carry their tested floors
@@ -146,6 +159,7 @@ object Verify {
       ("dd_embcos_lsh", () => plantedPairRecall(pairs("dd_embcos_lsh"), vecIds, OFF), 0.95),
       ("dd_embcos_incremental",
         () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
+      ("dd_minhash_capped", () => cappedDedupRate(), 0.95),
       ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.75),
       ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.75))
     val results = checks.map { case (name, f, floor) =>

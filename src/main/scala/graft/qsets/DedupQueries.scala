@@ -223,6 +223,33 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // HOT-BUCKET CAP exercised for real: 30% of the corpus gets one
+    // shared ~120-token boilerplate body with a unique per-doc tail, so
+    // every planted doc is DISTINCT (exact-dup pre-collapse cannot absorb
+    // the family) yet pairwise jaccard ≈ 0.95 — band buckets collect the
+    // whole ~150-doc family and bucketCap=32 forces the sub-salt + bridge
+    // path in boundedBucketPairs (the load-bearing scale guard no natural
+    // toy corpus trips; WARN fires at runtime). The family is
+    // HOMOGENEOUS, so bridge pairs pass the jaccard>=0.9 verify and
+    // min-label components re-link the capped bucket: survivors must
+    // still collapse the family to its min id. Recall under ACTIVE
+    // capping is measured per-round in verify_recall.json (floor 0.95 —
+    // the documented fragmentation bound for capped buckets). Rows-only
+    // (xxhash banding + engine-specific salt), same family as dd_minhash.
+    "dd_minhash_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val boiler = (0 until 120).map(i => s"boiler$i").mkString(" ")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 < 3,
+          concat(lit(boiler), lit(" tail "), col("doc_id").cast("string"),
+            lit(" end")))
+          .otherwise(col("text")).as("text"))
+      val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+        shingleN = 2, k = 16, bands = 8, minJaccard = 0.9, bucketCap = 32)
+      Dedup.survivors(planted, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: native simhash64 expression, 16-bit banding with
     // exact-dup collapse + bucket-collect (see Dedup.simhashPairs).
     // No SQL oracle (FNV/simhash is engine-specific).
