@@ -101,7 +101,11 @@ object SimilarityQueries extends QuerySet {
     // bands with its indexed original and verifies at cosine 1.0, so the
     // whole second batch drops against the index. Rows-only (bands are
     // engine-specific); retry-idempotence and param-guard are unit-pinned
-    // in ScaleGuardSpec.
+    // in ScaleGuardSpec. (bits, bands) sized to the EVENTUAL corpus
+    // (both batches) via adaptiveSrpParams — the index guard requires one
+    // signature parameterization across batches, so production sizes for
+    // the corpus the index will hold, re-deriving only at re-signature
+    // epochs (a full index rebuild, like this query performs).
     "dd_embcos_incremental" -> ((s, dir) => {
       import graft.similarity.IncrementalVectors
       val idx = "/tmp/graft_export/incvec_" +
@@ -110,11 +114,12 @@ object SimilarityQueries extends QuerySet {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val (bits, bands) = Vectors.adaptiveSrpParams(2L * base.count(), 0.99)
       val s1 = IncrementalVectors.addBatch(base, "vec_id", "v", idx,
-        batchId = 1L, bits = 10, minCosine = 0.99, bands = 4)
+        batchId = 1L, bits = bits, minCosine = 0.99, bands = bands)
       val s2 = IncrementalVectors.addBatch(
         base.withColumn("vec_id", col("vec_id") + 1000000L), "vec_id", "v", idx,
-        batchId = 2L, bits = 10, minCosine = 0.99, bands = 4)
+        batchId = 2L, bits = bits, minCosine = 0.99, bands = bands)
       s1.select(col("vec_id")).unionByName(s2.select(col("vec_id")))
         .orderBy(col("vec_id"))
     }),
@@ -122,13 +127,19 @@ object SimilarityQueries extends QuerySet {
     // Embedding near-dup at scale: SRP-bucketed candidate pairs verified
     // by exact cosine. Planted duplicates (doubled ids) guarantee
     // positives at score 1.0. Rows-only (buckets are engine-specific).
+    // (bits, bands) derived from the corpus size: fixed bits=10 put ~400
+    // random vectors per bucket at sf10 (400k doubled corpus) — a
+    // quadratic candidate blowup that spilled >74 GiB; adaptive sizing
+    // keeps buckets ~constant and candidates linear in n. Small SFs stay
+    // on (10, 4), the historically-pinned parameters.
     "dd_embcos_lsh" -> ((s, dir) => {
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
       val doubled = base.union(
         base.withColumn("vec_id", col("vec_id") + 1000000L))
+      val (bits, bands) = Vectors.adaptiveSrpParams(2L * base.count(), 0.99)
       Vectors.cosinePairsLsh(doubled, "vec_id", "v",
-          dim = 64, bits = 10, minCosine = 0.99)
+          dim = 64, bits = bits, minCosine = 0.99, bands = bands)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -115,6 +115,34 @@ object Vectors {
     * back once per distinct surviving pair for exact-cosine verification.
     * Identical vectors always share every bucket, so exact duplicates
     * have recall 1. */
+  /** SRP (bits, bands) sized for a corpus of `n` vectors at similarity
+    * threshold `sim`. Fixed bits do NOT survive scale-up: expected
+    * candidate pairs are Σ bucket² /2 ≈ n²/2^(bits+1) per band, so a
+    * signature width tuned at 4k vectors (bits=10 → ~8/bucket) puts
+    * ~400 random vectors in every bucket at 400k and the pair set grows
+    * quadratically — at sf10 that was a >74 GiB spill. Bits therefore
+    * grow with log2(n/targetBucket) (pair work per bucket stays O(cap²)
+    * CONSTANT as n grows; total candidates stay ~n·targetBucket·bands/2,
+    * linear in n), and bands compensate the per-band recall loss:
+    * p_bit = 1 − acos(sim)/π, p_band = p_bit^bits, and bands is the
+    * smallest b with 1−(1−p_band)^b ≥ recallTarget (capped at maxBands —
+    * the planted-recall floors in Verify measure the realized recall
+    * each round). minBits keeps small corpora on the historically-pinned
+    * parameters, so sf0.01/sf0.1 outputs are unchanged. */
+  def adaptiveSrpParams(n: Long, sim: Double, targetBucket: Int = 24,
+                        minBits: Int = 10, maxBits: Int = 24,
+                        recallTarget: Double = 0.97,
+                        maxBands: Int = 8): (Int, Int) = {
+    require(n > 0 && sim > 0.0 && sim < 1.0)
+    val bits = math.max(minBits, math.min(maxBits,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+    val pBit = 1.0 - math.acos(sim) / math.Pi
+    val pBand = math.pow(pBit, bits)
+    val bands = math.min(maxBands, math.max(4,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand)).toInt))
+    (bits, bands)
+  }
+
   def cosinePairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
                      dim: Int, bits: Int, minCosine: Double,
                      bands: Int = 4, bucketCap: Int = 1024,

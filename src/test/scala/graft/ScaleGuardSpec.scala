@@ -25,6 +25,38 @@ class ScaleGuardSpec extends SparkSuite {
     (0L until n).map(find).distinct.size
   }
 
+  test("adaptive SRP params: small corpora keep the pinned (10, 4); bits grow log2(n)") {
+    // the historical parameterization must be stable for every corpus the
+    // small-SF oracles run on, so recorded outputs do not shift
+    assert(Vectors.adaptiveSrpParams(100L, 0.99) === ((10, 4)))
+    assert(Vectors.adaptiveSrpParams(4000L, 0.99) === ((10, 4)))
+    assert(Vectors.adaptiveSrpParams(24L * 1024, 0.99) === ((10, 4)))
+    // past minBits, bits track log2(n/targetBucket) and bands compensate
+    val (b400k, bands400k) = Vectors.adaptiveSrpParams(400000L, 0.99)
+    assert(b400k === 15 && bands400k >= 4, s"got ($b400k, $bands400k)")
+    val (b40m, _) = Vectors.adaptiveSrpParams(40000000L, 0.99)
+    assert(b40m === 21)
+    // expected candidate volume n²/2^(bits+1)·bands stays ~linear in n:
+    // per-corpus work per vector (n/2^(bits+1)·bands) is bounded
+    for (n <- Seq(1000000L, 10000000L, 100000000L)) {
+      val (bits, bands) = Vectors.adaptiveSrpParams(n, 0.99)
+      val perVec = n.toDouble / math.pow(2.0, bits + 1) * bands
+      assert(perVec < 100.0, s"n=$n → per-vector candidate work $perVec")
+    }
+  }
+
+  test("adaptive SRP params: recall math keeps multi-band detection above target") {
+    // p_bit for cos 0.99 is ~0.955; verify the chosen (bits, bands) keep
+    // 1-(1-p^bits)^bands ≥ 0.95 across the sweep (recallTarget 0.97 minus
+    // slack for the band cap)
+    val pBit = 1.0 - math.acos(0.99) / math.Pi
+    for (n <- Seq(1000L, 100000L, 1000000L, 100000000L)) {
+      val (bits, bands) = Vectors.adaptiveSrpParams(n, 0.99)
+      val det = 1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
+      assert(det >= 0.95, s"n=$n (bits=$bits, bands=$bands) detection $det")
+    }
+  }
+
   test("bounded bucket pairs: small buckets produce exactly the all-pairs set") {
     // buckets: 10 → {1}, 20 → {2,3}, 30 → {4,5,6}; cap well above sizes
     val items = Seq((10L, 1L), (20L, 2L), (20L, 3L), (30L, 4L), (30L, 5L), (30L, 6L))
