@@ -2,7 +2,7 @@ package graft.qsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.streaming.EventStreams
 
@@ -34,16 +34,17 @@ object StreamingQueries extends QuerySet {
 
     // ST/dedup — streaming exact dedup with watermark-bounded state; the
     // deduped stream's per-type counts must equal batch DISTINCT.
+    // Sink is foreachBatch→parquet (runToDir): the deduped stream is
+    // data-sized (every distinct (user, type) row — ~10M rows at sf10),
+    // so a memory sink would land it whole on the driver.
     "st5_stream_dedup" -> ((s, dir) => {
       val table = s"st_dedup_${System.nanoTime()}"
-      val q = EventStreams.streamingDedup(
-          EventStreams.readEvents(s, dir), Seq("user_id", "event_type"),
-          "ts", "30 days")
-        .select(col("user_id"), col("event_type"))
-        .writeStream.format("memory").queryName(table)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(table)
+      EventStreams.runToDir(
+          EventStreams.streamingDedup(
+            EventStreams.readEvents(s, dir), Seq("user_id", "event_type"),
+            "ts", "30 days")
+          .select(col("user_id"), col("event_type")),
+          s"/tmp/graft_export/stream/$table", OutputMode.Append)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),

@@ -38,6 +38,40 @@ import graft.Tables
   */
 object EventStreams {
 
+  /** Drive a streaming frame under AvailableNow into a DISTRIBUTED
+    * parquet sink via foreachBatch and hand the result back as a
+    * distributed read.
+    *
+    * This replaces the memory sink for every query whose result scales
+    * with the data: the memory sink collects each batch to the DRIVER
+    * and re-reads it as a LocalRelation, so a downstream sort/write
+    * ships the whole table inside every task binary (21 MB tasks at
+    * sf10 for the session table; the full deduped event stream for
+    * st5) and the driver is the memory ceiling at scale. foreachBatch
+    * keeps each batch a distributed frame: Complete overwrites (each
+    * batch carries the full result, last write is the converged one),
+    * Update/Append append (same accumulate-emissions semantics as the
+    * memory sink in those modes; downstream selection — e.g. max
+    * n_events per key — is already emission-count agnostic, which also
+    * keeps a foreachBatch retry benign). */
+  def runToDir(df: DataFrame, outDir: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val saveMode = if (mode == OutputMode.Complete) "overwrite" else "append"
+    val q = df.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode(saveMode).parquet(outDir); ()
+      }
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    if (fs.exists(p)) spark.read.schema(schema).parquet(outDir)
+    else spark.createDataFrame( // zero emissions → typed empty frame
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Streaming read of the events table (file source, explicit schema —
     * the batch loader's ns→timestamp conversion applied on top). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -64,10 +98,7 @@ object EventStreams {
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("d"), col("event_type"),
               col("n"), col("total"))
-    val q = agg.writeStream.format("memory").queryName(table)
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(table)
+    runToDir(agg, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
   /** Per-key running state for the ST1/ST2 state machine. */
@@ -111,13 +142,9 @@ object EventStreams {
   }
 
   /** Drive statefulUpdates over the events table into a memory sink. */
-  def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val q = statefulUpdates(readEvents(spark, dir)).toDF()
-      .writeStream.format("memory").queryName(table)
-      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(table)
-  }
+  def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame =
+    runToDir(statefulUpdates(readEvents(spark, dir)).toDF(),
+      s"/tmp/graft_export/stream/$table", OutputMode.Update)
 
   /** ST3 — watermark-style incremental refresh: only rows modified after
     * the last sync point, aggregated for the cache merge. */
@@ -139,10 +166,7 @@ object EventStreams {
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
-    val q = agg.writeStream.format("memory").queryName(table)
-      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(table)
+    runToDir(agg, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
   /** Streaming exact dedup: first arrival per key wins; state for a key
