@@ -35,6 +35,15 @@ object Tables {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
      .config("spark.sql.session.timeZone", "UTC")
      .config("spark.sql.adaptive.enabled", "true")
+     // Decouple shuffle parallelism from the static partition count:
+     // AQE plans every exchange at initialPartitionNum and coalesces
+     // down to ~advisory-size partitions, so the SAME session config
+     // yields a handful of partitions at sf0.01 and hundreds at sf10 —
+     // a fixed shuffle.partitions=cores starves large shuffles (each
+     // partition carries 10× the bytes at 10× the data → spill; the
+     // 13–17× sf10/sf1 scaling family was exactly this). 512 is an
+     // upper bound, not a target: AQE only ever coalesces DOWN from it.
+     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
 
   /** Register every table as a temp view (for spark.sql / tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =
