@@ -58,23 +58,26 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
-    // Quality scoring: length/stopword/punctuation heuristics. Tokenized
-    // once, components computed from the materialized columns, composite
-    // built in a third projection — the HOF lambdas put this projection
-    // on the interpreted path where common subexpressions are NOT
-    // eliminated, so inline composition re-tokenized per component.
+    // Quality scoring: length/stopword/punctuation heuristics. All four
+    // counters come from ONE native byte scan (TextQualityStats — the
+    // composable regex/HOF form paid three regex engines plus an
+    // interpreted projection per document and was the slowest sf10 row;
+    // equivalence including split's empty-token edges pinned in
+    // CurationSpec). Ratio arithmetic is unchanged, so the oracle hash
+    // is identical.
     "tx_quality" -> ((s, dir) => {
-      val stopsArr = array(stops.map(lit): _*)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-            size(col("toks"))).as("avg_tok_len"),
-          (size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("double") /
-            size(col("toks"))).as("stop_ratio"),
-          punctCount(col("text")).as("punct_cnt"),
+          graft.functions.TextQualityStats(col("text"), stops).as("ts"),
           length(col("text")).cast("double").as("__len"))
+        .select(col("doc_id"),
+          col("ts.n_tokens").as("n_tokens"),
+          (col("ts.nonws_chars").cast("double") / col("ts.n_tokens"))
+            .as("avg_tok_len"),
+          (col("ts.stop_hits").cast("double") / col("ts.n_tokens"))
+            .as("stop_ratio"),
+          col("ts.punct_cnt").as("punct_cnt"),
+          col("__len"))
         .select(col("doc_id"), col("n_tokens"), col("avg_tok_len"),
           col("stop_ratio"), col("punct_cnt"),
           qualityComposite(col("__len"), col("stop_ratio"), col("punct_cnt"))
@@ -148,15 +151,14 @@ object TextQueries extends QuerySet {
     "pipe_curate" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      val stopsArr = array(stops.map(lit): _*)
       val scored = docs
-        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextQualityStats(col("text"), stops).as("ts"))
         .select(col("doc_id"), col("text"),
           qualityComposite(
             length(col("text")).cast("double"),
-            size(filter(col("toks"), t => array_contains(stopsArr, t)))
-              .cast("double") / size(col("toks")),
-            punctCount(col("text")).cast("double")).as("quality"))
+            col("ts.stop_hits").cast("double") / col("ts.n_tokens"),
+            col("ts.punct_cnt").cast("double")).as("quality"))
       val kept = scored.filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("text"))
       val deduped = graft.dedup.Dedup
@@ -175,16 +177,14 @@ object TextQueries extends QuerySet {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val docs = d.union(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      val stopsArr = array(stops.map(lit): _*)
       val scored = docs
         .select(col("doc_id"), col("source"), col("text"),
-          wsTokens(col("text")).as("toks"))
+          graft.functions.TextQualityStats(col("text"), stops).as("ts"))
         .select(col("doc_id"), col("source"), col("text"),
           qualityComposite(
             length(col("text")).cast("double"),
-            size(filter(col("toks"), tk => array_contains(stopsArr, tk)))
-              .cast("double") / size(col("toks")),
-            punctCount(col("text")).cast("double")).as("quality"))
+            col("ts.stop_hits").cast("double") / col("ts.n_tokens"),
+            col("ts.punct_cnt").cast("double")).as("quality"))
       val winners = scored.filter(col("quality") >= 0.5)
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("win_id"))

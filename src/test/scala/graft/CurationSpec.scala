@@ -234,4 +234,39 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(h.toSeq === Seq((0L, 2L, 0L, 31L), (1L, 2L, 32L, 63L), (2L, 1L, 64L, 64L), (3L, 1L, 100L, 100L)))
   }
+
+  test("native text_quality_stats equals the composable regex/HOF form, edge cases included") {
+    import org.apache.spark.sql.functions._
+    val stops = Seq("the", "a", "of")
+    val edge = Seq(
+      "", " ", "   ", "\tstarts with tab", "\n\nnewlines", "the a of",
+      "ends with space ", " the middle of a doc ", "ALL CAPS AND 123 #$%",
+      "multi\t\tinternal   runs\n", "a", "of\t", "é café déjà-vu",
+      "punct-only!!! ??? ;;;", "1 2 3 4 5", "\fform feeds")
+    val rand = new scala.util.Random(7L)
+    val words = Seq("the", "a", "of", "word", "graft", "spark", "x1", "!!", "Mixed")
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rand.nextInt(30)).map(_ =>
+        if (rand.nextInt(8) == 0) "\t" else words(rand.nextInt(words.length)))
+        .mkString(" ")
+    }
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val stopsArr = array(stops.map(lit): _*)
+    val toks = split(trim(col("text")), "\\s+")
+    val got = df.select(col("id"),
+        graft.functions.TextQualityStats(col("text"), stops).as("s"),
+        size(toks).cast("long").as("e_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("e_nonws"),
+        size(filter(toks, t => array_contains(stopsArr, t))).cast("long").as("e_stops"),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long").as("e_punct"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getStruct(1)
+      assert(s.getLong(0) === r.getLong(2), s"n_tokens for id ${r.getLong(0)}")
+      assert(s.getLong(1) === r.getLong(3), s"nonws_chars for id ${r.getLong(0)}")
+      assert(s.getLong(2) === r.getLong(4), s"stop_hits for id ${r.getLong(0)}")
+      assert(s.getLong(3) === r.getLong(5), s"punct_cnt for id ${r.getLong(0)}")
+    }
+  }
 }
