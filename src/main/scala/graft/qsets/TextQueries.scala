@@ -202,18 +202,21 @@ object TextQueries extends QuerySet {
 
     // PII redaction: emails and long digit runs planted per doc, scrubbed
     // to typed tags; residual count must be zero and the redacted text
-    // hash-compares across engines.
+    // hash-compares across engines. Count, redact, and residual-verify
+    // run in ONE native expression (PiiRedact — the regexp_* form paid
+    // four backtracking-regex passes per document and was the slowest
+    // non-index sf10 row; byte-equivalence pinned in CurationSpec).
     "tx_pii_redact" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or call 555123"), col("doc_id")).as("ptext"))
       planted.select(
           col("doc_id"),
-          emailCount(col("ptext")).as("emails_found"),
-          redactLongNumbers(redactEmails(col("ptext"))).as("clean"))
-        .select(col("doc_id"), col("emails_found"),
-          emailCount(col("clean")).as("residual"),
-          sha2(col("clean"), 256).as("clean_sha"))
+          graft.functions.PiiRedact(col("ptext")).as("p"))
+        .select(col("doc_id"),
+          col("p.emails_found").as("emails_found"),
+          col("p.residual").as("residual"),
+          sha2(col("p.clean"), 256).as("clean_sha"))
         .orderBy(col("doc_id"))
     }),
 

@@ -269,4 +269,38 @@ class CurationSpec extends SparkSuite {
       assert(s.getLong(3) === r.getLong(5), s"punct_cnt for id ${r.getLong(0)}")
     }
   }
+
+  test("native pii_redact equals the regex form: counts, redacted text, residual") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions._
+    val edge = Seq(
+      "", "no pii here", "a@b.cc", "a@b.c", "a@b", "@x.yy", "a@.yy", "a@b.",
+      "x@y@z.com", "ab@cd.ee@ff.gg", ".a@b.cc", "-_%+.a@b-c.d9.ab9cd tail",
+      "a@b.cc7654321", "A@B.CC", "user.name+tag@sub.domain.co uk",
+      "123456 1234567 12345678", "e@ma.il5555555@x.yy", "<EMAIL>@t.co",
+      "a@b.cde.f", "a@b..cc", "a@b.c.d.ee", "dot end a@b.cc.", "a@b.ccc...",
+      "call 555123999 or 55512 now", "9999999@9999999.com x",
+      "trailing a@b.cc", "a@b.cc a@b.cc a@b.cc", "é@café.fr déjà 1234567890")
+    val rand = new scala.util.Random(13L)
+    val alpha = "ab1@. -_%+Z9@..@"
+    val fuzz = (0 until 400).map { _ =>
+      (0 until rand.nextInt(60)).map(_ => alpha(rand.nextInt(alpha.length))).mkString
+    }
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expectedClean = redactLongNumbers(redactEmails(col("text")))
+    val got = df.select(col("id"), col("text"),
+        graft.functions.PiiRedact(col("text")).as("p"),
+        emailCount(col("text")).as("e_found"),
+        expectedClean.as("e_clean"),
+        emailCount(expectedClean).as("e_residual"))
+      .collect()
+    got.foreach { r =>
+      val p = r.getStruct(2)
+      val id = r.getLong(0)
+      assert(p.getLong(0) === r.getLong(3), s"emails_found for id $id [${r.getString(1)}]")
+      assert(p.getString(2) === r.getString(4), s"clean for id $id [${r.getString(1)}]")
+      assert(p.getLong(1) === r.getLong(5), s"residual for id $id [${r.getString(1)}]")
+    }
+  }
 }
