@@ -40,71 +40,87 @@ object Msgpack {
     out.toByteArray
   }
 
-  private def writeBE(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
+  private[sources] def writeBE(out: ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
     var i = bytes - 1
     while (i >= 0) { out.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
   }
 
+  // low-level emitters, shared with the native [[MsgpackFromStruct]]
+  // expression — byte behavior is THE contract (format pins in MsgpackSpec)
+
+  private[sources] def writeIntVal(out: ByteArrayOutputStream, n: Long): Unit =
+    if (n >= 0) {
+      if (n < 0x80L) out.write(n.toInt)
+      else if (n <= 0xffL) { out.write(0xcc); writeBE(out, n, 1) }
+      else if (n <= 0xffffL) { out.write(0xcd); writeBE(out, n, 2) }
+      else if (n <= 0xffffffffL) { out.write(0xce); writeBE(out, n, 4) }
+      else { out.write(0xcf); writeBE(out, n, 8) }
+    } else {
+      if (n >= -32L) out.write((0xe0 | (n + 32)).toInt)
+      else if (n >= -128L) { out.write(0xd0); writeBE(out, n, 1) }
+      else if (n >= -32768L) { out.write(0xd1); writeBE(out, n, 2) }
+      else if (n >= Int.MinValue.toLong) { out.write(0xd2); writeBE(out, n, 4) }
+      else { out.write(0xd3); writeBE(out, n, 8) }
+    }
+
+  private[sources] def writeF64(out: ByteArrayOutputStream, d: Double): Unit = {
+    out.write(0xcb); writeBE(out, java.lang.Double.doubleToLongBits(d), 8)
+  }
+
+  private[sources] def writeStrBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    if (b.length < 32) out.write(0xa0 | b.length)
+    else if (b.length < 256) { out.write(0xd9); writeBE(out, b.length.toLong, 1) }
+    else if (b.length < 65536) { out.write(0xda); writeBE(out, b.length.toLong, 2) }
+    else { out.write(0xdb); writeBE(out, b.length.toLong, 4) }
+    out.write(b)
+  }
+
+  private[sources] def writeBinBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    if (b.length < 256) { out.write(0xc4); writeBE(out, b.length.toLong, 1) }
+    else if (b.length < 65536) { out.write(0xc5); writeBE(out, b.length.toLong, 2) }
+    else { out.write(0xc6); writeBE(out, b.length.toLong, 4) }
+    out.write(b)
+  }
+
+  private[sources] def writeArrHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x90 | n)
+    else if (n < 65536) { out.write(0xdc); writeBE(out, n.toLong, 2) }
+    else { out.write(0xdd); writeBE(out, n.toLong, 4) }
+
+  private[sources] def writeMapHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x80 | n)
+    else if (n < 65536) { out.write(0xde); writeBE(out, n.toLong, 2) }
+    else { out.write(0xdf); writeBE(out, n.toLong, 4) }
+
   private def write(out: ByteArrayOutputStream, v: Any): Unit = v match {
     case null => out.write(0xc0)
     case b: Boolean => out.write(if (b) 0xc3 else 0xc2)
-    case n: Byte => write(out, n.toLong)
-    case n: Short => write(out, n.toLong)
-    case n: Int => write(out, n.toLong)
-    case n: Long =>
-      if (n >= 0) {
-        if (n < 0x80L) out.write(n.toInt)
-        else if (n <= 0xffL) { out.write(0xcc); writeBE(out, n, 1) }
-        else if (n <= 0xffffL) { out.write(0xcd); writeBE(out, n, 2) }
-        else if (n <= 0xffffffffL) { out.write(0xce); writeBE(out, n, 4) }
-        else { out.write(0xcf); writeBE(out, n, 8) }
-      } else {
-        if (n >= -32L) out.write((0xe0 | (n + 32)).toInt)
-        else if (n >= -128L) { out.write(0xd0); writeBE(out, n, 1) }
-        else if (n >= -32768L) { out.write(0xd1); writeBE(out, n, 2) }
-        else if (n >= Int.MinValue.toLong) { out.write(0xd2); writeBE(out, n, 4) }
-        else { out.write(0xd3); writeBE(out, n, 8) }
-      }
-    case f: Float => write(out, f.toDouble) // float64 on the wire, like the reference
-    case d: Double => out.write(0xcb); writeBE(out, java.lang.Double.doubleToLongBits(d), 8)
-    case d: java.math.BigDecimal => write(out, d.doubleValue)
-    case d: BigDecimal => write(out, d.doubleValue)
+    case n: Byte => writeIntVal(out, n.toLong)
+    case n: Short => writeIntVal(out, n.toLong)
+    case n: Int => writeIntVal(out, n.toLong)
+    case n: Long => writeIntVal(out, n)
+    case f: Float => writeF64(out, f.toDouble) // float64 on the wire, like the reference
+    case d: Double => writeF64(out, d)
+    case d: java.math.BigDecimal => writeF64(out, d.doubleValue)
+    case d: BigDecimal => writeF64(out, d.doubleValue)
     case ts: java.sql.Timestamp => // ISO-8601 UTC string, like the JSON edge
       write(out, java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME
         .format(ts.toInstant.atOffset(java.time.ZoneOffset.UTC)))
     case dt: java.sql.Date => write(out, dt.toString)
-    case s: String =>
-      val b = s.getBytes(UTF_8)
-      if (b.length < 32) out.write(0xa0 | b.length)
-      else if (b.length < 256) { out.write(0xd9); writeBE(out, b.length.toLong, 1) }
-      else if (b.length < 65536) { out.write(0xda); writeBE(out, b.length.toLong, 2) }
-      else { out.write(0xdb); writeBE(out, b.length.toLong, 4) }
-      out.write(b)
-    case b: Array[Byte] =>
-      if (b.length < 256) { out.write(0xc4); writeBE(out, b.length.toLong, 1) }
-      else if (b.length < 65536) { out.write(0xc5); writeBE(out, b.length.toLong, 2) }
-      else { out.write(0xc6); writeBE(out, b.length.toLong, 4) }
-      out.write(b)
+    case s: String => writeStrBytes(out, s.getBytes(UTF_8))
+    case b: Array[Byte] => writeBinBytes(out, b)
     case xs: Seq[_] =>
-      if (xs.length < 16) out.write(0x90 | xs.length)
-      else if (xs.length < 65536) { out.write(0xdc); writeBE(out, xs.length.toLong, 2) }
-      else { out.write(0xdd); writeBE(out, xs.length.toLong, 4) }
+      writeArrHeader(out, xs.length)
       xs.foreach(write(out, _))
     case m: scala.collection.Map[_, _] =>
-      if (m.size < 16) out.write(0x80 | m.size)
-      else if (m.size < 65536) { out.write(0xde); writeBE(out, m.size.toLong, 2) }
-      else { out.write(0xdf); writeBE(out, m.size.toLong, 4) }
+      writeMapHeader(out, m.size)
       m.foreach { case (k, x) => write(out, k); write(out, x) }
     case MsgMap(entries) =>
-      if (entries.length < 16) out.write(0x80 | entries.length)
-      else if (entries.length < 65536) { out.write(0xde); writeBE(out, entries.length.toLong, 2) }
-      else { out.write(0xdf); writeBE(out, entries.length.toLong, 4) }
+      writeMapHeader(out, entries.length)
       entries.foreach { case (k, x) => write(out, k); write(out, x) }
     case r: Row => // struct → map in declared field order
       val fields = r.schema.fieldNames
-      if (fields.length < 16) out.write(0x80 | fields.length)
-      else if (fields.length < 65536) { out.write(0xde); writeBE(out, fields.length.toLong, 2) }
-      else { out.write(0xdf); writeBE(out, fields.length.toLong, 4) }
+      writeMapHeader(out, fields.length)
       var i = 0
       while (i < fields.length) { write(out, fields(i)); write(out, r.get(i)); i += 1 }
     case other =>
@@ -229,8 +245,16 @@ object Msgpack {
 
   // ------------------------------------------------------------ spark edge
 
-  /** struct column → msgpack body (one blob per row). */
-  val packStruct: Column => Column = {
+  /** struct column → msgpack body (one blob per row), via the native
+    * [[MsgpackFromStruct]] expression — byte-identical to the original
+    * `Row` UDF edge (MsgpackSpec encode-parity sweep), without the
+    * catalyst→external conversion per row. */
+  val packStruct: Column => Column = c => MsgpackFromStruct(c)
+
+  /** The original UDF edge over an external `Row`, kept as the parity
+    * reference for MsgpackSpec (and as the escape hatch for struct types
+    * [[MsgpackToStruct.supports]] excludes). */
+  val packStructRowUdf: Column => Column = {
     val f = udf((r: Row) => pack(r))
     c => f(c)
   }
@@ -242,11 +266,16 @@ object Msgpack {
   }
 
   /** Ingest a msgpack-body column into typed columns: decode once at the
-    * edge, `from_json` with the DECLARED schema (FAILFAST semantics:
-    * `from_json` yields null rows for malformed bodies; callers that need
-    * hard failure can assert on that). */
+    * edge with the DECLARED schema (malformed bodies yield null rows;
+    * callers that need hard failure can assert on that). Schemas the
+    * native [[MsgpackToStruct]] expression supports decode in ONE pass
+    * from wire bytes to `InternalRow`; anything else takes the original
+    * two-step edge (generic decode → JSON render → `from_json`). */
   def readMsgpack(df: DataFrame, bodyCol: Column, schema: StructType): DataFrame =
-    df.select(from_json(unpackToJson(bodyCol), schema).as("__r")).select(col("__r.*"))
+    if (MsgpackToStruct.supports(schema))
+      df.select(MsgpackToStruct(bodyCol, schema).as("__r")).select(col("__r.*"))
+    else
+      df.select(from_json(unpackToJson(bodyCol), schema).as("__r")).select(col("__r.*"))
 
   def readMsgpack(df: DataFrame, bodyCol: Column, ddl: String): DataFrame =
     readMsgpack(df, bodyCol, StructType.fromDDL(ddl))
