@@ -50,11 +50,17 @@ object TextQueries extends QuerySet {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace + BPE-ish regex grain.
+    // Both counts in one native byte scan (TokenCounts — the composable
+    // form pays a split materialization plus a regexp_count engine per
+    // document; equivalence incl. split's limit=-1 edges pinned in
+    // CurationSpec).
     "tx_token_counts" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        wsTokenCount(col("text")).as("n_ws"),
-        bpeTokenCount(col("text")).as("n_bpe"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TokenCounts(col("text")).as("tc"))
+        .select(col("doc_id"),
+          col("tc.n_ws").as("n_ws"),
+          col("tc.n_bpe").as("n_bpe"))
         .orderBy(col("doc_id"))
     }),
 
@@ -100,12 +106,20 @@ object TextQueries extends QuerySet {
 
     // Repetition quality signals (Gopher-style): duplicate-sentence
     // fraction and most-frequent-token fraction.
+    // All four repetition counters from one native pass (RepetitionStats
+    // — the composable form materializes and sorts a token array per
+    // document, and its aggregate HOF drops out of codegen; the ratio
+    // arithmetic stays in Column space so the oracle doubles are
+    // bit-unchanged; equivalence pinned in CurationSpec).
     "tx_repetition" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          dupSentenceRatio(col("text")).as("dup_sentence_ratio"),
-          topTokenRatio(col("toks")).as("top_token_ratio"))
+          graft.functions.RepetitionStats(col("text")).as("rs"))
+        .select(col("doc_id"),
+          (col("rs.n_sents") - col("rs.n_distinct_sents")).cast("double")
+            ./(col("rs.n_sents")).as("dup_sentence_ratio"),
+          col("rs.max_tok_count").cast("double")
+            ./(col("rs.n_toks")).as("top_token_ratio"))
         .orderBy(col("doc_id"))
     }),
 

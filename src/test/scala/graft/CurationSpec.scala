@@ -270,6 +270,89 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("native token_counts equals the split/regexp_count form, edge cases included") {
+    import org.apache.spark.sql.functions._
+    val edge = Seq(
+      "", " ", "   ", "\tstarts with tab", "\n\nnewlines", "ends with space ",
+      " leading space", "a", "A", "ABC", "abc123def", "a1b2c3", "123",
+      "mixed CASE and lower", "é café déjà-vu", "日本語テキスト here",
+      "punct-only!!! ??? ;;;", "runs  of\t\twhitespace\n\n", "a.b,c;d",
+      "UPPER lower 42 #$% \f", "\u00e9\u65e5x9", "tab\tend\t", "dots... dashes---")
+    val rand = new scala.util.Random(23L)
+    val alpha = "abz019AZ!.\t \n日é"
+    val fuzz = (0 until 300).map { _ =>
+      (0 until rand.nextInt(50)).map(_ => alpha(rand.nextInt(alpha.length))).mkString
+    }
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), col("text"),
+        graft.functions.TokenCounts(col("text")).as("tc"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("e_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("e_bpe"))
+      .collect()
+    got.foreach { r =>
+      val tc = r.getStruct(2)
+      val id = r.getLong(0)
+      assert(tc.getLong(0) === r.getLong(3), s"n_ws for id $id [${r.getString(1)}]")
+      assert(tc.getLong(1) === r.getLong(4), s"n_bpe for id $id [${r.getString(1)}]")
+    }
+  }
+
+  test("native repetition_stats equals the split/distinct/sort-HOF form") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions._
+    val edge = Seq(
+      "", " ", ". ", ". . ", "a. a. a", "a. a. a. ", "one sentence",
+      "dup. dup. dup. unique", "a b a b a", "a a a a a", " lead. lead. ",
+      "\ttab. tab.\t", "x. x.  x. x", "end with dot.", ". starts", "..",
+      ".. . ..", "é. é. 日本. 日本", "a.b. a.b. c", "s1. s2. s1. s2. s3",
+      "tok tok tok. tok tok. tok", "  ", "\n. \n. \n")
+    val rand = new scala.util.Random(29L)
+    val words = Seq("alpha", "beta", "gamma", "x", ".", "a.", "日本")
+    val fuzz = (0 until 300).map { _ =>
+      (0 until rand.nextInt(40)).map(_ =>
+        if (rand.nextInt(7) == 0) ". " else words(rand.nextInt(words.length)) + " ")
+        .mkString.dropRight(rand.nextInt(2))
+    }
+    val df = (edge ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sents = split(col("text"), "\\. ")
+    val toks = wsTokens(col("text"))
+    val got = df.select(col("id"), col("text"),
+        graft.functions.RepetitionStats(col("text")).as("rs"),
+        size(sents).cast("long").as("e_sents"),
+        size(array_distinct(sents)).cast("long").as("e_distinct"),
+        size(toks).cast("long").as("e_toks"),
+        // the composable top-token count: max run in the sorted array
+        (topTokenRatio(toks) * size(toks)).cast("long").as("e_max"))
+      .collect()
+    got.foreach { r =>
+      val rs = r.getStruct(2)
+      val id = r.getLong(0)
+      assert(rs.getLong(0) === r.getLong(3), s"n_sents for id $id [${r.getString(1)}]")
+      assert(rs.getLong(1) === r.getLong(4), s"n_distinct_sents for id $id [${r.getString(1)}]")
+      assert(rs.getLong(2) === r.getLong(5), s"n_toks for id $id [${r.getString(1)}]")
+      assert(rs.getLong(3) === r.getLong(6), s"max_tok_count for id $id [${r.getString(1)}]")
+    }
+    // and the full ratio projection matches the oracle-facing arithmetic
+    val ratios = df.select(col("id"),
+        graft.functions.RepetitionStats(col("text")).as("rs"))
+      .select(col("id"),
+        (col("rs.n_sents") - col("rs.n_distinct_sents")).cast("double")
+          ./(col("rs.n_sents")).as("g_dup"),
+        col("rs.max_tok_count").cast("double")./(col("rs.n_toks")).as("g_top"))
+      .join(df.select(col("id"),
+        dupSentenceRatio(col("text")).as("e_dup"),
+        topTokenRatio(wsTokens(col("text"))).as("e_top")), "id")
+      .collect()
+    ratios.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(3)) === 0,
+        s"dup ratio for id ${r.getLong(0)}")
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(4)) === 0,
+        s"top ratio for id ${r.getLong(0)}")
+    }
+  }
+
   test("native pii_redact equals the regex form: counts, redacted text, residual") {
     import org.apache.spark.sql.functions._
     import graft.text.TextFunctions._
