@@ -66,7 +66,7 @@ object CurationQueries extends QuerySet {
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(1), size(col("t")) - (L - 1)),
           // \u001F separator — boundary-unambiguous, = the oracle's chr(31)
-          i => xxhash64(concat_ws("",
+          i => xxhash64(concat_ws("\u001F",
             (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
         .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
       val benchGrams = grams(docs.filter(col("doc_id") % BENCH_MOD === 0))

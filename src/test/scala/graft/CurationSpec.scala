@@ -270,6 +270,27 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("scrub_spans gram hashing is boundary-unambiguous, like its oracle") {
+    import org.apache.spark.sql.functions._
+    // benchmark doc 0 (0 % 97 == 0) carries ["ab","c","x"]; corpus doc 1
+    // carries ["a","bc","x"] — identical bare concatenation "abcx", but
+    // distinct token splits. With the  separator (= the oracle's
+    // chr(31)) the grams differ, so NOTHING may be scrubbed; an empty
+    // separator would falsely hash-match and remove all three tokens.
+    val dir = java.nio.file.Files.createTempDirectory("scrub_planted").toString
+    Seq((0L, "ab c x"), (1L, "a bc x"), (97L * 2, "q w e"), (3L, "q w e r"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.qsets.CurationQueries.queries("dd_scrub_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") === 0L, "planted ambiguity must not scrub")
+    assert(out(1L).getAs[String]("cleaned") === "a bc x")
+    // the exact-match control: corpus doc 3 shares gram ("q","w","e") with
+    // benchmark doc 194 and loses the covered span but keeps "r"
+    assert(out(3L).getAs[Long]("n_removed") === 3L)
+    assert(out(3L).getAs[String]("cleaned") === "r")
+  }
+
   test("native token_counts equals the split/regexp_count form, edge cases included") {
     import org.apache.spark.sql.functions._
     val edge = Seq(
