@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -18,15 +18,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    // configure()). Values are µs-grain, so ns→µs truncation is lossless —
-    // but it must be INTEGRAL division: `col / 1000` is double division,
-    // and an epoch-nanos value (~1.7e18) exceeds a double's 53-bit
-    // mantissa, silently perturbing timestamps by up to ±1 µs.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    // `events.ts` arrives in whatever physical type the generator chose
+    // for this round's data — normalize every case to session-local
+    // TIMESTAMP (UTC session), which the queries and oracles assume:
+    //  - TIMESTAMP(NANOS) reads as a raw long under
+    //    spark.sql.legacy.parquet.nanosAsLong=true (set by configure()).
+    //    Values are µs-grain, so ns→µs truncation is lossless — but it
+    //    must be INTEGRAL division: `col / 1000` is double division, and
+    //    an epoch-nanos value (~1.7e18) exceeds a double's 53-bit
+    //    mantissa, silently perturbing timestamps by up to ±1 µs.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    //    TIMESTAMP_NTZ: the wall-clock values ARE UTC, so the cast to
+    //    TIMESTAMP under the UTC session timezone is lossless. Left
+    //    unconverted it breaks unix_micros() and streaming event-time.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

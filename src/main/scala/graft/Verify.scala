@@ -161,7 +161,10 @@ object Verify {
         () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
       ("dd_minhash_capped", () => cappedDedupRate(), 0.95),
       ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.75),
-      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.75))
+      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.75),
+      // PQ is oracle-anchored (hash-exact), but its RECALL vs brute is a
+      // quality property of the quantizer, measured like the others
+      ("sim_knn_pq", () => recallAtK("sim_knn_pq"), 0.85))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)
@@ -199,9 +202,17 @@ object Verify {
         "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))),
         "avg_candidates" -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(cand)))
     }
+    // PQ: recall vs shortlist (the re-ranked candidate count IS the cost
+    // axis — ADC scores the whole corpus from codes regardless)
+    val pqCurve = Seq(32, 64, 128, 256).map { sl =>
+      val knn = graft.qsets.SimilarityQueries.pqSweepPoint(spark, sfDir, sl)
+      fmtPoint("shortlist" -> sl.toString, "m" -> "16", "ks" -> "32",
+        "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))))
+    }
     val curveJson =
       "  \"curves\": {\n    \"sim_knn_lsh\": [\n" + lshCurve.mkString(",\n") +
-        "\n    ],\n    \"sim_knn_ivf\": [\n" + ivfCurve.mkString(",\n") + "\n    ]\n  }"
+        "\n    ],\n    \"sim_knn_ivf\": [\n" + ivfCurve.mkString(",\n") +
+        "\n    ],\n    \"sim_knn_pq\": [\n" + pqCurve.mkString(",\n") + "\n    ]\n  }"
     val json = (results :+ curveJson).mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), json)
     // tracked copy at the repo root, same rationale as bench_full.json:

@@ -3,7 +3,7 @@ package graft.qsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Vectors
+import graft.similarity.{Kmeans, Pq, Vectors}
 
 /** Similarity-search queries over `embeddings` (Array[Float] vectors).
   * Brute-force cosine top-k and ranked near-dup pairs are oracle-checked;
@@ -59,6 +59,16 @@ object SimilarityQueries extends QuerySet {
     val cand = Vectors.ivfScores(queriesDf(s, dir, 10), assigned, centroids,
       nprobe = nprobe).count().toDouble
     (knn, cand / 10.0)
+  }
+
+  /** Diagnostic sweep point for the PQ recall-vs-shortlist curve: the
+    * top-5 result at `shortlist` re-ranked candidates. The cost axis IS
+    * the shortlist size (rows whose raw vectors are read back for exact
+    * re-rank); ADC cost is shortlist-independent. */
+  def pqSweepPoint(s: SparkSession, dir: String, shortlist: Int): DataFrame = {
+    val c = corpus(s, dir)
+    val cb = Pq.pivotCodebook(c, m = 16, ks = 32)
+    Pq.pqKnn(queriesDf(s, dir, 10), c, cb, k = 5, shortlist = shortlist)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,6 +166,42 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Product-quantization ANN, oracle-anchored end to end: corpus
+    // vectors encode to 16 sub-space codes against the deterministic
+    // md5-pivot codebook (16 small ints instead of 64 floats — a 16×
+    // memory shrink that keeps a 100 TB index resident), queries score
+    // by ADC table lookups without touching raw vectors, and the
+    // bounded-128 shortlist re-ranks by exact cosine (recall 0.98 at
+    // sf0.01, measured per-round in verify_recall.json with the
+    // shortlist sweep curve). Every code, every table entry, and every
+    // rank is reproduced by the DuckDB oracle.
+    "sim_knn_pq" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cb = Pq.pivotCodebook(c, m = 16, ks = 32)
+      Pq.pqKnn(queriesDf(s, dir, 10), c, cb, k = 5, shortlist = 128)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Distributed k-means, oracle-anchored END TO END — including the
+    // FIT, the one stage sim_knn_ivf_anchor could not check (its pivots
+    // skip training entirely). Two Lloyd iterations from the md5-pivot
+    // init: assignment is a pure map against literal centroids (zero
+    // shuffle), each update is one (cell, dim) aggregation whose means
+    // are exact order-independent DECIMAL sums — so DuckDB reproduces
+    // every centroid bit-for-bit and the per-cell profile (size,
+    // decimal-exact inertia, representative) hash-matches. MLlib KMeans
+    // (ivfFit) remains the production quantizer; this is the
+    // engine-verifiable fit for corpus profiling and index audits.
+    "sim_kmeans_anchor" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val (asg, _) = Kmeans.fitAnchor(corpus(s, dir), k = 8, iters = 2)
+      asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("d2"), 6).cast(DecimalType(18, 6))).cast("double").as("inertia"),
+          min(col("vec_id")).as("rep_id"))
+        .orderBy(col("cell"))
+    }),
+
     // IVF probe path ORACLE ANCHOR: the deterministic sampled-pivot
     // quantizer (centroids = vectors of the 16 ids with smallest
     // md5(vec_id) — reproducible in any engine with md5) feeds the SAME
@@ -223,6 +269,121 @@ object SimilarityQueries extends QuerySet {
         |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors pivotCodebook + encode + ADC + re-rank exactly: codebook
+    // sub-vectors of the 16 smallest-md5 pivots (numbered in pivot-id
+    // order), per-sub-space argmin on rounded-9 L2 (ties → lowest code),
+    // ADC as the m-ordered left-to-right sum of table lookups rounded to
+    // 9, shortlist 32 by (adc asc, vec_id), exact-cosine top-5 by
+    // (score desc, vec_id). Any slip anywhere breaks the hash match.
+    "sim_knn_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS code, e AS pe
+        |  FROM piv),
+        |cbm AS (
+        |  SELECT ms.m, cb.code, pe[ms.m*4+1 : ms.m*4+4] AS cw
+        |  FROM cb CROSS JOIN (SELECT unnest(range(16)) AS m) ms),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT v.vec_id, c.m, c.code,
+        |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+        |        round(list_sum([(v.e[c.m*4+i] - c.cw[i])**2 for i in range(1,5)]), 9),
+        |        c.code) AS rn
+        |    FROM v CROSS JOIN cbm c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |dtab AS (
+        |  SELECT q.q_id, c.m, c.code,
+        |    round(list_sum([(q.qe[c.m*4+i] - c.cw[i])**2 for i in range(1,5)]), 9) AS d
+        |  FROM q CROSS JOIN cbm c),
+        |adc AS (
+        |  SELECT q_id, vec_id, round(list_sum(ds), 9) AS adc_d2 FROM (
+        |    SELECT d.q_id AS q_id, e.vec_id AS vec_id, list(d.d ORDER BY d.m) AS ds
+        |    FROM enc e JOIN dtab d USING (m, code)
+        |    WHERE e.vec_id <> d.q_id
+        |    GROUP BY d.q_id, e.vec_id) g),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn
+        |    FROM adc) WHERE rn <= 128),
+        |rer AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    round(list_cosine_similarity(q.qe, v.e), 6) AS score
+        |  FROM short s JOIN q USING (q_id) JOIN v USING (vec_id))
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM rer
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors Kmeans.fitAnchor exactly: md5-pivot init (cells in
+    // pivot-id order), two unrolled Lloyd iterations — assignment by
+    // rounded-9 L2 argmin (ties → lowest cell), per-dimension means as
+    // exact DECIMAL(18,6) sums of rounded-6 elements divided by the
+    // cluster count and re-rounded, empty cells keeping their previous
+    // centroid — then the final assignment's per-cell profile with a
+    // decimal-exact inertia. Any slip in init, assignment, or the mean
+    // arithmetic breaks the hash match.
+    "sim_kmeans_anchor" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
+        |  FROM piv),
+        |a1 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
+        |  FROM c0 LEFT JOIN c1n USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
+        |  FROM c1 LEFT JOIN c2n USING (cell)),
+        |af AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9) AS d2,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS inertia,
+        |  MIN(vec_id) AS rep_id
+        |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_embcos_pairs" ->
       """WITH v AS (

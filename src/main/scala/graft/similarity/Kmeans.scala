@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-anchored distributed k-means (Lloyd's algorithm).
+  *
+  * [[Vectors.ivfFit]] trains the production coarse quantizer with MLlib
+  * KMeans — good cells, but engine-specific arithmetic: no other engine
+  * reproduces its centroids, so the FIT has always been the one
+  * unverifiable stage of the ANN index pipeline. This implementation
+  * closes that: every arithmetic step is defined so that any engine with
+  * md5, IEEE doubles, and exact decimal sums reproduces it bit-for-bit —
+  *
+  *  - init: the k corpus vectors with smallest md5(vec_id), numbered in
+  *    pivot-id order (the [[Vectors.pivotFit]] family);
+  *  - assign: nearest centroid by squared L2 folded left-to-right and
+  *    rounded to 9 decimals, ties to the lowest cell;
+  *  - update: per-dimension mean computed as an EXACT DECIMAL(18,6) sum
+  *    of elements rounded to 6 decimals, divided by the cluster count in
+  *    double, re-rounded to 6 — decimal sums are order-independent, so
+  *    the result does not depend on partitioning or reduce order (a
+  *    plain double sum would differ run to run AND engine to engine);
+  *  - empty cells keep their previous centroid.
+  *
+  * Execution shape is the standard distributed k-means: centroids live
+  * on the driver (k·dim doubles — the same index-build artifact as the
+  * PQ codebook) and are inlined as plan literals, so ASSIGNMENT IS A
+  * PURE MAP over the corpus scan (zero shuffle, zero join) and each
+  * Lloyd iteration costs exactly one scan plus one (cell, dim)-grouped
+  * aggregation of scalar rows. At 100 TB per iteration that is the
+  * minimum possible data motion for Lloyd's algorithm.
+  */
+object Kmeans {
+
+  /** Rounded squared-L2, fixed fold order (engine-comparable). */
+  private def d2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
+
+  /** The k corpus vectors with smallest md5(vec_id), in pivot-id order —
+    * cell j is the j-th such vector. */
+  def pivotInit(corpus: DataFrame, k: Int): Seq[Seq[Double]] =
+    corpus.orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(k)
+      .orderBy(col("vec_id"))
+      .select(col("c_vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** Map-side assignment against literal centroids: (vec_id, c_vec,
+    * cell, d2). Tie on rounded distance goes to the lowest cell
+    * (array_position finds the FIRST minimum). */
+  def assign(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val cent = typedLit(centroids)
+    corpus
+      .withColumn("__ds", transform(sequence(lit(0), lit(centroids.length - 1)),
+        j => d2(col("c_vec"), element_at(cent, j + 1))))
+      .withColumn("cell", (array_position(col("__ds"), array_min(col("__ds"))) - 1)
+        .cast("int"))
+      .withColumn("d2", element_at(col("__ds"), col("cell") + 1))
+      .drop("__ds")
+  }
+
+  /** One Lloyd update: decimal-exact per-dimension means of the assigned
+    * corpus; cells with no members keep their previous centroid. The
+    * (cell, dim) aggregation shuffles scalar rows only. */
+  def lloydStep(assigned: DataFrame, prev: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val dim = prev.head.length
+    val means = assigned
+      .select(col("cell"), posexplode(col("c_vec")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((round(
+        sum(round(col("x"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6)).as("ci"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+        s => s.getField("ci")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    prev.indices.map(j => means.getOrElse(j, prev(j)))
+  }
+
+  /** `iters` Lloyd iterations from the pivot init; returns the final
+    * assignment (vec_id, cell, d2 — d2 against the FINAL centroids) and
+    * the final centroids. */
+  def fitAnchor(corpus: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
+    var cent = pivotInit(corpus, k)
+    for (_ <- 1 to iters)
+      cent = lloydStep(assign(corpus, cent), cent)
+    (assign(corpus, cent).select(col("vec_id"), col("cell"), col("d2")), cent)
+  }
+}

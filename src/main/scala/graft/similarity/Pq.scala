@@ -1,0 +1,134 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the memory-compression scale path next to
+  * LSH (bucketing) and IVF (partition pruning): each corpus vector is
+  * encoded once into `m` sub-space codes (here 8 codes of 4 bits → 8
+  * SMALL INTS per vector instead of 64 floats, a 32× shrink), and a query
+  * scores candidates with Asymmetric Distance Computation: one tiny
+  * per-query distance table (m × ks entries of query-subvector →
+  * codeword distance), then every vector's approximate distance is m
+  * table lookups over its codes — no raw-vector read at all until the
+  * final shortlist re-rank. At 100 TB that is the difference between an
+  * index that fits executor memory and one that does not: the codes
+  * column is what the scan reads, the full embedding column is touched
+  * only for shortlist·|Q| rows.
+  *
+  * The codebook here is the deterministic pivot family (sub-vectors of
+  * the `ks` corpus vectors with smallest md5(vec_id), the same
+  * quantizer family as [[Vectors.pivotFit]]): reproducible in any engine
+  * with md5, so encode → ADC → shortlist → exact re-rank is
+  * oracle-checkable END TO END (DuckDB reproduces every code and every
+  * rank). KMeans-trained codebooks buy tighter cells but lose the
+  * oracle; the pivot family keeps the entire PQ pipeline hash-exact.
+  *
+  * Scale shape: the codebook is an index-build artifact (ks·dim doubles
+  * — 1 KB at the defaults; FAISS stores the same thing in the index
+  * header), inlined as a plan literal, so ENCODE IS A PURE MAP — no
+  * shuffle, no join, one pass over the corpus. ADC is a broadcast join
+  * of the 10-query distance tables against the codes relation (map-side,
+  * codes never shuffle); only the bounded per-query top-`shortlist`
+  * heap shuffles, at ≤ shortlist rows per query per task.
+  */
+object Pq {
+
+  /** Deterministic pivot codebook: `(m)(k)(d)` nested array — sub-vector
+    * `m` of the `k`-th pivot (pivots = `ks` smallest md5(vec_id), cells
+    * numbered in pivot-id order). Driver-side collect is the index BUILD
+    * (ks·dim doubles), not a query-path collect. */
+  def pivotCodebook(corpus: DataFrame, m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    val dim = corpus.select(size(col("c_vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val d = dim / m
+    val pivots = corpus
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(ks)
+      .orderBy(col("vec_id"))
+      .select(col("c_vec")).collect().map(_.getSeq[Double](0))
+    require(pivots.length == ks, s"corpus smaller than ks=$ks")
+    (0 until m).map(mi => pivots.toSeq.map(p => p.slice(mi * d, (mi + 1) * d)))
+  }
+
+  /** Rounded squared-L2 between two double arrays (fixed left-to-right
+    * fold — the engine-comparable form used by the IVF probe path). */
+  private def d2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
+
+  /** Encode every corpus vector to its `m` codes in ONE projection — a
+    * pure map over the scan, zero shuffle. Tie on rounded distance goes
+    * to the lowest code (array_position finds the FIRST minimum). */
+  def encode(corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebook.length
+    val d = codebook.head.head.length
+    val cb = typedLit(codebook)
+    corpus.select(col("vec_id"),
+      transform(sequence(lit(0), lit(m - 1)), mi => {
+        val sub = slice(col("c_vec"), mi * d + 1, lit(d))
+        val ds = transform(sequence(lit(0), lit(codebook.head.length - 1)),
+          k => d2(sub, element_at(element_at(cb, mi + 1), k + 1)))
+        (array_position(ds, array_min(ds)) - 1).cast("int")
+      }).as("codes"))
+  }
+
+  /** Per-query ADC distance tables: `(m)(k)` rounded sub-space distances
+    * from the query's sub-vectors to every codeword. One row per query —
+    * broadcast-sized by construction. */
+  def distanceTables(queries: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebook.length
+    val d = codebook.head.head.length
+    val cb = typedLit(codebook)
+    queries.select(col("q_id"), col("q_vec"),
+      transform(sequence(lit(0), lit(m - 1)), mi => {
+        val sub = slice(col("q_vec"), mi * d + 1, lit(d))
+        transform(sequence(lit(0), lit(codebook.head.length - 1)),
+          k => d2(sub, element_at(element_at(cb, mi + 1), k + 1)))
+      }).as("dtab"))
+  }
+
+  /** PQ top-k: ADC over the codes relation → bounded per-query
+    * `shortlist` heap → exact-cosine re-rank of the shortlist to top-k.
+    * Output contract matches [[Vectors.bruteForceKnnHeap]]:
+    * (q_id, rank, vec_id, score). The ADC sum folds the `m` lookups in
+    * fixed sub-space order (left-to-right double fold — bit-reproducible
+    * across engines, the same discipline as the d2 kernel). */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+            k: Int, shortlist: Int = 32, roundScale: Int = 6): DataFrame = {
+    val m = codebook.length
+    val codes = encode(corpus, codebook)
+    val dtabs = distanceTables(queries, codebook)
+    val adc = codes.crossJoin(broadcast(dtabs.select(col("q_id"), col("dtab"))))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_d2", round(
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, mi) => acc +
+            element_at(element_at(col("dtab"), mi + 1),
+              element_at(col("codes"), mi + 1) + 1)), 9))
+    // bounded shortlist heap on NEGATED distance (TopKByScore keeps
+    // (score desc, id asc) — i.e. distance asc, vec_id asc)
+    val spark = adc.sparkSession
+    import spark.implicits._
+    val short = adc.select(col("q_id"), negate(col("adc_d2")).as("score"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKByScore(shortlist).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("vec_id"))
+    // exact re-rank: shortlist·|Q| rows — broadcast against the corpus,
+    // the only place raw vectors are read
+    val rescored = corpus.join(broadcast(short), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_vec"))), "q_id")
+      .withColumn("score",
+        round(Vectors.cosine(col("q_vec"), col("c_vec")), roundScale))
+      .select(col("q_id"), col("score"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+  }
+}

@@ -81,11 +81,19 @@ object EventStreams {
     // (non-glob paths must be directories) — so glob the single file
     val raw = spark.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/events.[p]arquet")
-    if (schema("ts").dataType == LongType)
-      // integral ns→µs division (see Tables.load: `/ 1000` is double
-      // division and perturbs epoch-nanos beyond double precision)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        // integral ns→µs division (see Tables.load: `/ 1000` is double
+        // division and perturbs epoch-nanos beyond double precision)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs parquet with isAdjustedToUTC=false reads as NTZ; wall-clock
+        // IS UTC, so the cast under the UTC session is lossless (and
+        // event-time/watermarks require TIMESTAMP, not NTZ)
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** ST-windowed aggregation: tumbling 1-day windows per event type.

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Pq, Vectors}
+
+/** Product-quantization ANN: the codebook is deterministic, encode is
+  * exact on pivot vectors, a full-corpus shortlist degrades to brute
+  * force exactly (the PQ analogue of nprobe=nlist ≡ brute), and recall
+  * at the shipped parameters clears its floor on the small corpus. */
+class PqSpec extends SparkSuite {
+
+  private lazy val corpus: DataFrame =
+    Tables.load(spark, sfDir, "embeddings").select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("c_vec"))
+
+  private lazy val queries: DataFrame =
+    Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        Vectors.toDouble(col("embedding")).as("q_vec"))
+
+  test("pivot codebook is deterministic and correctly shaped") {
+    val cb1 = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val cb2 = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    assert(cb1 === cb2, "codebook must be reproducible")
+    assert(cb1.length === 16 && cb1.forall(_.length === 32) &&
+      cb1.forall(_.forall(_.length === 4)))
+  }
+
+  test("encode is deterministic and codes are in range") {
+    val cb = Pq.pivotCodebook(corpus, m = 8, ks = 16)
+    val codes = Pq.encode(corpus, cb)
+    val rows = codes.collect()
+    assert(rows.length === corpus.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of range: $cs")
+    }
+    assert(codes.collect().sortBy(_.getLong(0)).toSeq ===
+      Pq.encode(corpus, cb).collect().sortBy(_.getLong(0)).toSeq)
+  }
+
+  test("a pivot vector encodes to zero ADC distance against itself") {
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    // the lexicographically-smallest-md5 pivot is a corpus vector whose
+    // every sub-vector IS a codeword, so its own distance table hits
+    // zero at its own codes — its ADC self-distance must be exactly 0
+    val pivotId = corpus
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .select(col("vec_id")).head().getLong(0)
+    val pivotQ = corpus.filter(col("vec_id") === pivotId)
+      .select(col("vec_id").as("q_id"), col("c_vec").as("q_vec"))
+    val codes = Pq.encode(corpus.filter(col("vec_id") === pivotId), cb)
+    val dtab = Pq.distanceTables(pivotQ, cb)
+    val adc = codes.crossJoin(dtab.select(col("q_id"), col("dtab")))
+      .select(aggregate(sequence(lit(0), lit(15)), lit(0.0),
+        (acc, mi) => acc + element_at(element_at(col("dtab"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)).as("d"))
+      .head().getDouble(0)
+    assert(adc === 0.0)
+  }
+
+  test("full-corpus shortlist degrades to exact brute force") {
+    val n = corpus.count().toInt
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val pq = Pq.pqKnn(queries, corpus, cb, k = 5, shortlist = n)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(pq === brute,
+      "re-ranking the whole corpus must reproduce brute force exactly")
+  }
+
+  test("recall@5 at shipped parameters clears the floor") {
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val pq = Pq.pqKnn(queries, corpus, cb, k = 5, shortlist = 128)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.85, s"recall@5 $recall below floor 0.85")
+  }
+}
