@@ -208,6 +208,41 @@ object Sampling {
     } finally ranged.unpersist(blocking = true)
   }
 
+  /** Distributed total-order rank: 1-based dense position of every row
+    * in the global `orderCols` order, WITHOUT a single-partition window
+    * (`row_number() OVER (ORDER BY …)` funnels the whole relation
+    * through one task — the classic driver-shaped bottleneck at scale).
+    * Range-partition on the order, collect COUNTS ONLY (one long per
+    * shard), and add each shard's prefix offset to its local rank — the
+    * same shard-totals discipline as [[tokenBudget]]. The canonical use
+    * is epoch-shuffle order for training (rank over a seeded content
+    * hash): a total, reproducible permutation any engine can verify.
+    *
+    * `orderCols` must end in a unique tiebreaker so the order is total. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], rankName: String = "rank",
+                 shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(shards, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // offsets(p) = rows in shards before p (range partitions are
+      // ordered by pid, so pid order IS the global order)
+      val offsets = (0 until shards)
+        .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+        .take(shards)
+      val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      ranged
+        .withColumn(rankName,
+          (element_at(typedLit(offsets), col("__pid") + 1)
+            + row_number().over(w)).cast("long"))
+        .drop("__pid")
+        .localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = true)
+  }
+
   /** Power-of-two-free LINEAR histogram of a count column: integer
     * bucket = value div `width` — exact integer arithmetic on both
     * engine and oracle, no float log edge cases. The standard corpus

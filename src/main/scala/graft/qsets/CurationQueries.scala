@@ -144,6 +144,21 @@ object CurationQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Epoch-shuffle training order: every document's 1-based position in
+    // the seeded content-hash permutation — the reproducible global
+    // shuffle a training run consumes per epoch. The rank is assigned
+    // WITHOUT a single-partition window (range partition + counts-only
+    // shard offsets, Sampling.globalRank), so the permutation
+    // materializes with one range exchange at any corpus size.
+    "samp_epoch_order" -> ((s, dir) => {
+      val h = md5(concat(lit("epoch7:"), col("doc_id").cast("string")))
+      graft.operators.Sampling.globalRank(
+          t(s, dir, "documents").select(col("doc_id")).withColumn("h", h),
+          Seq(col("h").asc, col("doc_id").asc))
+        .select(col("rank"), col("doc_id"), col("h"))
+        .orderBy(col("rank"))
+    }),
+
     // Domain mixing: per-source quotas (first-N by doc_id), the
     // deterministic form of "mix sources at fixed proportions".
     "samp_mix" -> ((s, dir) => {
@@ -316,6 +331,15 @@ object CurationQueries extends QuerySet {
         |       ELSE 'test' END AS split
         |FROM batch b JOIN cl ON md5(b.text) = cl.h
         |ORDER BY b.doc_id""".stripMargin,
+
+    "samp_epoch_order" ->
+      """SELECT
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank,
+        |  doc_id,
+        |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY rank""".stripMargin,
 
     "samp_mix" ->
       """WITH ranked AS (

@@ -182,6 +182,24 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ: the composed billion-vector index, oracle-anchored end to
+    // end — the deterministic pivot coarse quantizer prunes to 8 of 16
+    // cells, PQ-ADC ranks only the probed cells' 16-byte codes (raw
+    // vectors untouched), and the bounded-128 shortlist re-ranks exact
+    // (recall@5 0.72 at sf0.01, floor 0.60 in verify_recall.json —
+    // the pruning stage dominates the loss; each family's own curve
+    // records its knob).
+    // Composition of the two anchored index families; every cell pick,
+    // code, table lookup, and rank reproduced by DuckDB.
+    "sim_knn_ivfpq" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val cb = Pq.pivotCodebook(c, m = 16, ks = 32)
+      val (assigned, centroids) = Vectors.pivotFit(c, nlist = 16)
+      Pq.ivfPqKnn(queriesDf(s, dir, 10), c, cb, assigned, centroids,
+          nprobe = 8, k = 5, shortlist = 128)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Distributed k-means, oracle-anchored END TO END — including the
     // FIT, the one stage sim_knn_ivf_anchor could not check (its pivots
     // skip training entirely). Two Lloyd iterations from the md5-pivot
@@ -305,6 +323,79 @@ object SimilarityQueries extends QuerySet {
         |    SELECT d.q_id AS q_id, e.vec_id AS vec_id, list(d.d ORDER BY d.m) AS ds
         |    FROM enc e JOIN dtab d USING (m, code)
         |    WHERE e.vec_id <> d.q_id
+        |    GROUP BY d.q_id, e.vec_id) g),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, vec_id) AS rn
+        |    FROM adc) WHERE rn <= 128),
+        |rer AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    round(list_cosine_similarity(q.qe, v.e), 6) AS score
+        |  FROM short s JOIN q USING (q_id) JOIN v USING (vec_id))
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM rer
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors ivfPqKnn exactly: the coarse-quantizer CTEs from
+    // sim_knn_ivf_anchor (16 pivots, rounded-9 L2 assignment and probe
+    // selection) composed with the PQ CTEs from sim_knn_pq (32-pivot
+    // codebook, per-sub-space argmin encode, ADC in m-order), candidates
+    // restricted to the 8 probed cells, shortlist 128, exact re-rank.
+    "sim_knn_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |pivc AS (
+        |  SELECT vec_id AS pivot_id, e AS centroid
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, centroid
+        |  FROM pivc),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1, len(v.e)+1)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+        |pivq AS (
+        |  SELECT vec_id AS pivot_id, e
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS code, e AS pe
+        |  FROM pivq),
+        |cbm AS (
+        |  SELECT ms.m, cb.code, pe[ms.m*4+1 : ms.m*4+4] AS cw
+        |  FROM cb CROSS JOIN (SELECT unnest(range(16)) AS m) ms),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT v.vec_id, c.m, c.code,
+        |      row_number() OVER (PARTITION BY v.vec_id, c.m ORDER BY
+        |        round(list_sum([(v.e[c.m*4+i] - c.cw[i])**2 for i in range(1,5)]), 9),
+        |        c.code) AS rn
+        |    FROM v CROSS JOIN cbm c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum([(q.qe[i] - c.centroid[i])**2 for i in range(1, len(q.qe)+1)]), 9),
+        |        c.cell) AS cr
+        |    FROM q CROSS JOIN cent c) WHERE cr <= 8),
+        |dtab AS (
+        |  SELECT q.q_id, c.m, c.code,
+        |    round(list_sum([(q.qe[c.m*4+i] - c.cw[i])**2 for i in range(1,5)]), 9) AS d
+        |  FROM q CROSS JOIN cbm c),
+        |adc AS (
+        |  SELECT q_id, vec_id, round(list_sum(ds), 9) AS adc_d2 FROM (
+        |    SELECT d.q_id AS q_id, e.vec_id AS vec_id, list(d.d ORDER BY d.m) AS ds
+        |    FROM enc e
+        |    JOIN assigned a ON e.vec_id = a.vec_id
+        |    JOIN probes p ON a.cell = p.cell
+        |    JOIN dtab d ON d.q_id = p.q_id AND d.m = e.m AND d.code = e.code
+        |    WHERE e.vec_id <> p.q_id
         |    GROUP BY d.q_id, e.vec_id) g),
         |short AS (
         |  SELECT q_id, vec_id FROM (

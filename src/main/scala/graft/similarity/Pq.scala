@@ -88,18 +88,16 @@ object Pq {
       }).as("dtab"))
   }
 
-  /** PQ top-k: ADC over the codes relation → bounded per-query
-    * `shortlist` heap → exact-cosine re-rank of the shortlist to top-k.
-    * Output contract matches [[Vectors.bruteForceKnnHeap]]:
-    * (q_id, rank, vec_id, score). The ADC sum folds the `m` lookups in
-    * fixed sub-space order (left-to-right double fold — bit-reproducible
-    * across engines, the same discipline as the d2 kernel). */
-  def pqKnn(queries: DataFrame, corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]],
-            k: Int, shortlist: Int = 32, roundScale: Int = 6): DataFrame = {
-    val m = codebook.length
-    val codes = encode(corpus, codebook)
-    val dtabs = distanceTables(queries, codebook)
-    val adc = codes.crossJoin(broadcast(dtabs.select(col("q_id"), col("dtab"))))
+  /** ADC distance over (codes, dtab) rows, shortlist heap, exact-cosine
+    * re-rank — the shared tail of [[pqKnn]] and [[ivfPqKnn]]. `cand`
+    * must carry (q_id, vec_id, codes, dtab). The ADC sum folds the `m`
+    * lookups in fixed sub-space order (left-to-right double fold —
+    * bit-reproducible across engines, the same discipline as the d2
+    * kernel). */
+  private def adcShortlistRerank(cand: DataFrame, queries: DataFrame,
+                                 corpus: DataFrame, m: Int, k: Int,
+                                 shortlist: Int, roundScale: Int): DataFrame = {
+    val adc = cand
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc_d2", round(
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -130,5 +128,53 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
+  }
+
+  /** PQ top-k: ADC over the full codes relation → bounded per-query
+    * `shortlist` heap → exact-cosine re-rank of the shortlist to top-k.
+    * Output contract matches [[Vectors.bruteForceKnnHeap]]:
+    * (q_id, rank, vec_id, score). */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+            k: Int, shortlist: Int = 32, roundScale: Int = 6): DataFrame = {
+    val codes = encode(corpus, codebook)
+    val dtabs = distanceTables(queries, codebook)
+    adcShortlistRerank(
+      codes.crossJoin(broadcast(dtabs.select(col("q_id"), col("dtab")))),
+      queries, corpus, codebook.length, k, shortlist, roundScale)
+  }
+
+  /** IVF-PQ: the composed billion-vector index — the coarse quantizer
+    * prunes to `nprobe` cells (partition pruning: ~nprobe/nlist of the
+    * codes relation is even read), then PQ-ADC ranks ONLY the probed
+    * cells' codes, and the shortlist re-ranks exact. `assigned` and
+    * `centroids` come from [[Vectors.pivotFit]] (or ivfFit when oracle
+    * reproducibility is not required). Per-query cost at 100 TB:
+    * nlist centroid distances + |C|·nprobe/nlist table lookups +
+    * shortlist raw-vector reads — every term sub-linear in the corpus
+    * except the pruned code scan, which reads 16-byte codes, not
+    * 256-byte vectors. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame,
+               codebook: Seq[Seq[Seq[Double]]],
+               assigned: DataFrame, centroids: DataFrame,
+               nprobe: Int, k: Int, shortlist: Int = 32,
+               roundScale: Int = 6): DataFrame = {
+    val codes = encode(corpus, codebook)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // nprobe nearest cells per query — identical arithmetic to
+    // Vectors.ivfScores (rounded-9 L2 to the broadcast centroids)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd2", round(aggregate(
+        zip_with(col("q_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 9))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cd2").asc, col("cell").asc)
+    val probes = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    val dtabs = distanceTables(queries, codebook)
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtabs.select(col("q_id"), col("dtab"))), Seq("q_id"))
+    adcShortlistRerank(cand, queries, corpus, codebook.length, k,
+      shortlist, roundScale)
   }
 }

@@ -73,6 +73,18 @@ class PqSpec extends SparkSuite {
       "re-ranking the whole corpus must reproduce brute force exactly")
   }
 
+  test("IVF-PQ with nprobe = nlist degrades to plain PQ exactly") {
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val (assigned, centroids) = Vectors.pivotFit(corpus, nlist = 8)
+    val ivfpq = Pq.ivfPqKnn(queries, corpus, cb, assigned, centroids,
+        nprobe = 8, k = 5, shortlist = 64)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val pq = Pq.pqKnn(queries, corpus, cb, k = 5, shortlist = 64)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(ivfpq === pq,
+      "probing every cell must reproduce the unpruned PQ result exactly")
+  }
+
   test("recall@5 at shipped parameters clears the floor") {
     val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
     val pq = Pq.pqKnn(queries, corpus, cb, k = 5, shortlist = 128)
