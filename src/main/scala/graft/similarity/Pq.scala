@@ -58,9 +58,19 @@ object Pq {
       lit(0.0), (acc, x) => acc + x), 9)
 
   /** Encode every corpus vector to its `m` codes in ONE projection — a
-    * pure map over the scan, zero shuffle. Tie on rounded distance goes
-    * to the lowest code (array_position finds the FIRST minimum). */
-  def encode(corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    * pure map over the scan, zero shuffle, via the native codegen'd
+    * [[graft.functions.PqEncodeExpr]] kernel (bit-identical to
+    * [[encodeHof]], pinned in PqSpec). Tie on rounded distance goes to
+    * the lowest code. */
+  def encode(corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      graft.functions.PqKernels.encodeCol(col("c_vec"), codebook).as("codes"))
+
+  /** The composable-HOF reference form of [[encode]] — m×ks interpreted
+    * lambda pairs per vector; kept as the equivalence cross-check for
+    * the native kernel (array_position finds the FIRST minimum, the
+    * same lowest-code tie-break as the kernel's strict-< argmin). */
+  def encodeHof(corpus: DataFrame, codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebook.length
     val d = codebook.head.head.length
     val cb = typedLit(codebook)
@@ -72,6 +82,17 @@ object Pq {
         (array_position(ds, array_min(ds)) - 1).cast("int")
       }).as("codes"))
   }
+
+  /** ADC distance of a codes row against a query's distance table — the
+    * HOF reference form (m-ordered left fold, rounded to 9); the hot
+    * path uses the native [[graft.functions.PqAdcExpr]] kernel, pinned
+    * bit-identical in PqSpec. */
+  def adcDistanceHof(codes: Column, dtab: Column, m: Int): Column =
+    round(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, mi) => acc +
+          element_at(element_at(dtab, mi + 1),
+            element_at(codes, mi + 1) + 1)), 9)
 
   /** Per-query ADC distance tables: `(m)(k)` rounded sub-space distances
     * from the query's sub-vectors to every codeword. One row per query —
@@ -95,15 +116,12 @@ object Pq {
     * bit-reproducible across engines, the same discipline as the d2
     * kernel). */
   private def adcShortlistRerank(cand: DataFrame, queries: DataFrame,
-                                 corpus: DataFrame, m: Int, k: Int,
+                                 corpus: DataFrame, k: Int,
                                  shortlist: Int, roundScale: Int): DataFrame = {
     val adc = cand
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adc_d2", round(
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, mi) => acc +
-            element_at(element_at(col("dtab"), mi + 1),
-              element_at(col("codes"), mi + 1) + 1)), 9))
+      .withColumn("adc_d2",
+        graft.functions.PqKernels.adcCol(col("codes"), col("dtab")))
     // bounded shortlist heap on NEGATED distance (TopKByScore keeps
     // (score desc, id asc) — i.e. distance asc, vec_id asc)
     val spark = adc.sparkSession
@@ -140,7 +158,7 @@ object Pq {
     val dtabs = distanceTables(queries, codebook)
     adcShortlistRerank(
       codes.crossJoin(broadcast(dtabs.select(col("q_id"), col("dtab")))),
-      queries, corpus, codebook.length, k, shortlist, roundScale)
+      queries, corpus, k, shortlist, roundScale)
   }
 
   /** IVF-PQ: the composed billion-vector index — the coarse quantizer
@@ -174,7 +192,6 @@ object Pq {
     val dtabs = distanceTables(queries, codebook)
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(dtabs.select(col("q_id"), col("dtab"))), Seq("q_id"))
-    adcShortlistRerank(cand, queries, corpus, codebook.length, k,
-      shortlist, roundScale)
+    adcShortlistRerank(cand, queries, corpus, k, shortlist, roundScale)
   }
 }

@@ -73,6 +73,25 @@ class PqSpec extends SparkSuite {
       "re-ranking the whole corpus must reproduce brute force exactly")
   }
 
+  test("native encode kernel is bit-identical to the HOF reference form") {
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val native = Pq.encode(corpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    val hof = Pq.encodeHof(corpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    assert(native === hof)
+  }
+
+  test("native ADC kernel is bit-identical to the HOF fold") {
+    val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
+    val codes = Pq.encode(corpus, cb)
+    val dtabs = Pq.distanceTables(queries, cb).select(col("q_id"), col("dtab"))
+    val both = codes.crossJoin(broadcast(dtabs))
+      .withColumn("native", graft.functions.PqKernels.adcCol(col("codes"), col("dtab")))
+      .withColumn("hof", Pq.adcDistanceHof(col("codes"), col("dtab"), m = 16))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+  }
+
   test("IVF-PQ with nprobe = nlist degrades to plain PQ exactly") {
     val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
     val (assigned, centroids) = Vectors.pivotFit(corpus, nlist = 8)
