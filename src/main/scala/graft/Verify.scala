@@ -167,7 +167,11 @@ object Verify {
       // the others (IVF-PQ compounds both stages' losses — the floor
       // reflects the cell-pruning stage dominating)
       ("sim_knn_pq", () => recallAtK("sim_knn_pq"), 0.85),
-      ("sim_knn_ivfpq", () => recallAtK("sim_knn_ivfpq"), 0.60))
+      ("sim_knn_ivfpq", () => recallAtK("sim_knn_ivfpq"), 0.60),
+      // residual encoding: same (m, ks, nprobe, shortlist) as
+      // sim_knn_ivfpq — the recall delta between the two rows IS the
+      // measured value of encoding residuals
+      ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.70))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)
@@ -212,10 +216,20 @@ object Verify {
       fmtPoint("shortlist" -> sl.toString, "m" -> "16", "ks" -> "32",
         "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))))
     }
+    // IVF-PQ: raw-pivot vs trained-residual at the same nprobe — the
+    // curve isolates what training the cells + encoding residuals buys
+    // at each fixed probe cost
+    val ivfpqCurve = Seq(4, 8, 12).map { np =>
+      val (raw, res) = graft.qsets.SimilarityQueries.ivfpqSweepPoint(spark, sfDir, np)
+      fmtPoint("nprobe" -> np.toString, "nlist" -> "16",
+        "recall_raw" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(raw))),
+        "recall_residual" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(res))))
+    }
     val curveJson =
       "  \"curves\": {\n    \"sim_knn_lsh\": [\n" + lshCurve.mkString(",\n") +
         "\n    ],\n    \"sim_knn_ivf\": [\n" + ivfCurve.mkString(",\n") +
-        "\n    ],\n    \"sim_knn_pq\": [\n" + pqCurve.mkString(",\n") + "\n    ]\n  }"
+        "\n    ],\n    \"sim_knn_pq\": [\n" + pqCurve.mkString(",\n") +
+        "\n    ],\n    \"sim_knn_ivfpq\": [\n" + ivfpqCurve.mkString(",\n") + "\n    ]\n  }"
     val json = (results :+ curveJson).mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), json)
     // tracked copy at the repo root, same rationale as bench_full.json:

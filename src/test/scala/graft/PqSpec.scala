@@ -104,6 +104,58 @@ class PqSpec extends SparkSuite {
       "probing every cell must reproduce the unpruned PQ result exactly")
   }
 
+  test("residual IVF-PQ with nprobe = nlist and full shortlist is exact brute force") {
+    val n = corpus.count().toInt
+    val (assigned, centroids) = Vectors.pivotFit(corpus, nlist = 8)
+    val cb = Pq.residualCodebook(assigned, centroids, m = 16, ks = 32)
+    val rivfpq = Pq.ivfPqResidualKnn(queries, corpus, cb, assigned, centroids,
+        nprobe = 8, k = 5, shortlist = n)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(rivfpq === brute,
+      "probing every cell and re-ranking the whole corpus must be exact")
+  }
+
+  test("residual codebook is deterministic and the pipeline is reproducible") {
+    val (assigned, centroids) = Vectors.pivotFit(corpus, nlist = 16)
+    val cb1 = Pq.residualCodebook(assigned, centroids, m = 16, ks = 32)
+    val cb2 = Pq.residualCodebook(assigned, centroids, m = 16, ks = 32)
+    assert(cb1 === cb2)
+    val run = () => Pq.ivfPqResidualKnn(queries, corpus, cb1, assigned, centroids,
+        nprobe = 4, k = 5, shortlist = 64)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(run() === run())
+  }
+
+  test("trained-quantizer residual IVF-PQ recall beats the raw-pivot variant") {
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double =
+      brute.intersect(df.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / brute.size
+    // raw pivots, raw-vector codebook — the sim_knn_ivfpq shape
+    val (pAsg, pCent) = Vectors.pivotFit(corpus, nlist = 16)
+    val raw = recallOf(Pq.ivfPqKnn(queries, corpus,
+      Pq.pivotCodebook(corpus, m = 16, ks = 32), pAsg, pCent,
+      nprobe = 8, k = 5, shortlist = 128))
+    // trained cells, residual codebook — the sim_knn_ivfpq_r shape
+    val (_, cent) = graft.similarity.Kmeans.fitAnchor(corpus, k = 16, iters = 2)
+    import spark.implicits._
+    val centroids = cent.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+    val assigned = graft.similarity.Kmeans.assign(corpus, cent)
+      .select(col("vec_id"), col("c_vec"), col("cell"))
+    val resCb = Pq.residualCodebook(assigned, centroids, m = 16, ks = 32)
+    val res = recallOf(Pq.ivfPqResidualKnn(queries, corpus, resCb, assigned, centroids,
+      nprobe = 8, k = 5, shortlist = 128))
+    info(s"recall@5 raw-pivot ivfpq $raw, trained residual ivfpq $res")
+    assert(res >= raw,
+      s"trained residual recall $res must not trail the raw-pivot variant's $raw")
+    assert(res >= 0.70, s"residual recall $res below floor 0.70")
+  }
+
   test("recall@5 at shipped parameters clears the floor") {
     val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
     val pq = Pq.pqKnn(queries, corpus, cb, k = 5, shortlist = 128)
