@@ -177,4 +177,16 @@ class PlanSpec extends SparkSuite {
       "both count tables must broadcast at this scale")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("residual ivfpq: pure-map encode, per-cell tables broadcast, no corpus join") {
+    val p = finalPlan("sim_knn_ivfpq_r")
+    // assignment + residual + PQ encode are projections over the scan —
+    // a corpus-sized join (the first draft had one) would surface as a
+    // SortMergeJoin or a shuffle before the candidate join
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-sized join crept into the encode path")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-(query, cell) tables and shortlist must broadcast-join")
+  }
 }
