@@ -32,6 +32,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
+    SketchQueries,
     StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

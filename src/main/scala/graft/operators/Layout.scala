@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout — Z-order clustering and the
+  * min/max data-skipping arithmetic that justifies it.
+  *
+  * At 100 TB the scan you never start is the cheapest one: parquet
+  * readers prune row groups (and whole files) whose column min/max
+  * statistics cannot overlap the query predicate. A table sorted on ONE
+  * key prunes perfectly on that key and not at all on any other; a
+  * Z-ORDER (Morton) key interleaves the bits of several keys so that
+  * range-clustered files stay tight in EVERY interleaved dimension at
+  * once — the standard layout optimization for multi-predicate scans
+  * (box queries, point lookups on secondary keys).
+  *
+  * The Z-key here is a static composition of codegen'd built-ins
+  * (`shiftright`/`&`/`shiftleft`/`|` folded over the bit positions at
+  * plan-build time — no UDF, no interpreted HOF, stays inside
+  * whole-stage codegen), and the skipping arithmetic is exact integer
+  * logic, so the whole pipeline is DuckDB-reproducible: the oracle
+  * recomputes the interleaved keys with a list comprehension and must
+  * agree bucket-for-bucket.
+  *
+  * Writing is `repartitionByRange` on the Z-key + in-partition sort —
+  * the terasort shape: one range shuffle, every output file a tight
+  * Z-interval, min/max footer stats tight in both dimensions.
+  */
+object Layout {
+
+  /** Morton interleave of two non-negative integer columns, `bits` bits
+    * each (b gets the even bit positions, a the odd) — a 2·bits-bit
+    * BIGINT key. bits=21 covers keys to 2M, enough for sf10 partkeys,
+    * while keeping the key well inside a positive long. */
+  def zOrderKey(a: Column, b: Column, bits: Int = 21): Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Simulated file-level skipping stats for one layout: rows ranked by
+    * `orderCols` (the write order), cut into `buckets` equal-size files
+    * (bucket = (rank-1)·buckets / n, exact integer math), then per-file
+    * min/max bounding boxes tested against the box predicate
+    * `dim1 ≤ hi1 AND dim2 ≤ hi2` — precisely the conservative overlap
+    * test a parquet reader runs against footer statistics. Returns one
+    * row: buckets scanned vs total, rows actually in the box, and the
+    * skip ratio.
+    *
+    * Ranking uses [[Sampling.globalRank]] (range partition + counts-only
+    * shard offsets), not a single-partition window — the layout
+    * simulation itself must survive the scale it reasons about. */
+  def skipStats(df: DataFrame, layout: String, orderCols: Seq[Column],
+                dim1: Column, hi1: Long, dim2: Column, hi2: Long,
+                buckets: Int = 64): DataFrame = {
+    val n = df.count()
+    val ranked = Sampling.globalRank(df, orderCols, rankName = "__rank")
+    // exact integer bucket: (rank-1)·buckets div n — floor over doubles is
+    // exact here ((rank-1)·buckets < 2^53 at any plausible file count)
+    val bucketed = ranked.withColumn("__bucket",
+      floor((col("__rank") - 1) * lit(buckets.toLong) / lit(n)).cast("long"))
+    val perBucket = bucketed.groupBy(col("__bucket"))
+      .agg(min(dim1).as("min1"), min(dim2).as("min2"),
+        sum(when(dim1 <= hi1 && dim2 <= hi2, 1L).otherwise(0L)).as("rows_in_box"))
+    perBucket.agg(
+      count(lit(1)).as("buckets_total"),
+      sum(when(col("min1") <= hi1 && col("min2") <= hi2, 1L).otherwise(0L))
+        .as("buckets_scanned"),
+      sum(col("rows_in_box")).as("rows_in_box"))
+      .select(lit(layout).as("layout"), col("buckets_total"),
+        col("buckets_scanned"), col("rows_in_box"))
+      .withColumn("skip_ratio",
+        (col("buckets_total") - col("buckets_scanned")).cast("double")
+          / col("buckets_total").cast("double"))
+  }
+
+  /** Physically write `df` Z-ordered on (a, b): range-partition on the
+    * Z-key into `files` partitions, sort within each, one parquet file
+    * per partition. The write-side of the layout story; `skipStats` is
+    * the read-side arithmetic the resulting footers realize. */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, files: Int,
+                    path: String, bits: Int = 21): Unit = {
+    val keyed = df.withColumn("__z", zOrderKey(a, b, bits))
+    keyed.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches over the PORTABLE md5 hash family —
+  * the approximate-distinct machinery a 100 TB curation pipeline runs
+  * where exact `COUNT(DISTINCT)` would shuffle every value: corpus-wide
+  * vocabulary estimates, per-source document cardinalities, cross-source
+  * overlap sizing before any join is attempted.
+  *
+  * Both sketches here are ORACLE-EXACT, unlike `approx_count_distinct`
+  * (whose HLL++ register layout is engine-private): every stage —
+  * hashing, register math, the final estimate arithmetic — is integer
+  * logic plus individually-rounded IEEE double ops that DuckDB reproduces
+  * bit-for-bit from the same SQL-expressible definition. The accuracy
+  * story is therefore measurable per round (estimate vs exact in the same
+  * query row), and the MERGE property — the thing that makes a sketch a
+  * sketch at scale — is exercised by computing the same estimate through
+  * a sharded partial-merge tree and hash-comparing both paths.
+  *
+  * HyperLogLog (Flajolet et al. 2007), p=8/m=256 registers:
+  *  - hash   = md5(value as string) — portable lowercase hex, the same
+  *    family the dd_*_md5 oracle anchors use;
+  *  - bucket = first 2 hex chars (8 bits); w = next 13 hex chars (52 bits);
+  *  - rho    = leading-zero count of w within 52 bits, plus one — derived
+  *    from `length(bin(w))`, pure integer logic on both engines;
+  *  - register state = per-(group, bucket) MAX(rho): a distributive
+  *    aggregate, so Spark's map-side partial aggregation IS the sketch
+  *    merge — each map task ships ≤256 rows per group regardless of input;
+  *  - the harmonic sum is kept EXACT: S = Σ 2^(53-rho) over registers
+  *    (absent buckets contribute 2^53), a BIGINT ≤ 256·2^53 < 2^63;
+  *  - estimate = (α_m·m²·2^53) / S — the numerator is one compile-time
+  *    double literal embedded identically in engine and oracle, so the
+  *    single division is the only rounded step and IEEE-754 makes it
+  *    deterministic across engines.
+  *
+  * With m=256 the standard error is 1.04/√256 ≈ 6.5%; the gate fixtures
+  * keep per-group cardinality above 2.5·m so the raw-regime formula (no
+  * small-range correction branch, whose `ln` is not cross-engine
+  * bit-stable) is the right estimator everywhere it is compared.
+  *
+  * KMV / bottom-k (Bar-Yossef et al. 2002; Beyer et al. 2007), k=64:
+  * per set keep the k lexicographically-smallest distinct md5 digests
+  * (fixed-width hex, so string order ≡ numeric order). The union sketch
+  * of two sets is the k smallest of the merged digest lists — computable
+  * from the two k-bounded sketches alone, never from the raw sets — and
+  *  - |A ∪ B|  ≈ (k-1) · 2^52 / w_k   with w_k the 52-bit prefix of the
+  *    k-th union minimum (one multiply of exact doubles, one division);
+  *  - J(A,B)   ≈ |union-minima present in both sketches| / k  (division
+  *    by 64 — a power of two, exact);
+  *  - |A ∩ B|  ≈ J · |A ∪ B|  (one more rounded multiply, same order in
+  *    both engines).
+  * This is the estimator a pipeline uses to SIZE cross-source
+  * contamination (see `dd_source_overlap` for the exact counterpart)
+  * before deciding whether the full n-gram join is worth running.
+  */
+object Sketches {
+
+  // ---- HyperLogLog over md5, p = 8 ----
+
+  val HllP = 8
+  val HllM: Int = 1 << HllP // 256 registers
+  /** 2^53: the exact-integer scale for the harmonic sum (max rho is 53). */
+  val RhoScale: Long = 9007199254740992L
+  /** α_256 · m² · 2^53 — the raw-estimate numerator, computed once here
+    * and embedded as the SAME double literal in engine and oracle (Scala
+    * `Double.toString` round-trips, and its E-notation form parses as
+    * DOUBLE, not DECIMAL, in DuckDB). */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * (65536.0 * 9007199254740992.0)
+
+  /** Register index of a value: first 8 md5 bits. */
+  def hllBucket(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Rank of a value: leading zeros of the next 52 md5 bits, plus 1.
+    * `bin()` drops leading zeros so rho = 53 - bit_length(w), with the
+    * all-zero word pinned to 53 — pure integer logic on both engines. */
+  def hllRho(value: Column): Column = {
+    val w = conv(substring(md5(value.cast("string")), 3, 13), 16, 10).cast("long")
+    when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("int")
+  }
+
+  /** Per-(group, bucket) register relation: `groupCols..., bucket, r`.
+    * This is the sketch STATE — mergeable by MAX(r) on (group, bucket). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.select(groupCols.map(col) :+ hllBucket(value).as("bucket")
+        :+ hllRho(value).as("r"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Fold a register relation to `v_zero, s_scaled, est_hll` per group. */
+  def hllFold(regs: DataFrame, groupCols: Seq[String], estName: String): DataFrame =
+    regs.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).as("s_present"))
+      .select(groupCols.map(col) ++ Seq(
+        (lit(HllM) - col("present")).cast("long").as("v_zero"),
+        (col("s_present") + (lit(HllM.toLong) - col("present")) * lit(RhoScale))
+          .as("s_scaled")): _*)
+      .withColumn(estName, lit(HllNumerator) / col("s_scaled").cast("double"))
+
+  /** HLL distinct estimate per group: `groupCols..., v_zero, s_scaled,
+    * est_hll` — one row per group, counts-only shuffles throughout. */
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    hllFold(hllRegisters(df, groupCols, value), groupCols, "est_hll")
+
+  /** The same estimate through an explicitly SHARDED merge tree: rows
+    * split over `shards` engine-hash shards, per-shard registers built
+    * independently, then merged by MAX — the physical shape of sketching
+    * a 100 TB table partition-by-partition and folding the partials. The
+    * result is provably identical to the direct path (max is associative
+    * and commutative), which the oracle checks by hash: any engine defect
+    * in the two-level aggregation would surface as a mismatch. */
+  def hllEstimateSharded(df: DataFrame, groupCols: Seq[String], value: Column,
+                         shards: Int): DataFrame = {
+    val shard = pmod(xxhash64(value.cast("string")), lit(shards)).as("__shard")
+    val partials = df
+      .select(groupCols.map(col) ++ Seq(shard, hllBucket(value).as("bucket"),
+        hllRho(value).as("r")): _*)
+      .groupBy(groupCols.head, groupCols.tail ++ Seq("__shard", "bucket"): _*)
+      .agg(max(col("r")).as("r"))
+    val merged = partials
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max(col("r")).as("r"))
+    hllFold(merged, groupCols, "est_merged")
+      .select(groupCols.map(col) :+ col("est_merged"): _*)
+  }
+
+  // ---- KMV bottom-k over md5, k = 64 ----
+
+  val KmvK = 64
+  /** 2^52 as an exact double — the w_k normalization scale. */
+  val W52: Double = 4503599627370496.0
+
+  /** Per-set bottom-k sketch: `setCol, mins` (sorted array of ≤k distinct
+    * md5 hex digests). State is the k-bounded [[MinKHashes]] buffer, so
+    * map-side partial aggregation ships at most k digests per (task, set)
+    * — no distinct() pass, no per-set window sort over the full value
+    * set. */
+  def kmvSketch(df: DataFrame, setCol: Column, value: Column): DataFrame = {
+    val minK = udaf(new MinKHashes(KmvK))
+    df.select(setCol.as("s"), md5(value.cast("string")).as("h"))
+      .groupBy(col("s"))
+      .agg(minK(col("h")).as("mins"))
+  }
+
+  /** Pairwise overlap estimates from bottom-k sketches alone: for every
+    * unordered set pair (a < b) the union sketch, k-th minimum, and the
+    * union / Jaccard / intersection estimators. The input relation is
+    * one k-array row per set — the pair join is sketch-sized, never
+    * data-sized. */
+  def kmvOverlap(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("s").as("set_a"), col("mins").as("am"))
+    val b = sketches.select(col("s").as("set_b"), col("mins").as("bm"))
+    val uk = slice(array_sort(array_union(col("am"), col("bm"))), 1, KmvK)
+    val wk = conv(substring(element_at(col("uk"), KmvK), 1, 13), 16, 10)
+      .cast("long").as("w_k")
+    val matches = size(array_intersect(array_intersect(col("uk"), col("am")),
+      col("bm"))).cast("long").as("matches")
+    a.join(b, col("set_a") < col("set_b"))
+      .withColumn("uk", uk)
+      .select(col("set_a"), col("set_b"), wk, matches)
+      .withColumn("est_union",
+        lit((KmvK - 1).toDouble * W52) / col("w_k").cast("double"))
+      .withColumn("est_jaccard", col("matches").cast("double") / lit(KmvK.toDouble))
+      .withColumn("est_intersect", col("est_jaccard") * col("est_union"))
+  }
+}

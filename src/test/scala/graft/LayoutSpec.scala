@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: key arithmetic vs a reference interleave, and the
+  * PHYSICAL payoff — real parquet files written Z-ordered must be
+  * prunable by footer min/max stats on a box predicate where a
+  * single-key layout is not. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("zOrderKey ≡ reference bit interleave") {
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val pairs = for (a <- Seq(0L, 1L, 2L, 7L, 123L, 65535L, 1999999L);
+                     b <- Seq(0L, 1L, 5L, 255L, 1048575L)) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", Layout.zOrderKey(col("a"), col("b")))
+      .select("a", "b", "z").as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == ref(a, b, 21), s"($a,$b)") }
+  }
+
+  test("zOrderKey is monotone on each axis within a fixed other axis' bit prefix") {
+    // the property data-skipping relies on: rows close in (a, b) are
+    // close in z — check z(a,b) < z(a',b) when a < a' share-free case
+    assert(Layout.zOrderKey(lit(0L), lit(0L)) != null) // plan-constructible
+    val z = (a: Long, b: Long) => {
+      val r = spark.range(1).select(Layout.zOrderKey(lit(a), lit(b)).as("z")).head
+      r.getLong(0)
+    }
+    assert(z(1, 0) > z(0, 0) && z(0, 1) > z(0, 0) && z(1, 1) > z(1, 0))
+  }
+
+  test("physical z-ordered parquet prunes files on a box predicate; natural order cannot") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val files = 8
+
+    Layout.writeZOrdered(li, col("l_partkey"), col("l_suppkey"), files, s"$tmp/z")
+    li.repartitionByRange(files, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(s"$tmp/nat")
+
+    // box: lowest quarter of both keys (what the footer stats must prune)
+    val mx = li.agg(max("l_partkey"), max("l_suppkey")).head
+    val (pHi, sHi) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+
+    def filesNeeded(path: String): (Long, Long) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("p"), min("l_suppkey").as("s"))
+      val total = byFile.count()
+      val needed = byFile.filter(col("p") <= pHi && col("s") <= sHi).count()
+      (total, needed)
+    }
+
+    val (nTotal, nNeeded) = filesNeeded(s"$tmp/nat")
+    val (zTotal, zNeeded) = filesNeeded(s"$tmp/z")
+    assert(nTotal == files && zTotal == files)
+    // natural order scatters partkeys: every file overlaps the box
+    assert(nNeeded == files, s"natural layout expected unprunable, got $nNeeded")
+    // z-order confines the box to a fraction of the files
+    assert(zNeeded <= files / 2,
+      s"z-ordered layout should prune at least half the files, scanned $zNeeded")
+    // both layouts hold the same rows
+    assert(spark.read.parquet(s"$tmp/z").count() == li.count())
+  }
+
+  test("skipStats bucket arithmetic ≡ per-bucket recount on a planted grid") {
+    // 16×16 grid, natural order = row-major → z-order beats it on a 4×4 box
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 16 + b, a, b))
+      .toDF("id", "a", "b")
+      .withColumn("zkey", Layout.zOrderKey(col("a"), col("b")))
+    val nat = Layout.skipStats(grid, "natural", Seq(col("id")),
+      col("a"), 3L, col("b"), 3L, buckets = 16).head
+    val zo = Layout.skipStats(grid, "zorder", Seq(col("zkey"), col("id")),
+      col("a"), 3L, col("b"), 3L, buckets = 16).head
+    assert(nat.getLong(nat.fieldIndex("rows_in_box")) == 16)
+    assert(zo.getLong(zo.fieldIndex("rows_in_box")) == 16)
+    assert(nat.getLong(nat.fieldIndex("buckets_total")) == 16)
+    // z-order: the 4×4 corner is exactly the first z-run of 16 rows → 1 bucket
+    assert(zo.getLong(zo.fieldIndex("buckets_scanned")) == 1)
+    // natural row-major: rows with a≤3 span the first 4 buckets, each
+    // containing b values 0..15 → min (0,0) passes the test in each
+    assert(nat.getLong(nat.fieldIndex("buckets_scanned")) == 4)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.sketch.{MinKHashes, Sketches}
+
+/** Sketch semantics: HLL register math and estimate accuracy, KMV
+  * bottom-k buffer laws (dedup, bound, merge associativity/commutativity
+  * — the partial-aggregation contract), and estimator error floors. */
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- HLL ----
+
+  test("hll registers: rho matches a reference leading-zeros computation") {
+    val regs = Sketches.hllRegisters(
+      (1L to 200L).toDF("v").withColumn("g", lit("x")), Seq("g"), col("v"))
+      .collect()
+    // reference: recompute bucket/rho in plain Scala from the same md5
+    val expect = (1L to 200L).map { v =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+      val w = java.lang.Long.parseLong(hex.substring(2, 15), 16)
+      val rho = if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    val got = regs.map(r => r.getInt(r.fieldIndex("bucket")) -> r.getInt(r.fieldIndex("r"))).toMap
+    assert(got == expect)
+  }
+
+  test("hll estimate: within 3 standard errors of exact, and sharded merge is identical") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = Sketches.hllEstimate(df, Seq("g"), col("v")).head
+    val e = est.getDouble(est.fieldIndex("est_hll"))
+    // m=256 → standard error 1.04/16 ≈ 6.5%; 3σ ≈ 19.5%
+    assert(math.abs(e - n) / n < 0.195, s"estimate $e vs exact $n")
+
+    val merged = Sketches.hllEstimateSharded(df, Seq("g"), col("v"), shards = 8).head
+    assert(merged.getDouble(merged.fieldIndex("est_merged")) == e,
+      "sharded merge tree must reproduce the direct estimate bit-for-bit")
+  }
+
+  test("hll estimate: duplicate values do not move the estimate") {
+    val base = (1 to 800).map(i => ("g", i.toLong)).toDF("g", "v")
+    val dup = base.union(base).union(base)
+    val a = Sketches.hllEstimate(base, Seq("g"), col("v")).head
+    val b = Sketches.hllEstimate(dup, Seq("g"), col("v")).head
+    assert(a.getLong(a.fieldIndex("s_scaled")) == b.getLong(b.fieldIndex("s_scaled")))
+  }
+
+  // ---- MinKHashes buffer laws ----
+
+  private def agg(k: Int) = new MinKHashes(k)
+
+  test("minK buffer: bounded, sorted, distinct, null-safe") {
+    val a = agg(4)
+    val buf = List("d", "b", "b", null, "a", "c", "e", "a").foldLeft(a.zero)(a.reduce)
+    assert(buf == Seq("a", "b", "c", "d"))
+  }
+
+  test("minK merge: associative, commutative, and ≡ single-stream fold") {
+    val a = agg(8)
+    val xs = (1 to 50).map(i => "h%03d".format((i * 37) % 101))
+    val (l, r) = xs.splitAt(20)
+    val bl = l.foldLeft(a.zero)(a.reduce)
+    val br = r.foldLeft(a.zero)(a.reduce)
+    val direct = xs.foldLeft(a.zero)(a.reduce)
+    assert(a.merge(bl, br) == direct)
+    assert(a.merge(br, bl) == direct)
+  }
+
+  test("kmv sketch ≡ window-rank bottom-k of the distinct set") {
+    val df = (1 to 3000).map(i => (if (i % 2 == 0) "A" else "B", (i % 700).toLong))
+      .toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, col("s"), col("v"))
+      .select(col("s"), col("mins")).as[(String, Seq[String])].collect().toMap
+    val expect = df.select(col("s"), md5(col("v").cast("string")).as("h")).distinct()
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).distinct.sorted.take(Sketches.KmvK).toSeq }
+    assert(sk == expect)
+  }
+
+  test("kmv overlap: estimators land within tolerance on a planted overlap") {
+    // A = 1..1000, B = 501..1500 → |A∪B| = 1500, J = 1/3, |A∩B| = 500
+    val df = ((1 to 1000).map(i => ("A", i.toLong)) ++
+      (501 to 1500).map(i => ("B", i.toLong))).toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, col("s"), col("v"))
+    val Row(_, _, _, _, estU, estJ, estI) =
+      Sketches.kmvOverlap(sk).select("set_a", "set_b", "w_k", "matches",
+        "est_union", "est_jaccard", "est_intersect").head
+    // k=64 → σ(union) ≈ 1/√62 ≈ 12.7%; allow 3σ-ish windows
+    assert(math.abs(estU.asInstanceOf[Double] - 1500) / 1500 < 0.4)
+    assert(math.abs(estJ.asInstanceOf[Double] - 1.0 / 3) < 0.25)
+    assert(math.abs(estI.asInstanceOf[Double] - 500) / 500 < 0.7)
+  }
+}
