@@ -100,6 +100,23 @@ object StreamingQueries extends QuerySet {
       EventStreams.heartbeatTimeouts(t(s, dir, "events"), "user_id", "ts", 48 * 3600)
         .select(col("user_id"), date_format(col("last_hb"), "yyyy-MM-dd HH:mm:ss").as("last_hb_s"))
         .orderBy(col("user_id"))
+    }),
+
+    // ST9 — streaming HLL: distinct event ids per type tracked with
+    // sketch-bounded state (≤ 256 registers per type, vs st5's
+    // data-sized exact-dedup state — the cardinality-at-scale contrast).
+    // MAX-register convergence is batching-independent, so even this
+    // APPROXIMATE streaming query carries a full hash oracle: the
+    // converged registers must equal the batch sketch bit-for-bit.
+    "st9_stream_hll" -> ((s, dir) => {
+      import graft.sketch.Sketches
+      val regs = EventStreams.streamingHllRegisters(s, dir,
+        s"st9_hll_${System.nanoTime()}", col("event_id"))
+      val exact = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("exact_nd"))
+      exact.join(Sketches.hllFold(regs, Seq("event_type"), "est_hll"), "event_type")
+        .orderBy("event_type")
     })
   )
 
@@ -181,6 +198,33 @@ object StreamingQueries extends QuerySet {
         |SELECT user_id, strftime(last_hb, '%Y-%m-%d %H:%M:%S') AS last_hb_s
         |FROM latest, horizon
         |WHERE last_hb < now - INTERVAL '48 hours'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "st9_stream_hll" ->
+      s"""WITH w AS (
+         |  SELECT event_type AS g,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 13)) AS BIGINT) AS wv
+         |  FROM events),
+         |regs AS (
+         |  SELECT g, bucket,
+         |         MAX(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS r
+         |  FROM w GROUP BY g, bucket),
+         |agg AS (
+         |  SELECT g, COUNT(*) AS present,
+         |         SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_present
+         |  FROM regs GROUP BY g),
+         |est AS (
+         |  SELECT g, CAST(256 - present AS BIGINT) AS v_zero,
+         |         CAST(s_present + (256 - present) * 9007199254740992 AS BIGINT) AS s_scaled
+         |  FROM agg),
+         |ex AS (
+         |  SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_nd
+         |  FROM events GROUP BY g)
+         |SELECT ex.g AS event_type, n_rows, exact_nd, v_zero, s_scaled,
+         |       ${java.lang.Double.toString(graft.sketch.Sketches.HllNumerator)} / CAST(s_scaled AS DOUBLE) AS est_hll
+         |FROM ex JOIN est ON ex.g = est.g
+         |ORDER BY event_type""".stripMargin
   )
 }

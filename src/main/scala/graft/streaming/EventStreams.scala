@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -107,6 +107,30 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("d"), col("event_type"),
               col("n"), col("total"))
     runToDir(agg, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
+  }
+
+  /** Streaming HLL registers: distinct-cardinality tracking over the
+    * event stream with SKETCH-BOUNDED state — the contrast to
+    * `st5_stream_dedup`, whose exact-dedup state is data-sized. The
+    * running aggregation keeps one MAX-rho register per (event_type,
+    * bucket): ≤ 256 rows per type regardless of stream volume, and since
+    * MAX is order- and batching-independent the converged registers are
+    * IDENTICAL to the batch sketch — which is what lets a streaming
+    * query carry a full hash oracle (the oracle replays the batch
+    * register math; see [[graft.sketch.Sketches]]).
+    *
+    * Complete mode over a bounded key space (types × 256), same
+    * discipline as [[windowedAggToTable]]; the distributed
+    * foreachBatch→parquet sink keeps the driver out of the data path. */
+  def streamingHllRegisters(spark: SparkSession, dir: String, table: String,
+                            value: Column): DataFrame = {
+    import graft.sketch.Sketches
+    val regs = readEvents(spark, dir)
+      .select(col("event_type"), Sketches.hllBucket(value).as("bucket"),
+        Sketches.hllRho(value).as("r"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    runToDir(regs, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
   /** Per-key running state for the ST1/ST2 state machine. */

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sketch.Sketches
+
+/** st9: the streaming register aggregation must converge to the BATCH
+  * sketch exactly — MAX registers are order- and batching-independent,
+  * which is the property that lets an approximate streaming query carry
+  * a full hash oracle. */
+class StreamingHllSpec extends SparkSuite {
+
+  test("streaming HLL registers ≡ batch registers, and state is sketch-bounded") {
+    val streamed = EventStreams.streamingHllRegisters(spark, sfDir,
+      s"hlltest_${System.nanoTime()}", col("event_id"))
+    val batch = Sketches.hllRegisters(
+      graft.Tables.load(spark, sfDir, "events"), Seq("event_type"), col("event_id"))
+
+    val s = streamed.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val b = batch.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(s == b, "converged streaming registers must equal the batch sketch")
+
+    // sketch-bounded state: at most 256 registers per event type
+    val perType = streamed.groupBy("event_type").count().collect()
+    perType.foreach(r => assert(r.getLong(1) <= Sketches.HllM))
+  }
+}
