@@ -58,6 +58,23 @@ object SketchQueries extends QuerySet {
         .orderBy("set_a", "set_b")
     }),
 
+    // Count-Min frequency estimates for the corpus's top-20 tokens —
+    // the d×4096 counter table replaces an unbounded token group-by,
+    // and because CMS is all-integer the ESTIMATES themselves are
+    // oracle-exact (est ≥ exact always; the overcount column makes the
+    // collision cost a visible per-round artifact).
+    "sk_cms_freq" -> ((s, dir) => {
+      import graft.text.TextFunctions.wsTokens
+      val toks = t(s, dir, "documents")
+        .select(explode(wsTokens(col("text"))).as("tok"))
+      val counters = Sketches.cmsCounters(toks, col("tok"))
+      val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      Sketches.cmsPointEstimates(counters, probes, "tok")
+        .withColumn("overcount", (col("est_n") - col("exact_n")).cast("long"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
     // Z-order vs natural layout, identical box predicate: per-layout
     // file-level min/max skipping arithmetic (the parquet-footer pruning
     // test) over 64 simulated equal-size files. The Z-ordered layout
@@ -142,6 +159,30 @@ object SketchQueries extends QuerySet {
          |       exact_intersect
          |FROM m JOIN ex ON m.set_a = ex.set_a AND m.set_b = ex.set_b
          |ORDER BY m.set_a, m.set_b""".stripMargin,
+
+    "sk_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |rws AS (SELECT tok, i FROM toks, range(4) t(i)),
+        |counters AS (
+        |  SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 3)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS c
+        |  FROM rws GROUP BY 1, 2),
+        |exact AS (SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok),
+        |probes AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+        |pr AS (
+        |  SELECT tok, exact_n, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 3)) AS BIGINT) AS bucket
+        |  FROM probes, range(4) t(i)),
+        |est AS (
+        |  SELECT tok, exact_n, MIN(c) AS est_n
+        |  FROM pr JOIN counters USING (i, bucket) GROUP BY 1, 2)
+        |SELECT tok, CAST(exact_n AS BIGINT) AS exact_n, CAST(est_n AS BIGINT) AS est_n,
+        |       CAST(est_n - exact_n AS BIGINT) AS overcount
+        |FROM est
+        |ORDER BY exact_n DESC, tok""".stripMargin,
 
     "lay_zorder_skip" ->
       """WITH li AS (

@@ -128,6 +128,44 @@ object Sketches {
       .select(groupCols.map(col) :+ col("est_merged"): _*)
   }
 
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005), d = 4, m = 4096 ----
+
+  val CmsD = 4
+  val CmsM = 4096 // 3 hex chars per row hash
+
+  /** Row-i hash of a value: first 12 bits of md5("i:value") — the same
+    * seeded-md5 family the dd_minhash_md5 oracle anchor uses. */
+  def cmsBucket(i: Column, value: Column): Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), value.cast("string"))),
+      1, 3), 16, 10).cast("int")
+
+  /** The d×m counter table: `i, bucket, c`. Counters are SUMS — fully
+    * mergeable (map-side partial aggregation collapses each task's
+    * stream to ≤ d·m counter rows), and entirely integer, so unlike HLL
+    * even the point ESTIMATE below is oracle-exact with no floating
+    * point anywhere. Frequency estimation over an unbounded key space in
+    * d·m fixed counters is the CMS trade: est ≥ true always, with the
+    * overcount bounded by collisions (small relative to genuinely heavy
+    * items — exactly the items a pipeline asks about). */
+  def cmsCounters(items: DataFrame, value: Column): DataFrame =
+    items.select(value.as("__v"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("i"))
+      .select(col("i"), cmsBucket(col("i"), col("__v")).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Point estimates for a probe relation: min over the d row counters.
+    * Probes are broadcast (a probe list is always small); every non-probe
+    * column of `probes` is carried through. */
+  def cmsPointEstimates(counters: DataFrame, probes: DataFrame,
+                        probeValue: String): DataFrame = {
+    val carry = probes.columns.toSeq
+    val pr = probes.withColumn("i", explode(sequence(lit(0), lit(CmsD - 1))))
+      .withColumn("bucket", cmsBucket(col("i"), col(probeValue)))
+    counters.join(broadcast(pr), Seq("i", "bucket"))
+      .groupBy(carry.head, carry.tail: _*)
+      .agg(min(col("c")).as("est_n"))
+  }
+
   // ---- KMV bottom-k over md5, k = 64 ----
 
   val KmvK = 64

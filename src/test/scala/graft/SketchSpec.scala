@@ -51,6 +51,31 @@ class SketchSpec extends SparkSuite {
     assert(a.getLong(a.fieldIndex("s_scaled")) == b.getLong(b.fieldIndex("s_scaled")))
   }
 
+  // ---- Count-Min ----
+
+  test("cms: estimates dominate exact counts; counters merge by sum") {
+    val items = (1 to 2000).map(i => "t%03d".format(i % 97)).toDF("v")
+    val counters = Sketches.cmsCounters(items, col("v"))
+    val exact = items.groupBy(col("v")).agg(count(lit(1)).as("exact_n"))
+    val est = Sketches.cmsPointEstimates(counters, exact, "v").collect()
+    assert(est.length == 97)
+    est.foreach { r =>
+      val (e, x) = (r.getLong(r.fieldIndex("est_n")), r.getLong(r.fieldIndex("exact_n")))
+      assert(e >= x, s"CMS must never undercount: $r")
+    }
+
+    // mergeability: counters(A ∪ B) == per-bucket sum of counters(A), counters(B)
+    val (a, b) = ((1 to 1000).map(i => "t%03d".format(i % 97)).toDF("v"),
+      (1001 to 2000).map(i => "t%03d".format(i % 97)).toDF("v"))
+    val mergedSum = Sketches.cmsCounters(a, col("v"))
+      .unionAll(Sketches.cmsCounters(b, col("v")))
+      .groupBy(col("i"), col("bucket")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = counters.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mergedSum == direct)
+  }
+
   // ---- MinKHashes buffer laws ----
 
   private def agg(k: Int) = new MinKHashes(k)
