@@ -79,6 +79,80 @@ object Layout {
           / col("buckets_total").cast("double"))
   }
 
+  /** Sequential size-based bin packing — the small-files compaction
+    * PLANNER. Rows (files) are taken in `orderCols` order and assigned
+    * to the bin their cumulative-size START falls in:
+    * bin = cum_before div targetBytes — the streaming-concat packing a
+    * compactor (Delta OPTIMIZE, Iceberg rewriteDataFiles) runs over a
+    * table's file manifest, preserving the clustering order so the
+    * compacted files keep their min/max locality.
+    *
+    * The running sum is DISTRIBUTED: range-partition on the order key,
+    * per-shard byte totals collected (one counts-only row per shard —
+    * the `tokenBudget` discipline), shard offsets added to an in-shard
+    * window sum. No single-partition window; a 200k-file manifest at
+    * 100 TB plans in one pass. Bin ids and boundaries are exact integer
+    * arithmetic, so the plan is DuckDB-reproducible.
+    *
+    * Returns `df` + `cum_before` (bytes strictly before the row) +
+    * `bin` (0-based). */
+  def sequentialBins(df: DataFrame, orderCols: Seq[Column], sizeCol: Column,
+                     targetBytes: Long, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, "targetBytes must be positive")
+    val ranged = df.withColumn("__sz", sizeCol.cast("long"))
+      .repartitionByRange(shards, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = ranged.groupBy(col("__pid")).agg(
+          coalesce(sum(col("__sz")), lit(0L)).as("b"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // offsets(p) = bytes in shards before p (range partitions are
+      // ordered by pid, so pid order IS the global order)
+      val offsets = (0 until shards)
+        .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+        .take(shards)
+      val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("cum_before",
+          element_at(typedLit(offsets), col("__pid") + 1)
+            + sum(col("__sz")).over(w) - col("__sz"))
+        .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+        .drop("__sz", "__pid")
+        .localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = true)
+  }
+
+  /** Physically compact a directory of (many, small) parquet files into
+    * ~targetBytes files, preserving `orderCols` clustering: size the
+    * output file count from the input's on-disk bytes, then
+    * repartitionByRange + in-partition sort — the same one-shuffle
+    * terasort shape as [[writeZOrdered]], so compaction never destroys
+    * the min/max locality a previous layout pass paid for. Returns
+    * (filesBefore, filesAfter). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                     outDir: String, orderCols: Seq[Column],
+                     targetBytes: Long): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartitionByRange(nOut, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .write.mode("overwrite").parquet(outDir)
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outParts = outFs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, outParts)
+  }
+
   /** Physically write `df` Z-ordered on (a, b): range-partition on the
     * Z-key into `files` partitions, sort within each, one parquet file
     * per partition. The write-side of the layout story; `skipStats` is

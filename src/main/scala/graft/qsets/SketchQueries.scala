@@ -1,6 +1,6 @@
 package graft.qsets
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Layout
@@ -73,6 +73,136 @@ object SketchQueries extends QuerySet {
       Sketches.cmsPointEstimates(counters, probes, "tok")
         .withColumn("overcount", (col("est_n") - col("exact_n")).cast("long"))
         .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
+    // HLL set algebra: union registers are the per-bucket MAX of the two
+    // sides' registers — computable from the 256-row sketches alone, the
+    // merge law that lets a 100 TB system answer "distinct customers in
+    // ANY status pair" without re-scanning — and intersection falls out
+    // by inclusion-exclusion. Every estimate (and the exact counterparts
+    // in the same row) is oracle-exact; the inclusion-exclusion error is
+    // a visible per-round artifact.
+    "sk_hll_setops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val regs = Sketches.hllRegisters(orders, Seq("o_orderstatus"), col("o_custkey"))
+      val est1 = Sketches.hllFold(regs, Seq("o_orderstatus"), "est")
+        .select(col("o_orderstatus"), col("est"))
+      val statuses = orders.select(col("o_orderstatus").as("set_a")).distinct()
+      val pairs = statuses
+        .crossJoin(statuses.select(col("set_a").as("set_b")))
+        .filter(col("set_a") < col("set_b"))
+      val pairRegs = pairs
+        .join(regs, col("o_orderstatus") === col("set_a") ||
+          col("o_orderstatus") === col("set_b"))
+        .groupBy(col("set_a"), col("set_b"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val estU = Sketches.hllFold(pairRegs, Seq("set_a", "set_b"), "est_union")
+        .select(col("set_a"), col("set_b"), col("est_union"))
+      val d = orders.select(col("o_orderstatus").as("st"), col("o_custkey").as("v")).distinct()
+      val exactI = d.as("a").join(d.as("b"),
+          col("a.v") === col("b.v") && col("a.st") < col("b.st"))
+        .groupBy(col("a.st").as("set_a"), col("b.st").as("set_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      val exactN = d.groupBy(col("st")).agg(count(lit(1)).as("nd"))
+      estU
+        .join(est1.select(col("o_orderstatus").as("set_a"), col("est").as("est_a")), "set_a")
+        .join(est1.select(col("o_orderstatus").as("set_b"), col("est").as("est_b")), "set_b")
+        .withColumn("est_intersect", (col("est_a") + col("est_b")) - col("est_union"))
+        .join(exactI, Seq("set_a", "set_b"))
+        .join(exactN.select(col("st").as("set_a"), col("nd").as("exact_a")), "set_a")
+        .join(exactN.select(col("st").as("set_b"), col("nd").as("exact_b")), "set_b")
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_intersect"))
+        .select(col("set_a"), col("set_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_intersect"), col("exact_a"), col("exact_b"),
+          col("exact_union"), col("exact_intersect"))
+        .orderBy("set_a", "set_b")
+    }),
+
+    // Bottom-k-by-hash quantile sketch: per-returnflag price quantiles
+    // from a 256-row uniform sample (k-bounded aggregator state, no
+    // per-group sort of the full data) next to the exact order
+    // statistics, est−exact error a visible per-round artifact. Pure
+    // index selection makes even the ESTIMATES oracle-exact.
+    "sk_quantile_bottomk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        md5(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("h"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"), col("h"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      val ranked = li.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+      def exactAt(num: Int, den: Int): Column =
+        max(when(col("rn") === expr(s"(($num * (n - 1)) div $den) + 1"), col("v")))
+      val exact = ranked.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        exactAt(1, 2).as("exact_p50"),
+        exactAt(9, 10).as("exact_p90"),
+        exactAt(99, 100).as("exact_p99"))
+      val samp = Sketches.bottomKSample(li, Seq("l_returnflag"), col("h"), col("v"))
+        .select(col("l_returnflag"), col("sample_k"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 1, 2).as("est_p50"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 9, 10).as("est_p90"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 99, 100).as("est_p99"))
+      exact.join(samp, "l_returnflag")
+        .withColumn("err_p90", col("est_p90") - col("exact_p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Size-adaptive Bloom filter over document 3-grams: the held-out
+    // slice's grams probed against a filter SIZED FROM the corpus gram
+    // count (≥16 bits/key via the hex-width rule — the fixed-m filter is
+    // exactly what breaks at 100× scale-up). Never a false negative by
+    // construction; the false-positive count is measured in the output,
+    // and the whole pipeline — sizing, bit table, probes — is md5/integer
+    // logic both engines replay bit-for-bit.
+    "sk_bloom_grams" -> ((s, dir) => {
+      import graft.text.TextFunctions.wsTokens
+      val docs = t(s, dir, "documents")
+      def gramsOf(d: DataFrame): DataFrame = d
+        .select(wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => array_join(slice(col("t"), i, lit(3)), "\u001F"))).as("g"))
+        .distinct()
+      val corpus = gramsOf(docs.filter(col("doc_id") % 5 =!= 0))
+      val probes = gramsOf(docs.filter(col("doc_id") % 5 === 0))
+      val params = corpus.agg(count(lit(1)).as("n_corpus"))
+        .withColumn("c", Sketches.bloomHexChars(col("n_corpus")).cast("int"))
+        .withColumn("m_bits", expr("shiftleft(CAST(1 AS BIGINT), 4 * c)"))
+      val bits = Sketches.bloomBits(corpus.crossJoin(broadcast(params)), col("g"))
+      val probed = Sketches.bloomContains(
+        bits,
+        probes
+          .join(corpus.select(col("g"), lit(true).as("__m")), Seq("g"), "left")
+          .withColumn("in_corpus", coalesce(col("__m"), lit(false))).drop("__m")
+          .crossJoin(broadcast(params)),
+        "g")
+      probed.groupBy(col("in_corpus"), col("in_bloom"))
+        .agg(count(lit(1)).as("n_grams"),
+          first(col("n_corpus")).as("n_corpus"),
+          first(col("c")).as("c"),
+          first(col("m_bits")).as("m_bits"))
+        .orderBy("in_corpus", "in_bloom")
+    }),
+
+    // Small-files compaction plan: documents as a file manifest
+    // (doc_id, byte size), packed sequentially into 16 KiB bins by the
+    // distributed running-sum planner — per-bin file count, bytes and
+    // fill ratio, the plan a Delta-OPTIMIZE-style compactor executes.
+    "lay_compaction" -> ((s, dir) => {
+      val target = 16384L
+      val files = t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("sz"))
+      Layout.sequentialBins(files, Seq(col("doc_id")), col("sz"), target)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .withColumn("fill", col("bytes").cast("double") / lit(target.toDouble))
+        .orderBy("bin")
     }),
 
     // Z-order vs natural layout, identical box predicate: per-layout
@@ -183,6 +313,91 @@ object SketchQueries extends QuerySet {
         |       CAST(est_n - exact_n AS BIGINT) AS overcount
         |FROM est
         |ORDER BY exact_n DESC, tok""".stripMargin,
+
+    "sk_quantile_bottomk" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, v,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM li),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |         MAX(CASE WHEN rn = ((1 * (n-1)) // 2) + 1 THEN v END) AS exact_p50,
+        |         MAX(CASE WHEN rn = ((9 * (n-1)) // 10) + 1 THEN v END) AS exact_p90,
+        |         MAX(CASE WHEN rn = ((99 * (n-1)) // 100) + 1 THEN v END) AS exact_p99
+        |  FROM r GROUP BY l_returnflag),
+        |sm AS (
+        |  SELECT l_returnflag, v FROM li
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) <= 256),
+        |sl AS (SELECT l_returnflag, list_sort(list(v)) AS vs, COUNT(*) AS k
+        |       FROM sm GROUP BY l_returnflag),
+        |es AS (
+        |  SELECT l_returnflag, CAST(k AS BIGINT) AS sample_k,
+        |         vs[((1 * (k-1)) // 2) + 1] AS est_p50,
+        |         vs[((9 * (k-1)) // 10) + 1] AS est_p90,
+        |         vs[((99 * (k-1)) // 100) + 1] AS est_p99
+        |  FROM sl)
+        |SELECT ex.l_returnflag, n_rows, exact_p50, exact_p90, exact_p99,
+        |       sample_k, est_p50, est_p90, est_p99,
+        |       est_p90 - exact_p90 AS err_p90
+        |FROM ex JOIN es USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "sk_bloom_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |  FROM toks WHERE len(t) >= 3),
+        |corpus AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
+        |  FROM pos WHERE doc_id % 5 <> 0),
+        |probes AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], chr(31)) AS g
+        |  FROM pos WHERE doc_id % 5 = 0),
+        |params AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        |         CAST(length(to_hex(16 * COUNT(*) - 1)) AS INT) AS c,
+        |         (CAST(1 AS BIGINT) << (4 * CAST(length(to_hex(16 * COUNT(*) - 1)) AS INT))) AS m_bits
+        |  FROM corpus),
+        |bits AS (
+        |  SELECT DISTINCT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, (SELECT c FROM params))) AS BIGINT) AS bucket
+        |  FROM corpus, range(4) r(i)),
+        |pb AS (
+        |  SELECT g, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, (SELECT c FROM params))) AS BIGINT) AS bucket
+        |  FROM probes, range(4) r(i)),
+        |hits AS (SELECT g, COUNT(*) AS h FROM pb JOIN bits USING (i, bucket) GROUP BY g),
+        |cls AS (
+        |  SELECT p.g, (c.g IS NOT NULL) AS in_corpus,
+        |         (COALESCE(hits.h, 0) = 4) AS in_bloom
+        |  FROM probes p LEFT JOIN corpus c ON p.g = c.g
+        |  LEFT JOIN hits ON hits.g = p.g)
+        |SELECT in_corpus, in_bloom, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       (SELECT n_corpus FROM params) AS n_corpus,
+        |       (SELECT c FROM params) AS c,
+        |       (SELECT m_bits FROM params) AS m_bits
+        |FROM cls GROUP BY in_corpus, in_bloom
+        |ORDER BY in_corpus, in_bloom""".stripMargin,
+
+    "lay_compaction" ->
+      """WITH f AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS sz FROM documents),
+        |c AS (
+        |  SELECT doc_id, sz,
+        |         SUM(sz) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz AS cum_before
+        |  FROM f),
+        |b AS (SELECT doc_id, sz, cum_before // 16384 AS bin FROM c)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |       CAST(SUM(sz) AS DOUBLE) / CAST(16384 AS DOUBLE) AS fill
+        |FROM b GROUP BY bin
+        |ORDER BY bin""".stripMargin,
 
     "lay_zorder_skip" ->
       """WITH li AS (

@@ -32,6 +32,48 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // S8 — lineitem → ORC → filtered read-back → revenue rollup. ORC is
+    // the second columnar lake format a migrating user brings; the read
+    // side must push the quantity predicate into the ORC scan (min/max
+    // stripe stats) exactly as parquet does, and the rollup must match
+    // the parquet-sourced oracle — a lossy type mapping (timestamp,
+    // decimal, double) cannot pass.
+    "s8_orc_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val path = scratch(dir, "s8_lineitem_orc")
+      li.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") >= 25.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("rev"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // S9 — events → CSV (quoted, explicit microsecond timestamp format,
+    // \N null sentinel) → schema'd read-back → rollup. The props column
+    // carries JSON bodies full of commas/quotes/colons, so the quoting
+    // and escape path is load-bearing: COUNT(DISTINCT props) must
+    // survive the round trip byte-exactly, and timestamps keep all six
+    // fractional digits (a truncating format would shift max_ts_s).
+    "s9_csv_roundtrip" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val path = scratch(dir, "s9_events_csv")
+      val opts = Map(
+        "header" -> "true",
+        "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "nullValue" -> "\\N")
+      events.write.mode("overwrite").options(opts).csv(path)
+      s.read.schema(events.schema).options(opts).csv(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+          countDistinct(col("props")).as("n_props"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // S4 — records exported partitioned by record_type, read back with a
     // type filter (pruned to one partition directory at listing time).
     "s4_dataset_export" -> ((s, dir) => {
@@ -187,6 +229,24 @@ object SourcesSinks extends QuerySet {
     "s3_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "s8_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev,
+        |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem
+        |WHERE l_quantity >= 25.0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "s9_csv_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(COUNT(DISTINCT props) AS BIGINT) AS n_props,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
         |FROM events
         |GROUP BY event_type

@@ -102,6 +102,25 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // ST10 — watermarked STREAM-STREAM interval join: click→purchase
+    // attribution pairs within 1 hour per user. Both sides watermarked
+    // at the horizon so buffered join state is horizon-bounded, not
+    // stream-bounded; inner matches emit in append mode and the
+    // converged relation must equal the batch interval join exactly
+    // (full hash oracle). The match relation is data-sized, so the sink
+    // is foreachBatch→parquet; the per-user rollup runs batch-side on
+    // the distributed read-back.
+    "st10_stream_join" -> ((s, dir) => {
+      val table = s"st10_join_${System.nanoTime()}"
+      EventStreams.runToDir(
+          EventStreams.streamStreamMatches(s, dir, "click", "purchase", 3600L),
+          s"/tmp/graft_export/stream/$table", OutputMode.Append)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
     // ST9 — streaming HLL: distinct event ids per type tracked with
     // sketch-bounded state (≤ 256 registers per type, vs st5's
     // data-sized exact-dedup state — the cardinality-at-scale contrast).
@@ -199,6 +218,19 @@ object StreamingQueries extends QuerySet {
         |FROM latest, horizon
         |WHERE last_hb < now - INTERVAL '48 hours'
         |ORDER BY user_id""".stripMargin,
+
+    "st10_stream_join" ->
+      """WITH a AS (
+        |  SELECT user_id, ts AS a_ts FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, ts AS b_ts, event_id AS b_id FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_purchases
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL '1 hour'
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
 
     "st9_stream_hll" ->
       s"""WITH w AS (

@@ -166,6 +166,90 @@ object Sketches {
       .agg(min(col("c")).as("est_n"))
   }
 
+  // ---- Bottom-k uniform value sample (quantile sketch), k = 256 ----
+
+  val QuantK = 256
+
+  /** Per-group bottom-k-by-hash VALUE sample: `groupCols..., vs,
+    * sample_k`, with `vs` the value-sorted array of the ≤k sampled
+    * values. The hash is uniform over rows, so `vs` is a deterministic
+    * uniform row sample of the group — the quantile-sketch state: any
+    * order statistic of the group is estimated by the same order
+    * statistic of the sample, with no per-group sort of the full data
+    * (the [[MinKPairs]] buffer is k-bounded through partial aggregation,
+    * so a 100 TB group ships kilobytes per map task). Estimates use pure
+    * index selection (no interpolation arithmetic), which is what makes
+    * them oracle-exact: both engines pick element floor(q·(k-1)) of the
+    * same sorted sample. */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String], hash: Column,
+                    value: Column, k: Int = QuantK): DataFrame = {
+    val minK = udaf(new MinKPairs(k))
+    df.select(groupCols.map(col) ++ Seq(hash.as("__h"), value.cast("double").as("__v")): _*)
+      .groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(minK(col("__h"), col("__v")).as("__pairs"))
+      .select(groupCols.map(col) ++ Seq(
+        array_sort(transform(col("__pairs"), p => p.getField("_2"))).as("vs"),
+        size(col("__pairs")).cast("long").as("sample_k")): _*)
+  }
+
+  /** The value at quantile num/den of a sorted value array of length
+    * `k`: element at 0-based index (num·(k−1)) div den. The division is
+    * a truncating double division, exact at these magnitudes: the
+    * numerator is an exact integer < 2^53 and a non-integral true
+    * quotient sits ≥ 1/den from any integer, 10 orders above the
+    * correctly-rounded division's error — so both engines land on the
+    * same index with no interpolation arithmetic anywhere. */
+  def quantileAt(vs: Column, k: Column, num: Int, den: Int): Column =
+    element_at(vs,
+      ((lit(num.toLong) * (k.cast("long") - 1)).cast("double") / lit(den.toDouble))
+        .cast("long").cast("int") + lit(1))
+
+  // ---- Bloom filter over seeded md5, d = 4, m sized from the key count ----
+
+  val BloomD = 4
+
+  /** Hex-digit width of the Bloom bucket space for n keys: the smallest
+    * c with 16^c ≥ 16·n, i.e. ≥16 bits per key — computed as
+    * length(hex(16n−1)), pure integer/string logic both engines share.
+    * With d=4 probes the false-positive rate at the worst fill is
+    * (1−e^(−1/4))^4 ≈ 0.24% and shrinks 16× right after each width
+    * step; sizing from the data is what a fixed-m filter gets wrong at
+    * 100× scale-up (the same lesson as `adaptiveSrpParams`). Production
+    * sizes n from the HLL estimate above instead of an exact count. */
+  def bloomHexChars(n: Column): Column = length(hex(lit(16L) * n - 1))
+
+  /** Row-i bit position of a value — same seeded-md5 family as the CMS,
+    * with the hex width `c` a COLUMN (broadcast from the sizing pass) so
+    * the whole pipeline stays one declarative plan. */
+  def bloomBucket(i: Column, value: Column, c: Column): Column =
+    conv(md5(concat(i.cast("string"), lit(":"), value.cast("string")))
+      .substr(lit(1), c), 16, 10).cast("long")
+
+  /** The SET-BIT table of a key relation (must already carry the sizing
+    * column `c`): distinct (i, bucket), ≤ d·n rows — the sketch a
+    * contamination gate ships instead of the key set itself. */
+  def bloomBits(keys: DataFrame, value: Column): DataFrame =
+    keys.select(value.as("__v"), col("c"),
+        explode(sequence(lit(0), lit(BloomD - 1))).as("i"))
+      .select(col("i"), bloomBucket(col("i"), col("__v"), col("c")).as("bucket"))
+      .distinct()
+
+  /** Membership probe: a probe is in the filter iff ALL d of its bit
+    * positions are set (never a false negative; false positives bounded
+    * by the sizing above and measured, not assumed, by the caller).
+    * `probes` must carry the sizing column `c`; every probe column is
+    * preserved. */
+  def bloomContains(bits: DataFrame, probes: DataFrame, probeValue: String): DataFrame = {
+    val pr = probes
+      .withColumn("i", explode(sequence(lit(0), lit(BloomD - 1))))
+      .withColumn("bucket", bloomBucket(col("i"), col(probeValue), col("c")))
+    val hits = pr.join(bits, Seq("i", "bucket"), "left_semi")
+      .groupBy(col(probeValue)).agg(count(lit(1)).as("__hits"))
+    probes.join(hits, Seq(probeValue), "left")
+      .withColumn("in_bloom", coalesce(col("__hits"), lit(0L)) === lit(BloomD.toLong))
+      .drop("__hits")
+  }
+
   // ---- KMV bottom-k over md5, k = 64 ----
 
   val KmvK = 64

@@ -210,6 +210,61 @@ object EventStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming Count-Min counters: frequency tracking over the event
+    * stream with SKETCH-BOUNDED state (≤ d·m counter rows total,
+    * regardless of key cardinality or stream volume — the frequency
+    * sibling of [[streamingHllRegisters]]'s cardinality registers).
+    * Counters are SUMs, so the converged stream state is bit-identical
+    * to the batch sketch under any batching — and since CMS is
+    * all-integer, even the streaming ESTIMATES carry a full hash
+    * oracle. Complete mode over the bounded counter space; distributed
+    * foreachBatch→parquet sink. */
+  def streamingCmsCounters(spark: SparkSession, dir: String, table: String,
+                           value: Column): DataFrame = {
+    import graft.sketch.Sketches
+    val counters = readEvents(spark, dir)
+      .select(value.as("__v"),
+        explode(sequence(lit(0), lit(Sketches.CmsD - 1))).as("i"))
+      .select(col("i"), Sketches.cmsBucket(col("i"), col("__v")).as("bucket"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    runToDir(counters, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
+  }
+
+  /** Watermarked STREAM-STREAM interval join: every (typeA, typeB)
+    * event pair for the same user with the B event inside
+    * [A.ts, A.ts + horizon] — the attribution-window join (click →
+    * purchase) a training-data pipeline runs to label interactions.
+    *
+    * Both sides carry a watermark equal to the horizon and the join
+    * condition bounds b_ts to a's window, so each side's buffered state
+    * is evicted once the other side's watermark passes it — state is
+    * horizon-bounded, not stream-bounded, which is the entire difference
+    * between a stream-stream join that survives a year of events and one
+    * that OOMs in an afternoon. Inner-join matches emit as soon as both
+    * rows arrive (append mode); the converged result is EXACTLY the
+    * batch interval join, which is what lets the query carry a full hash
+    * oracle. */
+  def streamStreamMatches(spark: SparkSession, dir: String,
+                          typeA: String, typeB: String,
+                          horizonSeconds: Long): DataFrame = {
+    val horizon = s"$horizonSeconds seconds"
+    val a = readEvents(spark, dir)
+      .filter(col("event_type") === typeA)
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+      .withWatermark("a_ts", horizon)
+    val b = readEvents(spark, dir)
+      .filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+      .withWatermark("b_ts", horizon)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   case class HbState(lastHb: Long)
   case class HbTimeout(name: String, last_hb_us: Long)
 

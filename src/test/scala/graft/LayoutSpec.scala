@@ -71,6 +71,49 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(s"$tmp/z").count() == li.count())
   }
 
+  test("sequentialBins ≡ single-window cumulative-sum reference, shards straddled") {
+    import org.apache.spark.sql.expressions.Window
+    // sizes chosen so bins straddle the range-partition shard boundaries
+    val files = (1 to 500).map(i => (i.toLong, ((i * 37) % 90 + 10).toLong))
+      .toDF("id", "sz")
+    val got = Layout.sequentialBins(files, Seq(col("id")), col("sz"),
+        targetBytes = 1000L, shards = 8)
+      .select("id", "cum_before", "bin").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = files.withColumn("cb", sum(col("sz")).over(w) - col("sz"))
+      .withColumn("bin", expr("cb div 1000L"))
+      .select("id", "cb", "bin").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // bins are contiguous in file order and every bin except possibly the
+    // last crosses the target boundary (no undersized interior bin)
+    val byBin = got.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(byBin.map(_._1) == (0L until byBin.length.toLong))
+  }
+
+  test("compactParquet: many small files → sized files, rows and order preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    docs.repartition(40).write.mode("overwrite").parquet(s"$tmp/small")
+    val smallBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/small")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val target = smallBytes / 4 // aim for ~4-5 output files
+    val (before, after) = Layout.compactParquet(spark, s"$tmp/small",
+      s"$tmp/big", Seq(col("doc_id")), target)
+    assert(before == 40)
+    assert(after >= 4 && after <= 6, s"expected ~5 files, got $after")
+    val back = spark.read.parquet(s"$tmp/big")
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("skipStats bucket arithmetic ≡ per-bucket recount on a planted grid") {
     // 16×16 grid, natural order = row-major → z-order beats it on a 4×4 box
     val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 16 + b, a, b))

@@ -108,6 +108,82 @@ class SketchSpec extends SparkSuite {
     assert(sk == expect)
   }
 
+  // ---- MinKPairs (bottom-k multiset quantile sample) ----
+
+  test("minKPairs: bottom-k MULTISET by (hash, value) — duplicates preserved") {
+    val a = new graft.sketch.MinKPairs(4)
+    // duplicate hashes with different values, and a full duplicate pair
+    val xs = List(("b", 2.0), ("a", 9.0), ("b", 1.0), ("a", 9.0), ("c", 0.0), ("a", 3.0))
+    val buf = xs.foldLeft(a.zero)(a.reduce)
+    assert(buf == Seq(("a", 3.0), ("a", 9.0), ("a", 9.0), ("b", 1.0)),
+      "sorted by (hash, value), duplicate (hash, value) pairs each keep a slot")
+  }
+
+  test("minKPairs merge ≡ single-stream fold; aggregator ≡ window bottom-k on duplicate-heavy data") {
+    val a = new graft.sketch.MinKPairs(16)
+    val xs = (1 to 120).map(i => ("h%02d".format(i % 23), (i % 7).toDouble))
+    val (l, r) = xs.splitAt(47)
+    val direct = xs.foldLeft(a.zero)(a.reduce)
+    assert(a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce)) == direct)
+    assert(direct == xs.sortBy(identity).take(16), "≡ sort-take of the multiset")
+
+    // the distributed aggregator against a window-rank reference, on keys
+    // with MANY hash collisions (the sf0.01 lineitem regression: non-unique
+    // hash keys must not be deduped or sampled nondeterministically)
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 3000).map(i => ("g", (i % 41).toLong, (i % 13).toDouble * 10))
+      .toDF("g", "k", "v")
+      .withColumn("h", md5(col("k").cast("string")))
+    val got = Sketches.bottomKSample(df, Seq("g"), col("h"), col("v"), k = 100)
+      .select("vs").as[Seq[Double]].head
+    val w = Window.partitionBy(col("g")).orderBy(col("h"), col("v"))
+    val expect = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 100)
+      .select("v").as[Double].collect().sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("quantileAt: pure index selection at the exact rational indexes") {
+    val df = Seq((1 to 11).map(_.toDouble)).toDF("vs")
+      .withColumn("k", size(col("vs")).cast("long"))
+    val r = df.select(
+      Sketches.quantileAt(col("vs"), col("k"), 1, 2).as("p50"),
+      Sketches.quantileAt(col("vs"), col("k"), 9, 10).as("p90"),
+      Sketches.quantileAt(col("vs"), col("k"), 99, 100).as("p99")).head
+    // k=11: idx(p50) = 10/2 = 5 → 6th = 6.0; idx(p90) = 90/10 = 9 → 10.0;
+    // idx(p99) = 990/100 = 9 (floor 9.9) → 10.0
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) == ((6.0, 10.0, 10.0)))
+  }
+
+  // ---- Bloom ----
+
+  test("bloom sizing: hex width from the key count, integer/string logic") {
+    val df = Seq(1L, 16L, 4096L, 4097L, 65536L).toDF("n")
+      .select(Sketches.bloomHexChars(col("n")).as("c"))
+    // 16n: 16→2, 256→2, 65536→5? length(hex(16n-1)): n=1→hex(15)="F"(1);
+    // n=16→hex(255)="FF"(2); n=4096→hex(65535)(4); n=4097→hex(65551)(5)?
+    // 16·4097−1 = 65551 → 0x1000F → 5; n=65536→hex(1048575)="FFFFF"(5)
+    assert(df.as[Int].collect().toSeq == Seq(1, 2, 4, 5, 5))
+  }
+
+  test("bloom: never a false negative; false-positive rate bounded at worst fill") {
+    // corpus size AT a width boundary (n = 16^(c−1)) = the WORST fill
+    // for its width (exactly 16 bits/key): FP ≈ (1−e^(−1/4))^4 ≈ 0.24%
+    val n = 4096
+    val corpus = (1 to n).map(i => s"key$i").toDF("g")
+    val params = corpus.agg(count(lit(1)).as("n_corpus"))
+      .withColumn("c", Sketches.bloomHexChars(col("n_corpus")).cast("int"))
+    val bits = Sketches.bloomBits(corpus.crossJoin(broadcast(params)), col("g"))
+    val members = corpus.crossJoin(broadcast(params))
+    val nonMembers = (1 to 20000).map(i => s"other$i").toDF("g")
+      .crossJoin(broadcast(params))
+    val memHits = Sketches.bloomContains(bits, members, "g")
+      .filter(col("in_bloom")).count()
+    assert(memHits == n, "a Bloom filter must never miss a member")
+    val fp = Sketches.bloomContains(bits, nonMembers, "g")
+      .filter(col("in_bloom")).count()
+    assert(fp <= 200, s"false positives $fp of 20000 — expected ~0.24%")
+  }
+
   test("kmv overlap: estimators land within tolerance on a planted overlap") {
     // A = 1..1000, B = 501..1500 → |A∪B| = 1500, J = 1/3, |A∩B| = 500
     val df = ((1 to 1000).map(i => ("A", i.toLong)) ++

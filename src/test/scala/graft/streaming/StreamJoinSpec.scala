@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.{SparkSuite, Tables}
+
+/** Stream-stream interval join: the watermarked streaming join must
+  * converge to exactly the batch interval join — same pairs, no
+  * duplicates, no drops — under AvailableNow. */
+class StreamJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream-stream interval join ≡ batch interval join, exactly") {
+    val out = java.nio.file.Files.createTempDirectory("stj").toString
+    val streamed = EventStreams.runToDir(
+        EventStreams.streamStreamMatches(spark, sfDir, "click", "purchase", 3600L),
+        out, OutputMode.Append)
+      .select("user_id", "a_id", "b_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+
+    val ev = Tables.load(spark, sfDir, "events")
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+    val batch = a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select("user_id", "a_id", "b_id").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+
+    assert(batch.nonEmpty, "fixture should produce at least one attribution pair")
+    assert(streamed == batch)
+  }
+}
