@@ -314,6 +314,49 @@ object SketchQueries extends QuerySet {
         |FROM est
         |ORDER BY exact_n DESC, tok""".stripMargin,
 
+    "sk_hll_setops" ->
+      s"""WITH w AS (
+         |  SELECT o_orderstatus AS g,
+         |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13)) AS BIGINT) AS wv
+         |  FROM orders),
+         |regs AS (
+         |  SELECT g, bucket,
+         |         MAX(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS r
+         |  FROM w GROUP BY g, bucket),
+         |est1 AS (
+         |  SELECT g,
+         |         $numLit / CAST(CAST(SUM(CAST(1 AS BIGINT) << (53 - r))
+         |           + (256 - COUNT(*)) * 9007199254740992 AS BIGINT) AS DOUBLE) AS est
+         |  FROM regs GROUP BY g),
+         |prs AS (SELECT DISTINCT g FROM regs),
+         |pairs AS (SELECT a.g AS set_a, b.g AS set_b FROM prs a JOIN prs b ON a.g < b.g),
+         |pregs AS (
+         |  SELECT set_a, set_b, bucket, MAX(r) AS r
+         |  FROM pairs JOIN regs ON g = set_a OR g = set_b
+         |  GROUP BY set_a, set_b, bucket),
+         |estu AS (
+         |  SELECT set_a, set_b,
+         |         $numLit / CAST(CAST(SUM(CAST(1 AS BIGINT) << (53 - r))
+         |           + (256 - COUNT(*)) * 9007199254740992 AS BIGINT) AS DOUBLE) AS est_union
+         |  FROM pregs GROUP BY set_a, set_b),
+         |d AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS v FROM orders),
+         |xn AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY st),
+         |xi AS (
+         |  SELECT a.st AS set_a, b.st AS set_b, CAST(COUNT(*) AS BIGINT) AS exact_intersect
+         |  FROM d a JOIN d b ON a.v = b.v AND a.st < b.st GROUP BY 1, 2)
+         |SELECT set_a, set_b, ea.est AS est_a, eb.est AS est_b, est_union,
+         |       (ea.est + eb.est) - est_union AS est_intersect,
+         |       na.nd AS exact_a, nb.nd AS exact_b,
+         |       na.nd + nb.nd - exact_intersect AS exact_union, exact_intersect
+         |FROM estu
+         |JOIN est1 ea ON ea.g = set_a
+         |JOIN est1 eb ON eb.g = set_b
+         |JOIN xi USING (set_a, set_b)
+         |JOIN xn na ON na.st = set_a
+         |JOIN xn nb ON nb.st = set_b
+         |ORDER BY set_a, set_b""".stripMargin,
+
     "sk_quantile_bottomk" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_extendedprice AS v,

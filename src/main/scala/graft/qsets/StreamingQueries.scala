@@ -102,6 +102,25 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // ST11 — streaming Count-Min: per-user frequency tracking with
+    // sketch-bounded state (≤ d·4096 counter rows regardless of user
+    // cardinality — the frequency sibling of st9's cardinality
+    // registers). SUM counters are batching-independent, so the
+    // converged stream counters equal the batch sketch bit-for-bit and
+    // the streaming ESTIMATES carry a full hash oracle (est ≥ exact
+    // always; overcount visible).
+    "st11_stream_cms" -> ((s, dir) => {
+      import graft.sketch.Sketches
+      val counters = EventStreams.streamingCmsCounters(s, dir,
+        s"st11_cms_${System.nanoTime()}", col("user_id"))
+      val probes = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+      Sketches.cmsPointEstimates(counters, probes, "user_id")
+        .withColumn("overcount", (col("est_n") - col("exact_n")).cast("long"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // ST10 — watermarked STREAM-STREAM interval join: click→purchase
     // attribution pairs within 1 hour per user. Both sides watermarked
     // at the horizon so buffered join state is horizon-bounded, not
@@ -218,6 +237,27 @@ object StreamingQueries extends QuerySet {
         |FROM latest, horizon
         |WHERE last_hb < now - INTERVAL '48 hours'
         |ORDER BY user_id""".stripMargin,
+
+    "st11_stream_cms" ->
+      """WITH rws AS (SELECT user_id, i FROM events, range(4) t(i)),
+        |counters AS (
+        |  SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS c
+        |  FROM rws GROUP BY 1, 2),
+        |exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+        |probes AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20),
+        |pr AS (
+        |  SELECT user_id, exact_n, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket
+        |  FROM probes, range(4) t(i)),
+        |est AS (
+        |  SELECT user_id, exact_n, MIN(c) AS est_n
+        |  FROM pr JOIN counters USING (i, bucket) GROUP BY 1, 2)
+        |SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n, CAST(est_n AS BIGINT) AS est_n,
+        |       CAST(est_n - exact_n AS BIGINT) AS overcount
+        |FROM est
+        |ORDER BY exact_n DESC, user_id""".stripMargin,
 
     "st10_stream_join" ->
       """WITH a AS (

@@ -43,6 +43,20 @@ class SketchSpec extends SparkSuite {
       "sharded merge tree must reproduce the direct estimate bit-for-bit")
   }
 
+  test("hll union law: MAX-merged pair registers ≡ registers of the unioned data") {
+    val a = (1 to 900).map(i => ("A", i.toLong)).toDF("g", "v")
+    val b = (501 to 1400).map(i => ("B", i.toLong)).toDF("g", "v")
+    val regs = Sketches.hllRegisters(a.unionAll(b), Seq("g"), col("v"))
+    // union-by-MAX from the two per-set sketches alone…
+    val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // …must equal the sketch built from the unioned raw data
+    val direct = Sketches.hllRegisters(
+        a.unionAll(b).withColumn("g", lit("U")), Seq("g"), col("v"))
+      .collect().map(r => r.getInt(r.fieldIndex("bucket")) -> r.getInt(r.fieldIndex("r"))).toMap
+    assert(merged == direct, "register MAX is the lossless sketch union")
+  }
+
   test("hll estimate: duplicate values do not move the estimate") {
     val base = (1 to 800).map(i => ("g", i.toLong)).toDF("g", "v")
     val dup = base.union(base).union(base)

@@ -27,4 +27,19 @@ class StreamingHllSpec extends SparkSuite {
     val perType = streamed.groupBy("event_type").count().collect()
     perType.foreach(r => assert(r.getLong(1) <= Sketches.HllM))
   }
+
+  test("streaming CMS counters ≡ batch counters, and state is sketch-bounded") {
+    val streamed = EventStreams.streamingCmsCounters(spark, sfDir,
+      s"cmstest_${System.nanoTime()}", col("user_id"))
+    val batch = Sketches.cmsCounters(
+      graft.Tables.load(spark, sfDir, "events").select(col("user_id")),
+      col("user_id"))
+
+    val s = streamed.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val b = batch.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s == b, "converged streaming counters must equal the batch sketch")
+    assert(streamed.count() <= Sketches.CmsD.toLong * Sketches.CmsM)
+  }
 }
