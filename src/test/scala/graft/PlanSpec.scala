@@ -178,6 +178,37 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quantile sketch: bounded ObjectHashAggregate sample, per-group windows, no global sort") {
+    val p = plan("sk_quantile_bottomk")
+    // the sample side must partially aggregate map-side (k-bounded
+    // MinKPairs state per task) — a window-rank sample would sort the
+    // full group instead
+    assert(p.contains("partial_minkpairs"), "sample must combine map-side")
+    assert(count(p, "ObjectHashAggregate") == 2, "partial + final aggregate")
+    // exact side: windows are partitioned by the group key, never global
+    assert(p.contains("windowspecdefinition(l_returnflag"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no stage may funnel to one partition")
+    // the 3-row sample relation broadcasts onto the exact side
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("bloom filter: sizing broadcasts, no cartesian, bit join stays hashed") {
+    val p = finalPlan("sk_bloom_grams")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row params frame must broadcast, not cartesian")
+    // corpus/probe gram relations join the bit table on (i, bucket) —
+    // hashed or broadcast, never nested-loop over data-sized sides
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("orc round-trip: quantity predicate pushed into the ORC scan") {
+    val p = finalPlan("s8_orc_roundtrip")
+    assert(p.contains("Scan orc") || p.contains("FileScan orc"), "read must go through the ORC source")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,25.0)"),
+      "filter must reach the ORC reader's pushed predicates")
+  }
+
   test("residual ivfpq: pure-map encode, per-cell tables broadcast, no corpus join") {
     val p = finalPlan("sim_knn_ivfpq_r")
     // assignment + residual + PQ encode are projections over the scan —
