@@ -75,6 +75,33 @@ object SketchQueries extends QuerySet {
         .orderBy(col("exact_n").desc, col("tok"))
     }),
 
+    // Persistent HLL index across ingest batches: three disjoint batch
+    // writes (batch=<id> partition overwrite — retry-idempotent), then a
+    // serving read that MAX-merges every batch's registers. Register
+    // merge is lossless, so the served estimate is bit-identical to the
+    // sketch of the full table regardless of batching — which is what
+    // lets an INCREMENTALLY-maintained approximate index carry a full
+    // hash oracle. Index size: groups × ≤256 rows per batch, bytes at
+    // any data scale.
+    "sk_hll_incremental" -> ((s, dir) => {
+      val idx = "/tmp/graft_export/hllidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, dir, "orders")
+      (0L to 2L).foreach { b =>
+        Sketches.hllIndexAddBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === b),
+          Seq("o_orderstatus"), col("o_custkey"), idx, b)
+      }
+      val merged = Sketches.hllIndexRead(s, idx, Seq("o_orderstatus"))
+      val exact = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("exact_nd"))
+      exact.join(Sketches.hllFold(merged, Seq("o_orderstatus"), "est_hll"),
+          "o_orderstatus")
+        .orderBy("o_orderstatus")
+    }),
+
     // HLL set algebra: union registers are the per-bucket MAX of the two
     // sides' registers — computable from the 256-row sketches alone, the
     // merge law that lets a 100 TB system answer "distinct customers in
@@ -313,6 +340,33 @@ object SketchQueries extends QuerySet {
         |       CAST(est_n - exact_n AS BIGINT) AS overcount
         |FROM est
         |ORDER BY exact_n DESC, tok""".stripMargin,
+
+    "sk_hll_incremental" ->
+      s"""WITH w AS (
+         |  SELECT o_orderstatus AS g,
+         |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13)) AS BIGINT) AS wv
+         |  FROM orders),
+         |regs AS (
+         |  SELECT g, bucket,
+         |         MAX(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS r
+         |  FROM w GROUP BY g, bucket),
+         |agg AS (
+         |  SELECT g, COUNT(*) AS present,
+         |         SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_present
+         |  FROM regs GROUP BY g),
+         |est AS (
+         |  SELECT g, CAST(256 - present AS BIGINT) AS v_zero,
+         |         CAST(s_present + (256 - present) * 9007199254740992 AS BIGINT) AS s_scaled
+         |  FROM agg),
+         |ex AS (
+         |  SELECT o_orderstatus AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd
+         |  FROM orders GROUP BY g)
+         |SELECT ex.g AS o_orderstatus, n_rows, exact_nd, v_zero, s_scaled,
+         |       $numLit / CAST(s_scaled AS DOUBLE) AS est_hll
+         |FROM ex JOIN est ON ex.g = est.g
+         |ORDER BY o_orderstatus""".stripMargin,
 
     "sk_hll_setops" ->
       s"""WITH w AS (

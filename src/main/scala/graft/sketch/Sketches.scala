@@ -106,6 +106,30 @@ object Sketches {
   def hllEstimate(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
     hllFold(hllRegisters(df, groupCols, value), groupCols, "est_hll")
 
+  /** Append one ingest batch's registers to a PERSISTENT HLL index —
+    * the sketch-as-index pattern: a dashboard's "distinct users per
+    * segment, all time" at 100 TB is served from an index whose size is
+    * groups × 256 rows per batch (bytes, not data-scale), maintained by
+    * exactly this per-batch write. The batch's registers overwrite
+    * their own `batch=<id>` partition, so a Structured-Streaming retry
+    * of the same batchId is idempotent — the same commit discipline as
+    * the dedup indexes. Because register MAX is associative and
+    * commutative, the merged index is bit-identical to the sketch of
+    * all data ever ingested: the serving read stays oracle-exact no
+    * matter how ingestion was batched. */
+  def hllIndexAddBatch(batch: DataFrame, groupCols: Seq[String], value: Column,
+                       indexPath: String, batchId: Long): Unit =
+    hllRegisters(batch, groupCols, value)
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+
+  /** Serving read of a persistent HLL index: merge every batch's
+    * registers by MAX. Feed the result to [[hllFold]] for estimates. */
+  def hllIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   groupCols: Seq[String]): DataFrame =
+    spark.read.option("basePath", indexPath).parquet(s"$indexPath/batch=*")
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max(col("r")).as("r"))
+
   /** The same estimate through an explicitly SHARDED merge tree: rows
     * split over `shards` engine-hash shards, per-shard registers built
     * independently, then merged by MAX — the physical shape of sketching

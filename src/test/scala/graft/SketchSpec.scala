@@ -57,6 +57,27 @@ class SketchSpec extends SparkSuite {
     assert(merged == direct, "register MAX is the lossless sketch union")
   }
 
+  test("hll index: batching-invariant, retry-idempotent, bytes-sized") {
+    val idx = java.nio.file.Files.createTempDirectory("hllidx").toString + "/idx"
+    val df = (1 to 3000).map(i => (if (i % 3 == 0) "A" else "B", i.toLong)).toDF("g", "v")
+    // ingest in 4 uneven batches
+    Seq(1 to 100, 101 to 1700, 1701 to 1701, 1702 to 3000).zipWithIndex.foreach {
+      case (range, b) =>
+        Sketches.hllIndexAddBatch(df.filter(col("v").between(range.head, range.last)),
+          Seq("g"), col("v"), idx, b.toLong)
+    }
+    // retry of an already-committed batch must be a no-op
+    Sketches.hllIndexAddBatch(df.filter(col("v").between(101, 1700)),
+      Seq("g"), col("v"), idx, 1L)
+    val served = Sketches.hllIndexRead(spark, idx, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val direct = Sketches.hllRegisters(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(served == direct,
+      "merged index registers must equal the sketch of all data ever ingested")
+    assert(served.size <= 2 * Sketches.HllM, "index stays sketch-bounded")
+  }
+
   test("hll estimate: duplicate values do not move the estimate") {
     val base = (1 to 800).map(i => ("g", i.toLong)).toDF("g", "v")
     val dup = base.union(base).union(base)
