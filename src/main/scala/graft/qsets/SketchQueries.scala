@@ -146,6 +146,23 @@ object SketchQueries extends QuerySet {
         .orderBy("set_a", "set_b")
     }),
 
+    // CMS join-size estimation: |orders ⋈ lineitem on orderkey|
+    // predicted from the two d×4096 counter tables ALONE (row-wise
+    // inner product, MIN over rows — never an undercount, all integer,
+    // so the estimate itself is oracle-exact). This is the sketch a
+    // planner consults to pick broadcast vs shuffle before either
+    // 100 TB side is touched again; the exact join count in the same
+    // row makes the collision overcount a tracked artifact.
+    "sk_cms_joinsize" -> ((s, dir) => {
+      val ka = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val kb = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val est = Sketches.cmsJoinSize(
+        Sketches.cmsCounters(ka, col("k")), Sketches.cmsCounters(kb, col("k")))
+      val exact = ka.join(kb, "k").agg(count(lit(1)).as("exact_pairs"))
+      est.crossJoin(exact)
+        .withColumn("overcount", col("est_pairs") - col("exact_pairs"))
+    }),
+
     // Bottom-k-by-hash quantile sketch: per-returnflag price quantiles
     // from a 256-row uniform sample (k-bounded aggregator state, no
     // per-group sort of the full data) next to the exact order
@@ -410,6 +427,29 @@ object SketchQueries extends QuerySet {
          |JOIN xn na ON na.st = set_a
          |JOIN xn nb ON nb.st = set_b
          |ORDER BY set_a, set_b""".stripMargin,
+
+    "sk_cms_joinsize" ->
+      """WITH ka AS (SELECT o_orderkey AS k FROM orders),
+        |kb AS (SELECT l_orderkey AS k FROM lineitem),
+        |ca AS (
+        |  SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS c
+        |  FROM ka, range(4) t(i) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS c
+        |  FROM kb, range(4) t(i) GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.i, SUM(ca.c * cb.c) AS ipv
+        |  FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+        |  GROUP BY ca.i),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM ka JOIN kb USING (k))
+        |SELECT CAST(MIN(ipv) AS BIGINT) AS est_pairs,
+        |       (SELECT exact_pairs FROM ex) AS exact_pairs,
+        |       CAST(MIN(ipv) AS BIGINT) - (SELECT exact_pairs FROM ex) AS overcount
+        |FROM ip""".stripMargin,
 
     "sk_quantile_bottomk" ->
       """WITH li AS (

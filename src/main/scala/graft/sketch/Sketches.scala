@@ -190,6 +190,19 @@ object Sketches {
       .agg(min(col("c")).as("est_n"))
   }
 
+  /** Join-size estimate from two CMS counter tables alone (Cormode &
+    * Muthukrishnan's inner-product estimator): for each hash row i,
+    * Σ_bucket cA·cB ≥ Σ_key cntA(key)·cntB(key) = |A ⋈ B|, and the MIN
+    * over the d rows is the estimate — never an undercount, all
+    * integer. This is how a planner SIZES a join (pick broadcast vs
+    * shuffle, predict skew) from d·m counters per side without touching
+    * either table again. */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame =
+    countersA.as("a")
+      .join(countersB.as("b"), col("a.i") === col("b.i") && col("a.bucket") === col("b.bucket"))
+      .groupBy(col("a.i")).agg(sum(col("a.c") * col("b.c")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_pairs"))
+
   // ---- Bottom-k uniform value sample (quantile sketch), k = 256 ----
 
   val QuantK = 256

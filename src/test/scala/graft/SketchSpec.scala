@@ -143,6 +143,18 @@ class SketchSpec extends SparkSuite {
     assert(sk == expect)
   }
 
+  test("cms join-size: inner-product estimate dominates the exact join size") {
+    val a = (1 to 500).map(i => (i % 50).toLong).toDF("k")
+    val b = (1 to 800).map(i => (i % 80).toLong).toDF("k")
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a, col("k")),
+      Sketches.cmsCounters(b, col("k"))).head.getLong(0)
+    val exact = a.join(b, "k").count()
+    assert(est >= exact, "the inner-product estimator never undercounts")
+    // 130 distinct keys in 4096 buckets: collisions rare → tight estimate
+    assert(est <= exact * 2, s"est $est vs exact $exact")
+  }
+
   // ---- MinKPairs (bottom-k multiset quantile sample) ----
 
   test("minKPairs: bottom-k MULTISET by (hash, value) — duplicates preserved") {
