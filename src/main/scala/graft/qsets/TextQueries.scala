@@ -125,6 +125,29 @@ object TextQueries extends QuerySet {
 
     // Context-window chunking: 40-token chunks, 8-token overlap; chunk
     // count, sizes, and content all hash-compared.
+    // Content-defined chunking: boundaries fall where the md5 of the
+    // trailing 3-token window ≡ 0 mod 8 (pure local content, so an
+    // insertion re-synchronizes at the next cut — the property fixed
+    // chunking lacks; unit-pinned). Chunk fingerprints dedup ACROSS the
+    // corpus: per doc, how many of its chunks also appear in another
+    // document — the chunk-granularity dedup signal a storage system or
+    // passage-level corpus dedup runs. Fingerprints travel as md5;
+    // the per-fp document count is one hashed aggregation.
+    "tx_cdc_chunks" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextFunctions.cdcChunkFingerprints(col("toks"))).as("fp"))
+      val docsPerFp = ex.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      ex.join(docsPerFp, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_chunk" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -401,6 +424,34 @@ object TextQueries extends QuerySet {
         |       WHEN score_es >= score_de THEN 'es'
         |       ELSE 'de' END AS predicted
         |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bnd AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |         CASE WHEN len(t) >= 3 THEN
+        |           [i for i in range(3, len(t) + 1)
+        |            if CAST(('0x' || substr(md5(array_to_string(t[i-2:i], chr(31))), 1, 2)) AS BIGINT) % 8 = 0]
+        |         ELSE [] END AS bs
+        |  FROM toks),
+        |sp AS (
+        |  SELECT doc_id, t, n,
+        |         list_concat([1], [b + 1 for b in bs if b < n]) AS starts,
+        |         CASE WHEN len(bs) = 0 OR bs[len(bs)] <> n
+        |           THEN list_concat(bs, [n]) ELSE bs END AS ends
+        |  FROM bnd),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(t[starts[ci]:ends[ci]], chr(31))) AS fp
+        |  FROM sp, unnest(generate_series(1, len(starts))) u(ci)),
+        |df AS (SELECT fp, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY fp)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+        |FROM ch JOIN df USING (fp)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "tx_chunk" ->

@@ -137,6 +137,45 @@ object TextFunctions {
       i => array_join(slice(toks, i * step + 1, lit(maxTokens)), " "))
   }
 
+  /** Content-defined chunk fingerprints of a token array (token-level
+    * CDC, the gear/Rabin idea expressed in the portable md5 family): a
+    * chunk boundary falls AFTER position i whenever the hash of the
+    * trailing `window`-token context is ≡ 0 mod `modulus` — a pure
+    * function of local content, so an insertion near the front only
+    * perturbs boundaries up to the next surviving cut point, and every
+    * later chunk keeps its fingerprint. That re-synchronization is what
+    * fixed-size chunking (see [[chunkTokens]]) fundamentally cannot do,
+    * and it is why storage/dedup systems chunk this way: shared passages
+    * dedup at chunk granularity even when their byte offsets differ.
+    * Mean chunk length ≈ `modulus` tokens. Everything is bounded per-doc
+    * HOFs over codegen'd built-ins; the md5-mod cut rule is replayed
+    * exactly by the SQL oracle. Returns a fingerprint array (md5 of the
+    * chunk's tokens joined on U+001F). */
+  def cdcChunkFingerprints(toks: Column, window: Int = 3,
+                           modulus: Int = 8): Column = {
+    val sep = "\u001F"
+    val n = size(toks)
+    // cut after i (window ≤ i ≤ n) when md5(trailing window) mod m == 0;
+    // sequence() is DESCENDING when start > stop, so guard short docs
+    val bs = when(n >= window,
+      filter(
+        transform(sequence(lit(window), n), i =>
+          when(conv(substring(md5(array_join(
+              slice(toks, i - (window - 1), lit(window)), sep)), 1, 2), 16, 10)
+            .cast("long") % modulus === 0, i)),
+        (b: Column) => b.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)),
+      transform(filter(bs, (b: Column) => b < n), b => b + 1))
+    val ends = when(size(bs) === 0 || element_at(bs, -1) =!= n,
+      concat(bs, array(n))).otherwise(bs)
+    transform(sequence(lit(1), size(starts)), ci =>
+      md5(array_join(
+        slice(toks, element_at(starts, ci),
+          element_at(ends, ci) - element_at(starts, ci) + 1), sep)))
+  }
+
+
   /** Word n-gram shingles (distinct) from a PRE-TOKENIZED array column —
     * the input to MinHash/Jaccard dedup.
     *

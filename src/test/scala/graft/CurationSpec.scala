@@ -29,6 +29,44 @@ class CurationSpec extends SparkSuite {
     assert(flagged(10L) === 1L) // exactly one contaminated distinct gram
   }
 
+  test("cdc chunking ≡ a plain-Scala replay of the md5-mod cut rule") {
+    import graft.text.TextFunctions
+    val text = (1 to 150).map(i => s"tok${(i * 31) % 83}").mkString(" ")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(toks: Array[String]): Seq[String] = {
+      val n = toks.length
+      val bs = (3 to n).filter(i =>
+        Integer.parseInt(md5hex(toks.slice(i - 3, i).mkString("\u001F")).take(2), 16) % 8 == 0)
+      val starts = 1 +: bs.filter(_ < n).map(_ + 1)
+      val ends = if (bs.isEmpty || bs.last != n) bs :+ n else bs
+      starts.zip(ends).map { case (s, e) => md5hex(toks.slice(s - 1, e).mkString("\u001F")) }
+    }
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(TextFunctions.cdcChunkFingerprints(
+        TextFunctions.wsTokens(col("text"))).as("fps"))
+      .as[Seq[String]].head
+    assert(got == ref(text.split(" ")))
+  }
+
+  test("cdc chunking re-synchronizes after an insertion; fixed chunking cannot") {
+    import graft.text.TextFunctions
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val cdc = df.select(col("doc_id"),
+        TextFunctions.cdcChunkFingerprints(col("toks")).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    val kept = (cdc(1L).toSet & cdc(2L).toSet).size.toDouble / cdc(1L).size
+    assert(kept >= 0.8, s"CDC should keep most chunks across an insertion, kept $kept")
+    // fixed-size chunks all shift: near-zero fingerprint survival
+    val fixed = df.select(col("doc_id"),
+        transform(TextFunctions.chunkTokens(col("toks"), 8, 0), c => md5(c)).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    val keptFixed = (fixed(1L).toSet & fixed(2L).toSet).size.toDouble / fixed(1L).size
+    assert(keptFixed <= 0.1, s"fixed chunking should lose alignment, kept $keptFixed")
+  }
+
   test("decontamination counts distinct grams once per doc") {
     val bench = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     // the contaminated gram appears twice in the doc — n_hits must be 1
