@@ -74,6 +74,31 @@ object SourcesSinks extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // S10 — schema evolution on the lake: v1 files carry three columns,
+    // v2 files add a derived score; one mergeSchema read serves the
+    // union with NULLs where v1 predates the column — the
+    // generations-of-writers reality (the type-level cousin of the
+    // events.ts physical-type normalization in Tables.load). The
+    // aggregate proves both the unified schema and the NULL semantics:
+    // v1-row count and v2-only score sum must match the oracle exactly.
+    "s10_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = scratch(dir, "s10_docs_evo")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/v=1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") * 2).as("score"))
+        .write.mode("overwrite").parquet(s"$path/v=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_v1"),
+          sum(coalesce(col("score"), lit(0L))).as("score_sum"))
+        .orderBy(col("source"))
+    }),
+
     // S4 — records exported partitioned by record_type, read back with a
     // type filter (pruned to one partition directory at listing time).
     "s4_dataset_export" -> ((s, dir) => {
@@ -233,6 +258,14 @@ object SourcesSinks extends QuerySet {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "s10_schema_evolution" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars * 2 ELSE 0 END) AS BIGINT) AS score_sum
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "s8_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

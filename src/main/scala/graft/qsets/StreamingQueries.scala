@@ -102,6 +102,39 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // ST12 — streaming quantile sketch: per-type value quantiles from a
+    // bottom-256-by-(hash,value) sample tracked as streaming state
+    // (≤256 pairs per key at any stream volume — the order-statistics
+    // sibling of st9/st11). Bottom-k of a multiset is order- and
+    // batching-independent, so the converged stream sample equals the
+    // batch sample bit-for-bit and the streaming ESTIMATES carry a full
+    // hash oracle; exact order statistics sit in the same row.
+    "st12_stream_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.sketch.Sketches
+      val samp = EventStreams.streamingQuantileSample(s, dir,
+          s"st12_q_${System.nanoTime()}", "event_type",
+          md5(col("event_id").cast("string")), col("value"))
+        .select(col("event_type"), col("sample_k"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 1, 2).as("est_p50"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 9, 10).as("est_p90"),
+          Sketches.quantileAt(col("vs"), col("sample_k"), 99, 100).as("est_p99"))
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("value").as("v"), md5(col("event_id").cast("string")).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"), col("h"))
+      val cw = Window.partitionBy(col("event_type"))
+      val ranked = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+      def exactAt(num: Int, den: Int) =
+        max(when(col("rn") === expr(s"(($num * (n - 1)) div $den) + 1"), col("v")))
+      val exact = ranked.groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"),
+        exactAt(1, 2).as("exact_p50"),
+        exactAt(9, 10).as("exact_p90"),
+        exactAt(99, 100).as("exact_p99"))
+      exact.join(samp, "event_type").orderBy("event_type")
+    }),
+
     // ST11 — streaming Count-Min: per-user frequency tracking with
     // sketch-bounded state (≤ d·4096 counter rows regardless of user
     // cardinality — the frequency sibling of st9's cardinality
@@ -237,6 +270,37 @@ object StreamingQueries extends QuerySet {
         |FROM latest, horizon
         |WHERE last_hb < now - INTERVAL '48 hours'
         |ORDER BY user_id""".stripMargin,
+
+    "st12_stream_quantile" ->
+      """WITH ev AS (
+        |  SELECT event_type, value AS v, md5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |ex AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |         MAX(CASE WHEN rn = ((1 * (n-1)) // 2) + 1 THEN v END) AS exact_p50,
+        |         MAX(CASE WHEN rn = ((9 * (n-1)) // 10) + 1 THEN v END) AS exact_p90,
+        |         MAX(CASE WHEN rn = ((99 * (n-1)) // 100) + 1 THEN v END) AS exact_p99
+        |  FROM r GROUP BY event_type),
+        |sm AS (
+        |  SELECT event_type, v FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, v) <= 256),
+        |sl AS (SELECT event_type, list_sort(list(v)) AS vs, COUNT(*) AS k
+        |       FROM sm GROUP BY event_type),
+        |es AS (
+        |  SELECT event_type, CAST(k AS BIGINT) AS sample_k,
+        |         vs[((1 * (k-1)) // 2) + 1] AS est_p50,
+        |         vs[((9 * (k-1)) // 10) + 1] AS est_p90,
+        |         vs[((99 * (k-1)) // 100) + 1] AS est_p99
+        |  FROM sl)
+        |SELECT ex.event_type, n_rows, exact_p50, exact_p90, exact_p99,
+        |       sample_k, est_p50, est_p90, est_p99
+        |FROM ex JOIN es USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "st11_stream_cms" ->
       """WITH rws AS (SELECT user_id, i FROM events, range(4) t(i)),

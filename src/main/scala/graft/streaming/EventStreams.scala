@@ -231,6 +231,29 @@ object EventStreams {
     runToDir(counters, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
+  /** Streaming bottom-k quantile sample: per-key value quantiles
+    * tracked with SKETCH-BOUNDED state (≤k (hash, value) pairs per key
+    * — the order-statistics sibling of the HLL registers and CMS
+    * counters above). "Bottom k by (hash, value)" is a pure function of
+    * the input multiset — order- and batching-independent — so the
+    * converged stream sample is bit-identical to the batch sample and
+    * the streaming quantile ESTIMATES carry a full hash oracle.
+    * Complete mode over a bounded key space; distributed sink. */
+  def streamingQuantileSample(spark: SparkSession, dir: String, table: String,
+                              keyCol: String, hash: Column,
+                              value: Column): DataFrame = {
+    import graft.sketch.{MinKPairs, Sketches}
+    val minK = udaf(new MinKPairs(Sketches.QuantK))
+    val samples = readEvents(spark, dir)
+      .select(col(keyCol), hash.as("__h"), value.cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(minK(col("__h"), col("__v")).as("__pairs"))
+      .select(col(keyCol),
+        array_sort(transform(col("__pairs"), p => p.getField("_2"))).as("vs"),
+        size(col("__pairs")).cast("long").as("sample_k"))
+    runToDir(samples, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
+  }
+
   /** Watermarked STREAM-STREAM interval join: every (typeA, typeB)
     * event pair for the same user with the B event inside
     * [A.ts, A.ts + horizon] — the attribution-window join (click →

@@ -42,4 +42,20 @@ class StreamingHllSpec extends SparkSuite {
     assert(s == b, "converged streaming counters must equal the batch sketch")
     assert(streamed.count() <= Sketches.CmsD.toLong * Sketches.CmsM)
   }
+
+  test("streaming quantile sample ≡ batch bottom-k sample, state sketch-bounded") {
+    val streamed = EventStreams.streamingQuantileSample(spark, sfDir,
+      s"sqtest_${System.nanoTime()}", "event_type",
+      md5(col("event_id").cast("string")), col("value"))
+    val batch = Sketches.bottomKSample(
+      graft.Tables.load(spark, sfDir, "events"), Seq("event_type"),
+      md5(col("event_id").cast("string")), col("value"))
+    val s = streamed.select("event_type", "vs")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val b = batch.select("event_type", "vs")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(s == b, "converged streaming sample must equal the batch sketch")
+    streamed.select("sample_k").collect()
+      .foreach(r => assert(r.getLong(0) <= Sketches.QuantK))
+  }
 }
