@@ -3,7 +3,7 @@ package graft.qsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.{Kmeans, Pq, Vectors}
+import graft.similarity.{Kmeans, Pq, Sq, Vectors}
 
 /** Similarity-search queries over `embeddings` (Array[Float] vectors).
   * Brute-force cosine top-k and ranked near-dup pairs are oracle-checked;
@@ -206,6 +206,20 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Scalar 8-bit quantization ANN — the other standard memory-shrink
+    // next to PQ: per-dimension affine map to 0..255 from the corpus
+    // (min, max) ranges (an index-build artifact, no codebook training),
+    // candidates scored against RECONSTRUCTED vectors from codes alone,
+    // bounded-128 shortlist re-ranked exact. The range fit is pure
+    // selection, so the ENTIRE pipeline — ranges, codes, reconstruction,
+    // approximate distances, ranks — is oracle-exact.
+    "sim_knn_sq8" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val (lo, hi) = Sq.fitRange(c)
+      Sq.sqKnn(queriesDf(s, dir, 10), c, lo, hi, k = 5, shortlist = 128)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Product-quantization ANN, oracle-anchored end to end: corpus
     // vectors encode to 16 sub-space codes against the deterministic
     // md5-pivot codebook (16 small ints instead of 64 floats — a 16×
@@ -361,6 +375,45 @@ object SimilarityQueries extends QuerySet {
     // ADC as the m-ordered left-to-right sum of table lookups rounded to
     // 9, shortlist 32 by (adc asc, vec_id), exact-cosine top-5 by
     // (score desc, vec_id). Any slip anywhere breaks the hash match.
+    "sim_knn_sq8" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |dims AS (
+        |  SELECT unnest(generate_series(1, (SELECT len(e) FROM v LIMIT 1))) AS d),
+        |rngd AS (
+        |  SELECT d, MIN(e[d]) AS lo, MAX(e[d]) AS hi
+        |  FROM v CROSS JOIN dims GROUP BY d),
+        |rng AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM rngd),
+        |enc AS (
+        |  SELECT vec_id,
+        |    [CAST(LEAST(CASE WHEN hi[d] = lo[d] THEN 0.0
+        |                     ELSE floor(((e[d] - lo[d]) * 255.0) / (hi[d] - lo[d])) END,
+        |                255.0) AS INT)
+        |     for d in range(1, len(e) + 1)] AS codes
+        |  FROM v CROSS JOIN rng),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |sq AS (
+        |  SELECT q.q_id, enc.vec_id,
+        |    round(list_sum(
+        |      [(q.qe[d] - (lo[d] + ((codes[d] + 0.5) * (hi[d] - lo[d])) / 255.0)) ** 2
+        |       for d in range(1, len(q.qe) + 1)]), 9) AS sq_d2
+        |  FROM enc CROSS JOIN q CROSS JOIN rng
+        |  WHERE enc.vec_id <> q.q_id),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, vec_id) AS rn
+        |    FROM sq) WHERE rn <= 128),
+        |rer AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    round(list_cosine_similarity(q.qe, v.e), 6) AS score
+        |  FROM short s JOIN q USING (q_id) JOIN v USING (vec_id))
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM rer
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     "sim_knn_pq" ->
       """WITH v AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),

@@ -73,6 +73,36 @@ class PqSpec extends SparkSuite {
       "re-ranking the whole corpus must reproduce brute force exactly")
   }
 
+  test("sq8: codes in range, pure-map encode, full shortlist ≡ brute force") {
+    import graft.similarity.Sq
+    val (lo, hi) = Sq.fitRange(corpus)
+    assert(lo.length == hi.length && lo.zip(hi).forall { case (l, h) => l <= h })
+    val codes = Sq.encode(corpus, lo, hi)
+    assert(!codes.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SQ8 encode must be a pure map over the scan")
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0, "codes must stay in 0..255")
+    val n = corpus.count().toInt
+    val sq = Sq.sqKnn(queries, corpus, lo, hi, k = 5, shortlist = n)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(sq === brute,
+      "re-ranking the whole corpus must reproduce brute force exactly")
+  }
+
+  test("sq8 recall@5 at the shipped shortlist is near-exact on the small corpus") {
+    import graft.similarity.Sq
+    val (lo, hi) = Sq.fitRange(corpus)
+    val sq = Sq.sqKnn(queries, corpus, lo, hi, k = 5, shortlist = 128)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 distortion is small; recall@5 was $recall")
+  }
+
   test("native encode kernel is bit-identical to the HOF reference form") {
     val cb = Pq.pivotCodebook(corpus, m = 16, ks = 32)
     val native = Pq.encode(corpus, cb).collect()
