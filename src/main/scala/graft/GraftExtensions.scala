@@ -113,7 +113,69 @@ object GraftExtensions {
       {
         case Seq(c) => QcelMoleculeCanonical(c)
         case _ => arity("qcel_molecule_canonical", "1 (molecule_struct)")
+      }),
+    // Compositional sketch/layout primitives — registered as DIRECT
+    // Catalyst trees (a composed public Column can't cross the registry
+    // boundary: it wraps an unresolvable ColumnNode), mirroring the
+    // Sketches/Layout column builders expression-for-expression. Pinned
+    // equal to the DataFrame forms in ExtensionsSpec.
+    (FunctionIdentifier("hll_bucket"),
+      info("hll_bucket", graft.sketch.Sketches.getClass,
+        "hll_bucket(value) - HLL register index (first 8 md5 bits)"),
+      {
+        case Seq(c) => CatalystBuilders.hllBucket(c)
+        case _ => arity("hll_bucket", "1 (value)")
+      }),
+    (FunctionIdentifier("hll_rho"),
+      info("hll_rho", graft.sketch.Sketches.getClass,
+        "hll_rho(value) - HLL register rank (leading zeros of the 52-bit md5 word + 1)"),
+      {
+        case Seq(c) => CatalystBuilders.hllRho(c)
+        case _ => arity("hll_rho", "1 (value)")
+      }),
+    (FunctionIdentifier("zorder_key"),
+      info("zorder_key", graft.operators.Layout.getClass,
+        "zorder_key(a, b) - 42-bit Morton interleave of two non-negative keys"),
+      {
+        case Seq(a, b) => CatalystBuilders.zOrderKey(a, b)
+        case _ => arity("zorder_key", "2 (a, b)")
       }))
+
+  /** Catalyst-tree twins of the compositional Column builders. */
+  private object CatalystBuilders {
+    import org.apache.spark.sql.catalyst.expressions.{Bin, BitwiseAnd, BitwiseOr,
+      CaseWhen, Cast, Conv, EqualTo, Length, Md5, ShiftLeft, ShiftRight, Substring, Subtract}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+
+    private def md5hex(c: Expression): Expression =
+      Md5(Cast(Cast(c, StringType), BinaryType))
+
+    /** conv(substr(md5(v), 1, 2), 16, 10)::int — ≡ Sketches.hllBucket. */
+    def hllBucket(c: Expression): Expression =
+      Cast(Conv(Substring(md5hex(c), Literal(1), Literal(2)),
+        Literal(16), Literal(10)), IntegerType)
+
+    /** 53 − bit_length(w) with the zero word pinned to 53 — ≡ Sketches.hllRho. */
+    def hllRho(c: Expression): Expression = {
+      val w = Cast(Conv(Substring(md5hex(c), Literal(3), Literal(13)),
+        Literal(16), Literal(10)), LongType)
+      Cast(CaseWhen(
+        Seq((EqualTo(w, Literal(0L)), Literal(53))),
+        Some(Subtract(Literal(53), Length(Bin(w))))), IntegerType)
+    }
+
+    /** Bitwise Morton fold — ≡ Layout.zOrderKey(bits = 21). */
+    def zOrderKey(a: Expression, b: Expression): Expression = {
+      val al = Cast(a, LongType); val bl = Cast(b, LongType)
+      (0 until 21).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+        BitwiseOr(acc, BitwiseOr(
+          ShiftLeft(BitwiseAnd(ShiftRight(al, Literal(i)), Literal(1L)),
+            Literal(2 * i + 1)),
+          ShiftLeft(BitwiseAnd(ShiftRight(bl, Literal(i)), Literal(1L)),
+            Literal(2 * i))))
+      }
+    }
+  }
 
   /** Register every function into a live session's registry. */
   def register(spark: SparkSession): Unit =

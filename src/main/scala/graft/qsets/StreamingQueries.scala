@@ -102,6 +102,26 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // ST13 — streaming ingest of the persistent HLL index: each
+    // micro-batch's registers commit to their own batch=<id> partition
+    // (foreachBatch's batchId IS the idempotency key), and the serving
+    // read MAX-merges all batches. Register-merge losslessness makes
+    // the served estimate bit-identical to the batch sketch of the
+    // whole stream — a STREAMING-MAINTAINED approximate index with a
+    // full hash oracle.
+    "st13_stream_hll_index" -> ((s, dir) => {
+      import graft.sketch.Sketches
+      val idx = "/tmp/graft_export/stream/st13_hllidx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      EventStreams.streamingHllIndex(s, dir, idx, Seq("event_type"), col("event_id"))
+      val merged = Sketches.hllIndexRead(s, idx, Seq("event_type"))
+      val exact = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("exact_nd"))
+      exact.join(Sketches.hllFold(merged, Seq("event_type"), "est_hll"), "event_type")
+        .orderBy("event_type")
+    }),
+
     // ST12 — streaming quantile sketch: per-type value quantiles from a
     // bottom-256-by-(hash,value) sample tracked as streaming state
     // (≤256 pairs per key at any stream volume — the order-statistics
@@ -270,6 +290,33 @@ object StreamingQueries extends QuerySet {
         |FROM latest, horizon
         |WHERE last_hb < now - INTERVAL '48 hours'
         |ORDER BY user_id""".stripMargin,
+
+    "st13_stream_hll_index" ->
+      s"""WITH w AS (
+         |  SELECT event_type AS g,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 3, 13)) AS BIGINT) AS wv
+         |  FROM events),
+         |regs AS (
+         |  SELECT g, bucket,
+         |         MAX(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS r
+         |  FROM w GROUP BY g, bucket),
+         |agg AS (
+         |  SELECT g, COUNT(*) AS present,
+         |         SUM(CAST(1 AS BIGINT) << (53 - r)) AS s_present
+         |  FROM regs GROUP BY g),
+         |est AS (
+         |  SELECT g, CAST(256 - present AS BIGINT) AS v_zero,
+         |         CAST(s_present + (256 - present) * 9007199254740992 AS BIGINT) AS s_scaled
+         |  FROM agg),
+         |ex AS (
+         |  SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_nd
+         |  FROM events GROUP BY g)
+         |SELECT ex.g AS event_type, n_rows, exact_nd, v_zero, s_scaled,
+         |       ${java.lang.Double.toString(graft.sketch.Sketches.HllNumerator)} / CAST(s_scaled AS DOUBLE) AS est_hll
+         |FROM ex JOIN est ON ex.g = est.g
+         |ORDER BY event_type""".stripMargin,
 
     "st12_stream_quantile" ->
       """WITH ev AS (

@@ -231,6 +231,28 @@ object EventStreams {
     runToDir(counters, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
+  /** Streaming maintenance of the PERSISTENT HLL index: each
+    * micro-batch's registers land in the index's `batch=<batchId>`
+    * partition via [[graft.sketch.Sketches.hllIndexAddBatch]] — the
+    * foreachBatch (batchDf, batchId) signature IS the index's
+    * idempotent commit contract, so a batch retry overwrites its own
+    * partition and the serving read never double-counts. This is the
+    * streaming ingest path of the sk_hll_incremental pattern: a
+    * dashboard's all-time distinct counts stay bytes-sized and
+    * oracle-exact while the stream runs. */
+  def streamingHllIndex(spark: SparkSession, dir: String, indexPath: String,
+                        groupCols: Seq[String], value: Column): Unit = {
+    import graft.sketch.Sketches
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val q = readEvents(spark, dir).writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        Sketches.hllIndexAddBatch(b.toDF(), groupCols, value, indexPath, batchId)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Streaming bottom-k quantile sample: per-key value quantiles
     * tracked with SKETCH-BOUNDED state (≤k (hash, value) pairs per key
     * — the order-statistics sibling of the HLL registers and CMS

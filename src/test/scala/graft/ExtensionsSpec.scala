@@ -92,6 +92,22 @@ class ExtensionsSpec extends SparkSuite {
     assert(viaMolSql === viaMolDf)
   }
 
+  test("compositional primitives from SQL equal the DataFrame forms") {
+    docs.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT id, hll_bucket(id) AS b, hll_rho(id) AS r,
+        |  zorder_key(id, id + 1) AS z
+        |FROM ext_docs2 ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val viaDf = docs.select(col("id"),
+        graft.sketch.Sketches.hllBucket(col("id")).as("b"),
+        graft.sketch.Sketches.hllRho(col("id")).as("r"),
+        graft.operators.Layout.zOrderKey(col("id"), col("id") + 1).as("z"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(viaSql.toSeq === viaDf.toSeq)
+  }
+
   test("sizing parameters must be literals — a column argument fails loudly") {
     docs.createOrReplaceTempView("ext_docs")
     val e = intercept[Exception] {
