@@ -142,6 +142,27 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // Incremental CHUNK-level dedup (CdcIndex): originals arrive as
+    // batch one (index empty — every chunk novel), their copies as
+    // batch two, which the persistent chunk-fingerprint index catches
+    // at n_novel = 0 per copy — passage-granularity dedup that survives
+    // offsets and insertions (CDC re-synchronization). FULL hash oracle,
+    // unlike the signature-family indexes: the md5 chunk rule is
+    // engine-portable end to end.
+    "dd_cdc_incremental" -> ((s, dir) => {
+      import graft.dedup.CdcIndex
+      val idx = "/tmp/graft_export/cdcidx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = doubled(s, dir)
+      val b1 = CdcIndex.addBatch(docs.filter(col("doc_id") < COPY_OFFSET),
+        "doc_id", "text", idx, batchId = 1L)
+      val b2 = CdcIndex.addBatch(docs.filter(col("doc_id") >= COPY_OFFSET),
+        "doc_id", "text", idx, batchId = 2L)
+      b1.unionByName(b2).orderBy(col("doc_id"))
+    }),
+
     // Incremental (daily-ingest) near-dup dedup: originals arrive as batch
     // one, their exact copies as batch two; every copy matches the
     // survivor index at jaccard 1.0 (or its family's indexed rep, since
@@ -388,6 +409,43 @@ object DedupQueries extends QuerySet {
     // sharing any band key, verify = exact set Jaccard >= 0.5. The doc
     // subset (300) keeps every band bucket far below the Spark side's
     // 1024 cap, so no bridge pairs perturb the all-pairs banding.
+    "dd_cdc_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM d),
+        |bnd AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |         CASE WHEN len(t) >= 3 THEN
+        |           [i for i in range(3, len(t) + 1)
+        |            if CAST(('0x' || substr(md5(array_to_string(t[i-2:i], chr(31))), 1, 2)) AS BIGINT) % 8 = 0]
+        |         ELSE [] END AS bs
+        |  FROM toks),
+        |sp AS (
+        |  SELECT doc_id, t, n,
+        |         list_concat([1], [b + 1 for b in bs if b < n]) AS starts,
+        |         CASE WHEN len(bs) = 0 OR bs[len(bs)] <> n
+        |           THEN list_concat(bs, [n]) ELSE bs END AS ends
+        |  FROM bnd),
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(t[starts[ci]:ends[ci]], chr(31))) AS fp
+        |  FROM sp, unnest(generate_series(1, len(starts))) u(ci)),
+        |b1 AS (SELECT * FROM ch WHERE doc_id < 1000000),
+        |b2 AS (SELECT * FROM ch WHERE doc_id >= 1000000),
+        |k1 AS (SELECT DISTINCT fp FROM b1),
+        |r1 AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |         CAST(COUNT(*) AS BIGINT) AS n_novel
+        |  FROM b1 GROUP BY doc_id),
+        |r2 AS (
+        |  SELECT b2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |         CAST(SUM(CASE WHEN k1.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM b2 LEFT JOIN k1 ON b2.fp = k1.fp GROUP BY b2.doc_id)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY doc_id""".stripMargin,
+
     "dd_minhash_md5" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
