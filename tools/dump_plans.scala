@@ -53,7 +53,15 @@ val notes: Seq[(String, String)] = Seq(
   "j16_range_join" -> "Interval containment as an equi join: intervals explode into fixed-width bins (bounded fan-out), points map to exactly one bin, the join runs equi on (key,bin) and the exact predicate filters after - a plain SMJ/hash join AQE can size or broadcast, never a BNLJ.",
   "dd_bucketed_incremental" -> "Bucketed-index incremental dedup: candidate and verify joins read the accumulated index tables bucket-aligned (zero exchange on the index side - the side that grows without bound under daily ingest); only the arriving batch shuffles to the bucket layout. Final plan reads the survivor checkpoint; the zero-exchange index reads are pinned in BucketedIndexSpec.",
   "f7_spec_hash" -> "Reference hash_dict parity digest: scan -> project through the codegen'd py_canonical_json + sha2 pipeline -> ordered output; one narrow projection, no shuffle before the final ORDER BY.",
-  "mol_qcel_canonical" -> "QCElemental get_hash pre-image: pure codegen'd projection (qcel_molecule_canonical over the synthesized molecule struct), no shuffle before the final ORDER BY."
+  "mol_qcel_canonical" -> "QCElemental get_hash pre-image: pure codegen'd projection (qcel_molecule_canonical over the synthesized molecule struct), no shuffle before the final ORDER BY.",
+  "sk_quantile_bottomk" -> "Quantile sketch: the sample side is a k-bounded MinKPairs ObjectHashAggregate (partial map-side, <=256 pairs per task per group - never a per-group sort), broadcast onto the windowed exact-reference side; estimates are pure index selection, so even they hash-match the oracle.",
+  "sk_bloom_grams" -> "Size-adaptive Bloom: the 1-row sizing frame (hex-width integer arithmetic from the corpus count) broadcasts into both the bit-table build and the probes; membership is a hashed (i,bucket) join - never a false negative, false positives measured in the output.",
+  "sk_cms_joinsize" -> "Join sizing from sketches alone: two d x 4096 CMS counter tables inner-product per hash row, MIN over rows - the broadcast-vs-shuffle decision input computed without rescanning either join side, all integer, oracle-exact.",
+  "sk_hll_incremental" -> "Persistent sketch index: per-batch registers in batch=<id> partitions (idempotent overwrite), the serving read MAX-merges all batches; register losslessness makes the served estimate bit-identical to the full-table sketch at bytes of index per batch.",
+  "lay_compaction" -> "Small-files compaction plan: sequential bin packing by a DISTRIBUTED running byte sum (range partition + counts-only shard offsets + in-shard window) - the single-partition SUM OVER (ORDER BY) a naive planner would emit never appears; bins and boundaries are exact integer arithmetic the oracle replays.",
+  "tx_cdc_chunks" -> "Content-defined chunking: md5-mod cut rule over trailing token windows as bounded per-doc HOFs (insertion re-synchronization is the point - fixed chunking loses every offset); only fingerprints shuffle for the cross-document shared-chunk aggregation.",
+  "dd_cdc_incremental" -> "Chunk-level incremental dedup: the batch's CDC fingerprints left-anti join the persistent fingerprint index (bytes per unique passage, batch=<id> idempotent commits); copied passages score novel=0 even at shifted offsets, and the whole pipeline hash-checks against the oracle.",
+  "sim_knn_sq8" -> "Scalar 8-bit quantization ANN: encode is a pure map (per-dim ranges inline as plan literals - plan-pinned exchange-free), scoring reconstructs from the codes column alone, the bounded shortlist heap caps the shuffle, and only shortlist rows touch raw vectors in the exact re-rank."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
