@@ -43,6 +43,47 @@ object Layout {
     }
   }
 
+  /** Hilbert-curve index of a 2-D point, `bits` bits per axis — the
+    * locality-OPTIMAL space-filling order: unlike the Z-curve (which
+    * takes 2^k-sized jumps at quadrant seams), consecutive Hilbert
+    * indices are always Manhattan-adjacent cells, so range-clustered
+    * files have strictly tighter bounding boxes — the layout behind
+    * "liquid"-style clustering in modern lakehouses, next to
+    * [[zOrderKey]] as the cheap default.
+    *
+    * Standard iterative xy→d transform (quadrant rotation per bit
+    * level), expressed as ONE bounded `aggregate` fold over the bit
+    * levels: the accumulator (x, y, d) is a lambda-bound struct, so
+    * each of the `bits` iterations references the previous state as an
+    * attribute — no exponential expression-tree unrolling, no HOF
+    * re-evaluation (the cdcChunkFingerprints lesson), ~21 small steps
+    * per row. Every step is integer arithmetic the SQL oracle replays
+    * with a recursive CTE. */
+  def hilbertKey(a: Column, b: Column, bits: Int = 21): Column = {
+    val folded = aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      struct(a.cast("long").as("x"), b.cast("long").as("y"), lit(0L).as("d")),
+      (acc, i) => {
+        // 2^i is exact in double for i ≤ 52 → exact long
+        val s = pow(lit(2.0), i.cast("double")).cast("long")
+        val x = acc.getField("x"); val y = acc.getField("y")
+        val d = acc.getField("d")
+        val rx = when(x.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val ry = when(y.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val d2 = d + s * s * ((lit(3L) * rx).bitwiseXOR(ry))
+        // quadrant rotation: reflect when rx=1∧ry=0, then swap axes
+        val flip = rx === 1L && ry === 0L
+        val xr = when(flip, s - 1L - x).otherwise(x)
+        val yr = when(flip, s - 1L - y).otherwise(y)
+        struct(
+          when(ry === 0L, yr).otherwise(xr).as("x"),
+          when(ry === 0L, xr).otherwise(yr).as("y"),
+          d2.as("d"))
+      },
+      acc => acc.getField("d"))
+    folded
+  }
+
   /** Simulated file-level skipping stats for one layout: rows ranked by
     * `orderCols` (the write order), cut into `buckets` equal-size files
     * (bucket = (rank-1)·buckets / n, exact integer math), then per-file

@@ -249,6 +249,28 @@ object SketchQueries extends QuerySet {
         .orderBy("bin")
     }),
 
+    // Hilbert vs Z-order layout under the same box predicate: the
+    // locality-optimal curve (consecutive indices always adjacent
+    // cells — unit-pinned; the Z curve jumps at quadrant seams) must
+    // scan no more files than Z-order. The xy→d transform is a bounded
+    // 21-step integer fold the oracle replays with a recursive CTE.
+    "lay_hilbert_skip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val keyed = li
+        .withColumn("zkey", Layout.zOrderKey(col("l_partkey"), col("l_suppkey")))
+        .withColumn("hkey", Layout.hilbertKey(col("l_partkey"), col("l_suppkey")))
+      val hi = keyed.agg(max(col("l_partkey")).as("p"), max(col("l_suppkey")).as("q")).head
+      val (pHi, sHi) = (hi.getLong(0) / 4, hi.getLong(1) / 4)
+      val zordered = Layout.skipStats(keyed, "zorder",
+        Seq(col("zkey"), col("l_orderkey"), col("l_linenumber")),
+        col("l_partkey"), pHi, col("l_suppkey"), sHi)
+      val hilbert = Layout.skipStats(keyed, "hilbert",
+        Seq(col("hkey"), col("l_orderkey"), col("l_linenumber")),
+        col("l_partkey"), pHi, col("l_suppkey"), sHi)
+      hilbert.unionAll(zordered).orderBy("layout")
+    }),
+
     // Z-order vs natural layout, identical box predicate: per-layout
     // file-level min/max skipping arithmetic (the parquet-footer pruning
     // test) over 64 simulated equal-size files. The Z-ordered layout
@@ -535,6 +557,65 @@ object SketchQueries extends QuerySet {
         |       CAST(SUM(sz) AS DOUBLE) / CAST(16384 AS DOUBLE) AS fill
         |FROM b GROUP BY bin
         |ORDER BY bin""".stripMargin,
+
+    "lay_hilbert_skip" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(list_sum([ (((l_partkey >> i) & 1)::BIGINT << (2*i+1)) for i in range(0, 21) ])
+        |       + list_sum([ (((l_suppkey >> i) & 1)::BIGINT << (2*i)) for i in range(0, 21) ]) AS BIGINT) AS zkey
+        |  FROM lineitem),
+        |pts AS (SELECT DISTINCT l_partkey AS x0, l_suppkey AS y0 FROM lineitem),
+        |hil AS (
+        |  SELECT x0, y0, 20 AS k, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d FROM pts
+        |  UNION ALL
+        |  SELECT x0, y0, k - 1,
+        |         CASE WHEN ry = 0 THEN yr ELSE xr END AS x,
+        |         CASE WHEN ry = 0 THEN xr ELSE yr END AS y,
+        |         d + s * s * xor(3 * rx, ry) AS d
+        |  FROM (
+        |    SELECT x0, y0, k, d, s, rx, ry,
+        |           CASE WHEN rx = 1 AND ry = 0 THEN s - 1 - x ELSE x END AS xr,
+        |           CASE WHEN rx = 1 AND ry = 0 THEN s - 1 - y ELSE y END AS yr
+        |    FROM (
+        |      SELECT x0, y0, k, x, y, d,
+        |             (CAST(1 AS BIGINT) << k) AS s,
+        |             CASE WHEN (x & (CAST(1 AS BIGINT) << k)) > 0 THEN 1 ELSE 0 END AS rx,
+        |             CASE WHEN (y & (CAST(1 AS BIGINT) << k)) > 0 THEN 1 ELSE 0 END AS ry
+        |      FROM hil WHERE k >= 0) a) b),
+        |hk AS (SELECT x0, y0, d AS hkey FROM hil WHERE k = -1),
+        |li2 AS (
+        |  SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey,
+        |         li.zkey, hk.hkey
+        |  FROM li JOIN hk ON li.l_partkey = hk.x0 AND li.l_suppkey = hk.y0),
+        |tot AS (SELECT COUNT(*) AS n, MAX(l_partkey) // 4 AS p_hi, MAX(l_suppkey) // 4 AS s_hi FROM li2),
+        |zo AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         ((row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber) - 1) * 64) // (SELECT n FROM tot) AS b
+        |  FROM li2),
+        |hi AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         ((row_number() OVER (ORDER BY hkey, l_orderkey, l_linenumber) - 1) * 64) // (SELECT n FROM tot) AS b
+        |  FROM li2),
+        |stats AS (
+        |  SELECT 'hilbert' AS layout, b, MIN(l_partkey) AS m1, MIN(l_suppkey) AS m2,
+        |         SUM(CASE WHEN l_partkey <= (SELECT p_hi FROM tot)
+        |                   AND l_suppkey <= (SELECT s_hi FROM tot) THEN 1 ELSE 0 END) AS rib
+        |  FROM hi GROUP BY b
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, b, MIN(l_partkey) AS m1, MIN(l_suppkey) AS m2,
+        |         SUM(CASE WHEN l_partkey <= (SELECT p_hi FROM tot)
+        |                   AND l_suppkey <= (SELECT s_hi FROM tot) THEN 1 ELSE 0 END) AS rib
+        |  FROM zo GROUP BY b)
+        |SELECT layout,
+        |       CAST(COUNT(*) AS BIGINT) AS buckets_total,
+        |       CAST(SUM(CASE WHEN m1 <= (SELECT p_hi FROM tot)
+        |                      AND m2 <= (SELECT s_hi FROM tot) THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+        |       CAST(SUM(rib) AS BIGINT) AS rows_in_box,
+        |       CAST(COUNT(*) - SUM(CASE WHEN m1 <= (SELECT p_hi FROM tot)
+        |                                 AND m2 <= (SELECT s_hi FROM tot) THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS skip_ratio
+        |FROM stats GROUP BY layout
+        |ORDER BY layout""".stripMargin,
 
     "lay_zorder_skip" ->
       """WITH li AS (

@@ -71,6 +71,45 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(s"$tmp/z").count() == li.count())
   }
 
+  test("hilbertKey ≡ reference xy→d transform") {
+    def ref(x0: Long, y0: Long, bits: Int): Long = {
+      var x = x0; var y = y0; var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pts = for (a <- Seq(0L, 1L, 5L, 255L, 65535L, 1999999L);
+                   b <- Seq(0L, 2L, 7L, 1023L, 1048575L)) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .withColumn("h", Layout.hilbertKey(col("a"), col("b")))
+      .select("a", "b", "h").as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, h) => assert(h == ref(a, b, 21), s"($a,$b)") }
+  }
+
+  test("hilbert locality: consecutive indices are Manhattan-adjacent cells (Z-order is not)") {
+    // full 8×8 grid at bits=3: walk cells in curve order
+    val cells = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+    def walk(keyed: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      keyed.orderBy("k").select("x", "y").as[(Long, Long)].collect().toSeq
+    val h = walk(cells.withColumn("k", Layout.hilbertKey(col("x"), col("y"), bits = 3)))
+    val z = walk(cells.withColumn("k", Layout.zOrderKey(col("x"), col("y"), bits = 3)))
+    def jumps(p: Seq[(Long, Long)]): Int = p.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+      case _ => false
+    }
+    assert(jumps(h) == 0, "every Hilbert step moves to an adjacent cell")
+    assert(jumps(z) > 0, "the Z curve jumps at quadrant seams — the contrast")
+  }
+
   test("sequentialBins ≡ single-window cumulative-sum reference, shards straddled") {
     import org.apache.spark.sql.expressions.Window
     // sizes chosen so bins straddle the range-partition shard boundaries
