@@ -64,8 +64,9 @@ object Layout {
       sequence(lit(bits - 1), lit(0), lit(-1)),
       struct(a.cast("long").as("x"), b.cast("long").as("y"), lit(0L).as("d")),
       (acc, i) => {
-        // 2^i is exact in double for i ≤ 52 → exact long
-        val s = pow(lit(2.0), i.cast("double")).cast("long")
+        // 2^i from a literal lookup table — one array read per step,
+        // no per-step floating-point pow in the interpreted fold
+        val s = element_at(typedLit((0 until bits).map(1L << _)), i + 1)
         val x = acc.getField("x"); val y = acc.getField("y")
         val d = acc.getField("d")
         val rx = when(x.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))

@@ -257,9 +257,13 @@ object SketchQueries extends QuerySet {
     "lay_hilbert_skip" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      // checkpoint the keyed frame: skipStats evaluates its input
+      // several times (count + rank + stats, per layout) and the
+      // 21-step Hilbert fold must not be re-run five times over the fact
       val keyed = li
         .withColumn("zkey", Layout.zOrderKey(col("l_partkey"), col("l_suppkey")))
         .withColumn("hkey", Layout.hilbertKey(col("l_partkey"), col("l_suppkey")))
+        .localCheckpoint(eager = true)
       val hi = keyed.agg(max(col("l_partkey")).as("p"), max(col("l_suppkey")).as("q")).head
       val (pHi, sHi) = (hi.getLong(0) / 4, hi.getLong(1) / 4)
       val zordered = Layout.skipStats(keyed, "zorder",
