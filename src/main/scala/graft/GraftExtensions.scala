@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.LongType
 
 import graft.functions._
 
@@ -139,6 +140,17 @@ object GraftExtensions {
       {
         case Seq(a, b) => CatalystBuilders.zOrderKey(a, b)
         case _ => arity("zorder_key", "2 (a, b)")
+      }),
+    (FunctionIdentifier("hilbert_key"),
+      info("hilbert_key", classOf[HilbertKey],
+        "hilbert_key(x, y[, bits=21]) - Hilbert-curve index of a 2-D point"),
+      {
+        case Seq(a, b) =>
+          HilbertKey(Cast(a, LongType), Cast(b, LongType), 21)
+        case Seq(a, b, bits) =>
+          HilbertKey(Cast(a, LongType), Cast(b, LongType),
+            intArg("hilbert_key", 3, bits))
+        case _ => arity("hilbert_key", "2 or 3 (x, y[, bits])")
       }))
 
   /** Catalyst-tree twins of the compositional Column builders. */

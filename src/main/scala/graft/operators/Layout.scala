@@ -51,15 +51,21 @@ object Layout {
     * "liquid"-style clustering in modern lakehouses, next to
     * [[zOrderKey]] as the cheap default.
     *
-    * Standard iterative xy→d transform (quadrant rotation per bit
-    * level), expressed as ONE bounded `aggregate` fold over the bit
-    * levels: the accumulator (x, y, d) is a lambda-bound struct, so
-    * each of the `bits` iterations references the previous state as an
-    * attribute — no exponential expression-tree unrolling, no HOF
-    * re-evaluation (the cdcChunkFingerprints lesson), ~21 small steps
-    * per row. Every step is integer arithmetic the SQL oracle replays
-    * with a recursive CTE. */
-  def hilbertKey(a: Column, b: Column, bits: Int = 21): Column = {
+    * Native codegen'd [[graft.functions.HilbertKey]] — one static call
+    * of straight integer arithmetic per row, inside whole-stage codegen.
+    * The previous composable form ([[hilbertKeyFold]], kept as the
+    * equivalence pin) ran the same xy→d transform as an interpreted
+    * 21-step `aggregate` lambda fold — correct, but the write-path
+    * clustering key must run at scan speed at 100 TB. The SQL oracle
+    * replays the same integer steps with a recursive CTE. */
+  def hilbertKey(a: Column, b: Column, bits: Int = 21): Column =
+    graft.functions.HilbertKey(a, b, bits)
+
+  /** The original `aggregate`-fold form of [[hilbertKey]] — interpreted,
+    * ~21 lambda steps per row. Retained ONLY as the independent
+    * implementation the native expression is equivalence-pinned against
+    * (`CodegenSpec`); not used on any query path. */
+  private[graft] def hilbertKeyFold(a: Column, b: Column, bits: Int = 21): Column = {
     val folded = aggregate(
       sequence(lit(bits - 1), lit(0), lit(-1)),
       struct(a.cast("long").as("x"), b.cast("long").as("y"), lit(0L).as("d")),
@@ -177,14 +183,22 @@ object Layout {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
                      outDir: String, orderCols: Seq[Column],
                      targetBytes: Long): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(inDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
-    val totalBytes = parts.map(_.getLen).sum
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inQ = fs.makeQualified(inPath).toString
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)).toString
+    require(inQ != outQ && !inQ.startsWith(outQ + "/") && !outQ.startsWith(inQ + "/"),
+      s"compactParquet: outDir must not overlap inDir (mode=overwrite would " +
+        s"delete the source mid-read): in=$inQ out=$outQ")
+    val src = spark.read.parquet(inDir)
+    // size from the files the read actually resolved — listStatus on the
+    // top level alone would miss partitioned subdirectories (totalBytes 0
+    // → everything compacted into ONE file, however large the input)
+    val parts = src.inputFiles.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val totalBytes = parts.sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir)
+    src
       .repartitionByRange(nOut, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .write.mode("overwrite").parquet(outDir)

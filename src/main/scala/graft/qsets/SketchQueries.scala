@@ -552,10 +552,10 @@ object SketchQueries extends QuerySet {
       """WITH f AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS sz FROM documents),
         |c AS (
         |  SELECT doc_id, sz,
-        |         SUM(sz) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz AS cum_before
+        |         CAST(SUM(sz) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz AS BIGINT) AS cum_before
         |  FROM f),
-        |b AS (SELECT doc_id, sz, cum_before // 16384 AS bin FROM c)
+        |b AS (SELECT doc_id, sz, CAST(cum_before // 16384 AS BIGINT) AS bin FROM c)
         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS bytes,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         |       CAST(SUM(sz) AS DOUBLE) / CAST(16384 AS DOUBLE) AS fill

@@ -66,7 +66,13 @@ object SourcesSinks extends QuerySet {
         "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
         "nullValue" -> "\\N")
       events.write.mode("overwrite").options(opts).csv(path)
-      s.read.schema(events.schema).options(opts).csv(path)
+      // multiLine: props is opaque JSON — if a value ever carries an
+      // embedded newline the quoted write is still valid CSV, but a
+      // line-framed read would split the row; parse quoted records
+      // across line boundaries so the byte-exact claim holds for ANY
+      // props body, not just the single-line fixtures
+      s.read.schema(events.schema).options(opts)
+        .option("multiLine", "true").csv(path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
           countDistinct(col("props")).as("n_props"),

@@ -50,25 +50,32 @@ object EventStreams {
     * st5) and the driver is the memory ceiling at scale. foreachBatch
     * keeps each batch a distributed frame: Complete overwrites (each
     * batch carries the full result, last write is the converged one),
-    * Update/Append append (same accumulate-emissions semantics as the
-    * memory sink in those modes; downstream selection — e.g. max
-    * n_events per key — is already emission-count agnostic, which also
-    * keeps a foreachBatch retry benign). */
+    * Update/Append land each micro-batch in its own `batch=<id>`
+    * partition with overwrite — a retried batch REPLACES its own
+    * partition instead of blindly appending duplicate rows (the same
+    * idempotent-overwrite discipline as `hllIndexAddBatch`; a blind
+    * append would silently inflate e.g. st10's n_pairs on retry). */
   def runToDir(df: DataFrame, outDir: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    val saveMode = if (mode == OutputMode.Complete) "overwrite" else "append"
+    val complete = mode == OutputMode.Complete
     val q = df.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        b.write.mode(saveMode).parquet(outDir); ()
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val target = if (complete) outDir else s"$outDir/batch=$batchId"
+        b.write.mode("overwrite").parquet(target); ()
       }
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    if (fs.exists(p)) spark.read.schema(schema).parquet(outDir)
-    else spark.createDataFrame( // zero emissions → typed empty frame
+    if (fs.exists(p)) {
+      if (complete) spark.read.schema(schema).parquet(outDir)
+      else spark.read
+        .schema(schema.add("batch", org.apache.spark.sql.types.LongType))
+        .parquet(outDir)
+        .select(schema.fieldNames.map(col): _*)
+    } else spark.createDataFrame( // zero emissions → typed empty frame
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 

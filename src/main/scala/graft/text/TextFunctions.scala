@@ -162,12 +162,17 @@ object TextFunctions {
     // a HOF lambda re-executes every non-attribute expression it
     // references (the shinglesFromTokens lesson; measured ~30x slower
     // on the corpus before this rewrite).
+    // `open` tracks chunk-openness explicitly: the empty string is a
+    // legitimate token value (a whitespace-only document tokenizes to
+    // [""]), so using "" as the no-open-chunk sentinel would silently
+    // drop that document's one chunk while the SQL oracle emits md5('').
     aggregate(
       sequence(lit(1), size(toks)),
-      struct(array().cast("array<string>").as("fps"), lit("").as("cur")),
+      struct(array().cast("array<string>").as("fps"), lit("").as("cur"),
+        lit(false).as("open")),
       (acc, i) => {
         val tok = element_at(toks, i)
-        val cur2 = when(acc.getField("cur") === "", tok)
+        val cur2 = when(!acc.getField("open"), tok)
           .otherwise(concat(acc.getField("cur"), lit(sep), tok))
         val isCut = when(i >= window,
           conv(substring(md5(array_join(
@@ -177,9 +182,10 @@ object TextFunctions {
         struct(
           when(isCut, concat(acc.getField("fps"), array(md5(cur2))))
             .otherwise(acc.getField("fps")).as("fps"),
-          when(isCut, lit("")).otherwise(cur2).as("cur"))
+          when(isCut, lit("")).otherwise(cur2).as("cur"),
+          (!isCut).as("open"))
       },
-      acc => when(acc.getField("cur") === "", acc.getField("fps"))
+      acc => when(!acc.getField("open"), acc.getField("fps"))
         .otherwise(concat(acc.getField("fps"), array(md5(acc.getField("cur"))))))
   }
 

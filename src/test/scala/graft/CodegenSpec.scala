@@ -45,8 +45,36 @@ class CodegenSpec extends SparkSuite {
       graft.functions.QcelMoleculeCanonical(molStruct),
       graft.functions.CosineSim(arrD, arrD),
       graft.functions.CosineSim(arrF, arrD),
-      graft.functions.SortedIntersectCount(arrL, arrL)))
+      graft.functions.SortedIntersectCount(arrL, arrL),
+      graft.functions.HilbertKey(
+        BoundReference(6, LongType, nullable = true),
+        BoundReference(7, LongType, nullable = true), 21)))
     assert(proj != null)
+  }
+
+  test("native hilbert_key is identical to the aggregate-fold form (seeded sweep)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Layout
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    // corners + seams + random interior, at both the 3-bit grid the
+    // adjacency pin uses and the full 21-bit production domain
+    val edge = Seq((0L, 0L), (0L, 7L), (7L, 0L), (7L, 7L), (3L, 4L), (4L, 3L))
+    val rand21 = (0 until 500).map { _ =>
+      (rnd.nextLong().abs % (1L << 21), rnd.nextLong().abs % (1L << 21)) }
+    val df = (edge ++ rand21).toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 21).as("native"),
+        Layout.hilbertKeyFold(col("x"), col("y"), bits = 21).as("fold"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 3).as("native3"),
+        Layout.hilbertKeyFold(col("x"), col("y"), bits = 3).as("fold3"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"hilbert_key(21) diverged at (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getLong(4) === r.getLong(5),
+        s"hilbert_key(3) diverged at (${r.getLong(0)},${r.getLong(1)})")
+    }
   }
 
   test("native cosine_sim is bit-identical to the HOF form (seeded sweep)") {

@@ -47,6 +47,16 @@ class CurationSpec extends SparkSuite {
         TextFunctions.wsTokens(col("text"))).as("fps"))
       .as[Seq[String]].head
     assert(got == ref(text.split(" ")))
+    // degenerate docs: whitespace-only text tokenizes to [""] — one
+    // md5('') chunk, exactly what the DuckDB oracle emits (the empty
+    // string is a token value, NOT the no-open-chunk sentinel)
+    val degenerate = Seq(Tuple1("   "), Tuple1("")).toDF("text")
+      .select(TextFunctions.cdcChunkFingerprints(
+        TextFunctions.wsTokens(col("text"))).as("fps"))
+      .as[Seq[String]].collect()
+    degenerate.foreach { fps =>
+      assert(fps == Seq(md5hex("")), s"degenerate doc must yield one md5('') chunk, got $fps")
+    }
   }
 
   test("cdc chunking re-synchronizes after an insertion; fixed chunking cannot") {

@@ -96,15 +96,20 @@ class ExtensionsSpec extends SparkSuite {
     docs.createOrReplaceTempView("ext_docs2")
     val viaSql = spark.sql(
       """SELECT id, hll_bucket(id) AS b, hll_rho(id) AS r,
-        |  zorder_key(id, id + 1) AS z
+        |  zorder_key(id, id + 1) AS z,
+        |  hilbert_key(id, id + 1) AS h, hilbert_key(id, id + 1, 3) AS h3
         |FROM ext_docs2 ORDER BY id""".stripMargin)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
     val viaDf = docs.select(col("id"),
         graft.sketch.Sketches.hllBucket(col("id")).as("b"),
         graft.sketch.Sketches.hllRho(col("id")).as("r"),
-        graft.operators.Layout.zOrderKey(col("id"), col("id") + 1).as("z"))
+        graft.operators.Layout.zOrderKey(col("id"), col("id") + 1).as("z"),
+        graft.operators.Layout.hilbertKey(col("id"), col("id") + 1).as("h"),
+        graft.operators.Layout.hilbertKey(col("id"), col("id") + 1, bits = 3).as("h3"))
       .orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
     assert(viaSql.toSeq === viaDf.toSeq)
   }
 
