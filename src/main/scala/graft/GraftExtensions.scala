@@ -143,7 +143,10 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("hilbert_key"),
       info("hilbert_key", classOf[HilbertKey],
-        "hilbert_key(x, y[, bits=21]) - Hilbert-curve index of a 2-D point"),
+        "hilbert_key(x, y[, bits=21]) - Hilbert-curve index of a 2-D point. " +
+          "Domain: 0 <= x, y < 2^bits. Inputs are cast to LONG (fractional " +
+          "values truncate); out-of-domain coordinates are NOT rejected and " +
+          "yield meaningless locality keys - validate upstream."),
       {
         case Seq(a, b) =>
           HilbertKey(Cast(a, LongType), Cast(b, LongType), 21)

@@ -191,12 +191,20 @@ object Layout {
       s"compactParquet: outDir must not overlap inDir (mode=overwrite would " +
         s"delete the source mid-read): in=$inQ out=$outQ")
     val src = spark.read.parquet(inDir)
-    // size from the files the read actually resolved — listStatus on the
-    // top level alone would miss partitioned subdirectories (totalBytes 0
-    // → everything compacted into ONE file, however large the input)
-    val parts = src.inputFiles.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-    val totalBytes = parts.sum
+    // filesBefore from the files the read actually resolved (respects
+    // partitioned subdirectories); total SIZE via the batched recursive
+    // remote iterator — one getFileStatus RPC per file would be 200k
+    // sequential namenode/object-store round trips on a 200k-file
+    // manifest before the job even starts
+    val filesBefore = src.inputFiles.length
+    var totalBytes = 0L
+    val it = fs.listFiles(inPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        totalBytes += st.getLen
+    }
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     src
       .repartitionByRange(nOut, orderCols: _*)
@@ -206,7 +214,7 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val outParts = outFs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (parts.length, outParts)
+    (filesBefore, outParts)
   }
 
   /** Physically write `df` Z-ordered on (a, b): range-partition on the

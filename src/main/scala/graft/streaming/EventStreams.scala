@@ -62,9 +62,17 @@ object EventStreams {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     val complete = mode == OutputMode.Complete
+    // the per-batch partition column must not collide with a data column:
+    // a streamed frame with its own `__graft_batch` field would produce a
+    // duplicate field on read-back and a partition-directory name clash
+    // on write. The underscored name makes accidental collision unlikely;
+    // the require makes an actual one a loud error instead of corruption.
+    val batchCol = "__graft_batch"
+    require(complete || !schema.fieldNames.contains(batchCol),
+      s"runToDir: streamed schema must not contain reserved column '$batchCol'")
     val q = df.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val target = if (complete) outDir else s"$outDir/batch=$batchId"
+        val target = if (complete) outDir else s"$outDir/$batchCol=$batchId"
         b.write.mode("overwrite").parquet(target); ()
       }
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -72,7 +80,7 @@ object EventStreams {
     if (fs.exists(p)) {
       if (complete) spark.read.schema(schema).parquet(outDir)
       else spark.read
-        .schema(schema.add("batch", org.apache.spark.sql.types.LongType))
+        .schema(schema.add(batchCol, org.apache.spark.sql.types.LongType))
         .parquet(outDir)
         .select(schema.fieldNames.map(col): _*)
     } else spark.createDataFrame( // zero emissions → typed empty frame
