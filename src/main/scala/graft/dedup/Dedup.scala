@@ -359,6 +359,48 @@ object Dedup {
                    bucketCap: Int = 1024): DataFrame = {
     import graft.functions.SimHash64
     val sh = docs.select(col(idCol).as("id"), SimHash64(col(textCol)).as("sh"))
+    simhashPairsFromFingerprints(sh, bands, bandBits = 16, maxHamming, bucketCap)
+  }
+
+  /** SimHash with an ENGINE-PORTABLE fingerprint: a 60-bit simhash whose
+    * per-token bit votes come from the first 15 hex chars of md5(token)
+    * over the doc's DISTINCT whitespace tokens (bit i set iff
+    * sum over tokens of (2*bit_i(md5)-1) > 0 — strict, so ties are
+    * deterministic). 60 bits keep every value, band chunk and shift
+    * positive in signed-64 arithmetic in any engine (bit 63 would need
+    * unsigned semantics DuckDB and Spark disagree on how to spell).
+    * Banding is 4×15-bit chunks through the SAME
+    * [[simhashPairsFromFingerprints]] machinery as the production
+    * [[simhashPairs]] (exact-dup collapse → boundedBucketPairs →
+    * Hamming verify → member expansion) — this anchors that pipeline to
+    * a SQL oracle; production stays on the native 64-bit [[graft.functions.SimHash64]]
+    * (one fused byte-scan per doc vs an md5 per token here). */
+  def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           bands: Int = 4, maxHamming: Long = 4L,
+                           bucketCap: Int = 1024): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        array_distinct(graft.text.TextFunctions.wsTokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val hs = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = hs.select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("i"))
+      .groupBy(col("id"), col("i"))
+      .agg(sum(expr("CAST(shiftright(h, i) & 1 AS INT) * 2 - 1")).as("v"))
+    val fp = votes.groupBy(col("id")).agg(
+      sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .otherwise(0L)).as("sh"))
+    simhashPairsFromFingerprints(fp, bands, bandBits = 15, maxHamming, bucketCap)
+  }
+
+  /** Banding + verify + expansion shared by [[simhashPairs]] (64-bit
+    * native fingerprints, 16-bit chunks) and [[simhashPairsPortable]]
+    * (60-bit md5-vote fingerprints, 15-bit chunks). Input: (id, sh). */
+  private def simhashPairsFromFingerprints(sh: DataFrame, bands: Int,
+      bandBits: Int, maxHamming: Long, bucketCap: Int): DataFrame = {
+    import graft.functions.SimHash64
+    val mask = (1L << bandBits) - 1
     val groups = sh.groupBy("sh").agg(
         min(col("id")).as("rep"),
         sort_array(collect_list(col("id"))).as("members"))
@@ -367,7 +409,7 @@ object Dedup {
     val chunks = groups.select(col("rep"), col("sh"),
         explode(array((0 until bands).map(i => struct(
           lit(i).as("band"),
-          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("c"))
+          shiftrightunsigned(col("sh"), i * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("c"))
       .select(col("rep"), col("sh"), col("c.band"), col("c.bh"))
     val repPairs = boundedBucketPairs(chunks, Seq(col("band"), col("bh")),
         struct(col("rep"), col("sh")), bucketCap)

@@ -280,6 +280,23 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SimHash with the PORTABLE md5-vote fingerprint: 60-bit simhash
+    // (per-distinct-token bit votes from md5 hex), 15-bit banding,
+    // Hamming verify — all reproducible in DuckDB, so this row
+    // hash-checks the simhash pipeline itself (exact-dup collapse →
+    // banding → bounded-bucket candidates → Hamming filter → member
+    // expansion), the one pair family that previously had only a
+    // rows-only check. Production stays on the native 64-bit
+    // fingerprint (dd_simhash). Doubled subset: every doc gets a
+    // planted +1000000 exact copy → guaranteed hamming-0 pairs in both
+    // engines on top of any natural near-dups.
+    "dd_simhash_md5" -> ((s, dir) => {
+      val docs = doubled(s, dir).filter(col("doc_id") % COPY_OFFSET < 300)
+      Dedup.simhashPairsPortable(docs, "doc_id", "text",
+          bands = 4, maxHamming = 4L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Repeated-span coverage (Lee et al., "Deduplicating Training Data
     // Makes Language Models Better"): the fraction of each doc covered by
     // 5-token windows occurring >= 2 times ANYWHERE in the corpus
@@ -478,6 +495,44 @@ object DedupQueries extends QuerySet {
         |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
         |FROM ji
         |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Dedup.simhashPairsPortable: 60-bit simhash from md5-hex
+    // bit votes over distinct whitespace tokens (bit set iff vote sum
+    // strictly > 0), 4x15-bit band chunks as the candidate filter,
+    // Hamming (bit_count of xor) verify at <= 4. Identical fingerprints
+    // share every chunk, so the per-doc band join reproduces both the
+    // engine's cross-group pairs and its within-group hamming-0 pairs.
+    "dd_simhash_md5" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM d),
+        |hs AS (
+        |  SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hs CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+        |  GROUP BY id, i),
+        |fp AS (
+        |  SELECT id,
+        |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+        |                       ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY id),
+        |chunks AS (
+        |  SELECT id, sh, b, (sh >> (b * 15)) & 32767 AS bh
+        |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+        |  FROM chunks x JOIN chunks y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sh_a, sh_b)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_ngram_jaccard" ->

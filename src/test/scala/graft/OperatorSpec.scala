@@ -79,6 +79,27 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("portable md5 simhash finds planted duplicates at hamming 0, 60-bit domain") {
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"token$i alpha beta gamma delta epsilon zeta eta theta iota"))
+    val planted = docs ++ docs.map { case (id, t) => (id + 100L, t) }
+    val pairs = Dedup.simhashPairsPortable(planted.toDF("doc_id", "text"),
+      "doc_id", "text", bands = 4, maxHamming = 4L).collect()
+    val zero = pairs.filter(_.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 20).forall(i => zero.contains((i.toLong, i + 100L))))
+    // near-dup (1 of 200 tokens changed) stays within the default
+    // hamming threshold: the vote construction is locality-sensitive,
+    // not an opaque digest. Deterministic (md5): this fixture fingerprints
+    // to hamming 2 with three clean bands, so the pair is a candidate.
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val near = Seq((0L, base), (1L, "CHANGED " + base.split(" ", 2)(1)))
+    val nearPairs = Dedup.simhashPairsPortable(near.toDF("doc_id", "text"),
+      "doc_id", "text", bands = 4, maxHamming = 4L).collect()
+    assert(nearPairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+      r.getAs[Long]("hamming") > 0L && r.getAs[Long]("hamming") <= 4L))
+  }
+
   test("sorted intersect count ≡ size(array_intersect) on sorted-distinct arrays") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map { i =>
