@@ -167,11 +167,18 @@ object Verify {
       // the others (IVF-PQ compounds both stages' losses — the floor
       // reflects the cell-pruning stage dominating)
       ("sim_knn_pq", () => recallAtK("sim_knn_pq"), 0.85),
+      // raw-pivot ablation sibling of the headline residual row below:
+      // same (m, ks, nprobe, shortlist), untrained cells — the recall
+      // delta between the two rows IS the measured value of training
+      // the coarse quantizer + encoding residuals
       ("sim_knn_ivfpq", () => recallAtK("sim_knn_ivfpq"), 0.60),
-      // residual encoding: same (m, ks, nprobe, shortlist) as
-      // sim_knn_ivfpq — the recall delta between the two rows IS the
-      // measured value of encoding residuals
-      ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.70))
+      // the HEADLINE composed billion-vector index (trained cells +
+      // residual codes — what a production IVFPQ deployment runs);
+      // floor at 0.75 tracks its measured 0.80, above the plain-IVF
+      // floor, so a regression in either the trained fit or the
+      // residual encode trips the gate rather than hiding under a
+      // loose ablation-level floor
+      ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.75))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)

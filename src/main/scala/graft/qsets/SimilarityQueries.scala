@@ -236,15 +236,14 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // IVF-PQ: the composed billion-vector index, oracle-anchored end to
-    // end — the deterministic pivot coarse quantizer prunes to 8 of 16
-    // cells, PQ-ADC ranks only the probed cells' 16-byte codes (raw
-    // vectors untouched), and the bounded-128 shortlist re-ranks exact
-    // (recall@5 0.72 at sf0.01, floor 0.60 in verify_recall.json —
-    // the pruning stage dominates the loss; each family's own curve
-    // records its knob).
-    // Composition of the two anchored index families; every cell pick,
-    // code, table lookup, and rank reproduced by DuckDB.
+    // IVF-PQ with RAW pivots — the ablation sibling of the headline
+    // sim_knn_ivfpq_r below: identical codes, nprobe and shortlist, but
+    // untrained (deterministic-pivot) cells, so the recall delta between
+    // the two rows isolates what training + residual encoding buys
+    // (0.72 vs 0.80 at sf0.01; curve in verify_recall.json). The
+    // deterministic pivots also make THIS row the fully oracle-anchored
+    // one — every cell pick, code, table lookup, and rank reproduced by
+    // DuckDB — anchoring the shared machinery the headline row runs.
     "sim_knn_ivfpq" -> ((s, dir) => {
       val c = corpus(s, dir)
       val cb = Pq.pivotCodebook(c, m = 16, ks = 32)
@@ -254,8 +253,9 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Residual-encoded IVF-PQ over a TRAINED coarse quantizer — what a
-    // production IVFPQ deployment actually runs (FAISS trains the coarse
+    // THE HEADLINE composed billion-vector index: residual-encoded
+    // IVF-PQ over a TRAINED coarse quantizer — what a production IVFPQ
+    // deployment actually runs (FAISS trains the coarse
     // cells and encodes residuals by default): the oracle-anchored Lloyd
     // fit (Kmeans.fitAnchor, two iterations — the same engine-verifiable
     // arithmetic sim_kmeans_anchor pins) places the cells, codes quantize

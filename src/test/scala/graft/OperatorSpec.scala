@@ -147,8 +147,15 @@ class OperatorSpec extends SparkSuite {
       val edges = ((1 to 40).map(_ => (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong)) ++
         (0 until 10).map(i => (100L + i, 101L + i))) // an 11-node chain
         .filter { case (a, b) => a != b }
+      // both physical strategies must produce identical labels: the
+      // driver union-find fast path (default bound) and the distributed
+      // propagation loop (bound forced to 0)
       val got = Dedup.components(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = Dedup.components(edges.toDF("id_a", "id_b"),
+          driverEdgeBound = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === gotDist, s"fast/distributed path mismatch at seed=$seed")
       // independent union-find with path compression
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
