@@ -96,7 +96,24 @@ object Bench {
     var failed = Set.empty[String]
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // host-drift sentinel: the SAME fixed cheap query timed at the start
+    // and end of every rep (outside the per-query medians). Identical
+    // binaries have drifted 1.5-1.8x within one session on this host, so
+    // cross-round comparisons need a drift factor recorded IN the
+    // artifact rather than re-argued from memory each round: the
+    // sentinel series is that factor (its spread is pure host/JVM state
+    // — the query and data never change within a run).
+    val sentinelName = "a7_time_buckets"
+    val sentinel = scala.collection.mutable.ListBuffer.empty[Double]
+    val repWall = scala.collection.mutable.ListBuffer.empty[Double]
+    def timeSentinel(): Unit = {
+      val t0 = System.nanoTime()
+      try { run(sentinelName); sentinel += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => sentinel += -1.0 }
+    }
     for (rep <- 1 to reps) {
+      val repT0 = System.nanoTime()
+      timeSentinel()
       val order = new scala.util.Random(rep.toLong).shuffle(names)
       for (name <- order if !failed.contains(name)) {
         val t0 = System.nanoTime()
@@ -108,6 +125,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
+      timeSentinel()
+      repWall += (System.nanoTime() - repT0) / 1e9
     }
     // a query that fails in a LATER rep keeps the timings it already
     // earned (median of completed reps) — a transient failure must not
@@ -139,16 +158,23 @@ object Bench {
       s"\"" + n + s"\":[${fmt(lo)},${fmt(hi)}]"
     }.mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinelJson = sentinel.map(fmt).mkString("[", ",", "]")
+    val repWallJson = repWall.map(fmt).mkString("[", ",", "]")
     val fullJson = json.dropRight(1) +
-      s""","reps":$reps,"failed":$failedJson,"spread":$spreadJson}"""
+      s""","reps":$reps,"failed":$failedJson""" +
+      s""","sentinel":{"name":"$sentinelName","series":$sentinelJson},"rep_wall":$repWallJson""" +
+      s""","spread":$spreadJson}"""
     // the driver's recorded stdout tail truncates around 2000 chars — far
     // less than the full per-query line — so persist the full JSON to a
     // TRACKED repo file (bench_full.json) for round-over-round comparison
     // (plus target/bench.json for tooling; override via SPARK_GRAFT_BENCH_JSON)
     // a filtered (SPARK_GRAFT_ONLY) run must never clobber the tracked
-    // full-run artifact with a partial query map
+    // full-run artifact with a partial query map — and neither must a
+    // scale run (sf1/sf10) that names its own artifact file via
+    // SPARK_GRAFT_BENCH_JSON: bench_full.json is the sf0.1 round trail
     for (p <- Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "target/bench.json")) ++
-              (if (only.isEmpty) Seq("bench_full.json") else Seq.empty)) {
+              (if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_JSON"))
+                 Seq("bench_full.json") else Seq.empty)) {
       try {
         val out = java.nio.file.Paths.get(p)
         if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -61,10 +61,14 @@ private[graft] object SignatureIndex {
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(sp)
     val stats = spark.read.schema(statsSchema).parquet(statsDir(indexDir))
       .filter(col("batch") =!= excludeBatch)
+    // LAZY checkpoint: the count below materializes the blocks and
+    // returns the size in one job instead of a checkpoint job + a count
+    // job (the stop-list is consumed by two anti-joins downstream, so
+    // the materialization itself is still required)
     val hot = stats.groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
       .filter(col("n") > cap)
       .select(keyCols.map(col): _*)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val nHot = hot.count()
     if (nHot > 0)
       log.warn(s"$label: stop-listing $nHot bucket(s) with index frequency > $cap")

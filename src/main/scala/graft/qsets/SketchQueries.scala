@@ -3,7 +3,7 @@ package graft.qsets
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Layout
+import graft.operators.{Layout, Sampling}
 import graft.sketch.Sketches
 
 /** Sketch + layout extensions — approximate-distinct, cross-source
@@ -169,16 +169,26 @@ object SketchQueries extends QuerySet {
     // statistics, est−exact error a visible per-round artifact. Pure
     // index selection makes even the ESTIMATES oracle-exact.
     "sk_quantile_bottomk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem").select(
         col("l_returnflag"),
         col("l_extendedprice").as("v"),
         md5(concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))).as("h"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"), col("h"))
-      val cw = Window.partitionBy(col("l_returnflag"))
-      val ranked = li.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
+      // exact order statistics WITHOUT a per-group window sort: with ~3
+      // returnflag groups, partitionBy funnels the whole fact table into
+      // 3 single-task sorts (the exact side was the suite's worst sf10
+      // row, 265 s). Instead rank once in composite (group, v, h) order
+      // via the distributed globalRank, then convert to a within-group
+      // rank by subtracting each group's start offset — group count and
+      // offsets are a BOUNDED collect (one row per returnflag).
+      val grp = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val offMap = grp.map(_._1).zip(
+        grp.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+      val ranked = Sampling.globalRank(li,
+          Seq(col("l_returnflag"), col("v"), col("h")), rankName = "__grk")
+        .withColumn("rn", col("__grk") - element_at(typedLit(offMap), col("l_returnflag")))
+        .withColumn("n", element_at(typedLit(grp.toMap), col("l_returnflag")))
       def exactAt(num: Int, den: Int): Column =
         max(when(col("rn") === expr(s"(($num * (n - 1)) div $den) + 1"), col("v")))
       val exact = ranked.groupBy("l_returnflag").agg(

@@ -153,6 +153,58 @@ class LayoutSpec extends SparkSuite {
       docs.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("compactParquet preserves Hilbert clustering: box predicate still prunes after compaction") {
+    // the pin VERDICT asked for: compaction re-sorts by the caller's
+    // orderCols, so a Hilbert-keyed table compacted ON ITS KEY must keep
+    // its footer-level skip behavior — a clustering-destroying compaction
+    // (hash shuffle) would scatter low-corner cells into EVERY output
+    // file (min x = min y = 0 everywhere → zero files prunable).
+    val tmp = java.nio.file.Files.createTempDirectory("hcompact").toString
+    // 32×32 grid keyed by the Hilbert index (bits=5): every aligned run
+    // of 64 consecutive indices is exactly one 8×8 block, so the 8×8
+    // corner box (x≤7 ∧ y≤7 = indices 0..63) stays confined to the
+    // file(s) holding the first run under ANY clustering-preserving split
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+      .withColumn("h", Layout.hilbertKey(col("x"), col("y"), bits = 5))
+    grid.repartitionByRange(16, col("h")).sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(s"$tmp/small")
+
+    // conservative footer overlap test for the box x≤7 ∧ y≤7: a file can
+    // match only if min(x) ≤ 7 AND min(y) ≤ 7 (mins only — the box is
+    // anchored at the origin)
+    def scanned(path: String): (Long, Long) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("mx"), min("y").as("my"))
+      (byFile.count(), byFile.filter(col("mx") <= 7 && col("my") <= 7).count())
+    }
+    val (nSmall, needSmall) = scanned(s"$tmp/small")
+    assert(nSmall == 16)
+    // range-partition sampling can put the 64-index run astride a file
+    // boundary, so allow a straddle — but never more than a sliver
+    assert(needSmall <= 3, s"pre-compaction box leaked into $needSmall/16 files")
+
+    val smallBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/small")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val (before, after) = Layout.compactParquet(spark, s"$tmp/small",
+      s"$tmp/big", Seq(col("h")), smallBytes / 4)
+    assert(before == 16)
+    assert(after >= 4 && after <= 5, s"expected ~4 compacted files, got $after")
+
+    val (nBig, needBig) = scanned(s"$tmp/big")
+    assert(nBig == after)
+    // clustering preserved: the box stays confined to a corner file (+ at
+    // most one straddle); destroyed clustering would need ALL files
+    assert(needBig <= 2, s"compaction destroyed Hilbert locality: box needs $needBig/$nBig files")
+    assert(needBig < nBig)
+    assert(spark.read.parquet(s"$tmp/big").count() == 1024L)
+  }
+
   test("skipStats bucket arithmetic ≡ per-bucket recount on a planted grid") {
     // 16×16 grid, natural order = row-major → z-order beats it on a 4×4 box
     val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 16 + b, a, b))

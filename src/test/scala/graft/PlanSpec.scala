@@ -178,15 +178,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("quantile sketch: bounded ObjectHashAggregate sample, per-group windows, no global sort") {
+  test("quantile sketch: bounded ObjectHashAggregate sample, distributed rank, no group-window funnel") {
     val p = plan("sk_quantile_bottomk")
     // the sample side must partially aggregate map-side (k-bounded
     // MinKPairs state per task) — a window-rank sample would sort the
     // full group instead
     assert(p.contains("partial_minkpairs"), "sample must combine map-side")
     assert(count(p, "ObjectHashAggregate") == 2, "partial + final aggregate")
-    // exact side: windows are partitioned by the group key, never global
-    assert(p.contains("windowspecdefinition(l_returnflag"))
+    // exact side: within-group ranks derive from the materialized
+    // distributed globalRank (range partition + shard offsets) minus a
+    // literal per-group offset — never a window PARTITIONED BY the
+    // ~3-value group key, which funnels the whole fact table into 3
+    // single-task sorts (the suite's worst sf10 row, 265 s, before the
+    // rewrite)
+    assert(!p.contains("windowspecdefinition(l_returnflag"),
+      "no per-group window sort over the fact table")
     assert(!p.contains("Exchange SinglePartition"),
       "no stage may funnel to one partition")
     // the 3-row sample relation broadcasts onto the exact side

@@ -35,4 +35,16 @@ class StreamJoinSpec extends SparkSuite {
     assert(batch.nonEmpty, "fixture should produce at least one attribution pair")
     assert(streamed == batch)
   }
+
+  test("runToDir rejects a streamed schema that shadows the batch partition column") {
+    val out = java.nio.file.Files.createTempDirectory("stj-guard").toString
+    val in = java.nio.file.Files.createTempDirectory("stj-guard-in").toString
+    spark.range(4).withColumn("__graft_batch", col("id"))
+      .write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema("id LONG, __graft_batch LONG").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.runToDir(stream, out, OutputMode.Append)
+    }
+    assert(e.getMessage.contains("__graft_batch"))
+  }
 }
