@@ -54,7 +54,7 @@ val notes: Seq[(String, String)] = Seq(
   "dd_bucketed_incremental" -> "Bucketed-index incremental dedup: candidate and verify joins read the accumulated index tables bucket-aligned (zero exchange on the index side - the side that grows without bound under daily ingest); only the arriving batch shuffles to the bucket layout. Final plan reads the survivor checkpoint; the zero-exchange index reads are pinned in BucketedIndexSpec.",
   "f7_spec_hash" -> "Reference hash_dict parity digest: scan -> project through the codegen'd py_canonical_json + sha2 pipeline -> ordered output; one narrow projection, no shuffle before the final ORDER BY.",
   "mol_qcel_canonical" -> "QCElemental get_hash pre-image: pure codegen'd projection (qcel_molecule_canonical over the synthesized molecule struct), no shuffle before the final ORDER BY.",
-  "sk_quantile_bottomk" -> "Quantile sketch: the sample side is a k-bounded MinKPairs ObjectHashAggregate (partial map-side, <=256 pairs per task per group - never a per-group sort), broadcast onto the windowed exact-reference side; estimates are pure index selection, so even they hash-match the oracle.",
+  "sk_quantile_bottomk" -> "Quantile sketch: the sample side is a k-bounded MinKPairs ObjectHashAggregate (partial map-side, <=256 pairs per task per group - never a per-group sort), broadcast onto the exact-reference side; the exact ranks come from the materialized distributed globalRank (range partition + shard offsets) minus literal per-group offsets - no window partitioned by the ~3-value group key (that shape funneled the fact table into 3 single-task sorts). Estimates are pure index selection, so even they hash-match the oracle.",
   "sk_bloom_grams" -> "Size-adaptive Bloom: the 1-row sizing frame (hex-width integer arithmetic from the corpus count) broadcasts into both the bit-table build and the probes; membership is a hashed (i,bucket) join - never a false negative, false positives measured in the output.",
   "sk_cms_joinsize" -> "Join sizing from sketches alone: two d x 4096 CMS counter tables inner-product per hash row, MIN over rows - the broadcast-vs-shuffle decision input computed without rescanning either join side, all integer, oracle-exact.",
   "sk_hll_incremental" -> "Persistent sketch index: per-batch registers in batch=<id> partitions (idempotent overwrite), the serving read MAX-merges all batches; register losslessness makes the served estimate bit-identical to the full-table sketch at bytes of index per batch.",
