@@ -171,6 +171,25 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Deterministic per-group random sample: the 5 docs per source with
+    // the smallest md5(doc_id) — a reproducible, engine-portable
+    // "uniform 5 per domain" (eval subsets, per-source spot checks).
+    // samp_mix is the first-N-by-id sibling; ordering by the hash makes
+    // this one uniform-at-random yet still replayable. The window sorts
+    // WITHIN source partitions only (groups are the parallel unit, k is
+    // constant); when one group dominates, the bounded-buffer form is
+    // Sampling.quotaMixBounded's SmallestIds shape keyed by the hash.
+    "samp_pergroup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Cross-source overlap matrix: exact Jaccard between the distinct
     // 3-gram sets of every source pair — "how much does wiki duplicate
     // web" before mixing. Grams travel as 64-bit hashes; the distinct
@@ -354,6 +373,15 @@ object CurationQueries extends QuerySet {
         |FROM kept
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "samp_pergroup" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
 
     "dd_source_overlap" ->
       """WITH toks AS (

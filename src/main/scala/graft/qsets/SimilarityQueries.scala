@@ -313,6 +313,32 @@ object SimilarityQueries extends QuerySet {
       Vectors.ivfProbe(queriesDf(s, dir, 10), assigned, centroids,
           nprobe = 6, k = 5)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // SemDeDup (Abbas et al. 2303.09540): embedding-level semantic
+    // near-dup pruning — kmeans cells, then within-cell cosine ≥ τ marks
+    // the higher id a duplicate. The fit is the decimal-exact
+    // Kmeans.fitAnchor, so DuckDB replays init → 2 Lloyd steps →
+    // assignment → within-cell pairwise prune end to end (full hash
+    // oracle — no other dedup family checks a CLUSTERED prune path).
+    // Planted near-dups: each vec_id < 100 gets a +100000 copy perturbed
+    // by +0.02·(i mod 3) per dimension — deterministic in both engines,
+    // cosine ≈ 0.98 vs original (naturals top out < 0.95), so τ = 0.97
+    // separates plants from background exactly. τ/k trade documented in
+    // SemDedup: k ≈ n / targetCellSize keeps the quadratic-in-cell
+    // compare linear overall.
+    "dd_semdedup" -> ((s, dir) => {
+      import graft.dedup.SemDedup
+      val base = corpus(s, dir)
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("c_vec"), i) +
+              lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+      val all = base.unionByName(planted)
+      val (asg, _) = Kmeans.fitAnchor(all, k = 8, iters = 2)
+      SemDedup.survivors(all, asg, tau = 0.97)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -722,6 +748,78 @@ object SimilarityQueries extends QuerySet {
         |  round(list_cosine_similarity(a.e, b.e), 6) AS score
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, id_a, id_b
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // Mirrors dd_semdedup end to end: the planted corpus (each
+    // vec_id < 100 duplicated at +100000 with +0.02·(i mod 3) per-dim
+    // perturbation), the sim_kmeans_anchor fit replay (md5-pivot init,
+    // two Lloyd steps with decimal-exact means, rounded-9 L2 argmin with
+    // ties to the lowest cell), then the within-cell cosine-≥-0.97 prune
+    // keeping the lowest id. Any slip in plant, fit, assignment, or
+    // prune arithmetic breaks the hash match.
+    "dd_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    [e[i] + 0.02*(i%3) for i in range(1,65)] AS e
+        |  FROM base WHERE vec_id < 100),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
+        |  FROM piv),
+        |a1 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
+        |  FROM c0 LEFT JOIN c1n USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
+        |  FROM c1 LEFT JOIN c2n USING (cell)),
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
+        |ac AS (SELECT af.vec_id, af.cell, v.e FROM af JOIN v USING (vec_id)),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ac a JOIN ac b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.97)
+        |SELECT vec_id, cell FROM ac
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -78,6 +78,31 @@ object TemporalQueries extends QuerySet {
         .groupBy(col("signup_id"))
         .agg(count(lit(1)).as("n_clicks"), dsum(col("value")).as("click_value"))
         .orderBy(col("signup_id"))
+    }),
+
+    // W4 — rolling window stats: per-user 7-row moving average and
+    // running total over the event stream, ordered by (ts, event_id).
+    // The sliding frame is 7 rows (constant work per row) and the
+    // cumulative sum is a running aggregate; user_id partitions are the
+    // parallel unit, so no corpus-wide single-partition window exists
+    // anywhere in the plan. Frame sums go through DECIMAL(18,2) — exact
+    // and order-independent within the deterministic frame — so the
+    // oracle hash-matches.
+    "w4_rolling_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val w7 = ord.rowsBetween(-6, Window.currentRow)
+      val wc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v2 = round(col("value"), 2).cast(DecimalType(18, 2))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(ord).cast("long").as("rn"),
+          round(sum(v2).over(w7).cast("double") /
+            count(lit(1)).over(w7), 6).as("roll_avg"),
+          sum(v2).over(wc).cast("double").as("cum_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -124,6 +149,21 @@ object TemporalQueries extends QuerySet {
         |FROM s JOIN c
         |  ON c.user_id = s.user_id AND c.ts >= s.w_start AND c.ts < s.w_end
         |GROUP BY s.signup_id
-        |ORDER BY s.signup_id""".stripMargin
+        |ORDER BY s.signup_id""".stripMargin,
+
+    "w4_rolling_stats" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  round(CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+        |        / COUNT(*) OVER w7, 6) AS roll_avg,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) OVER wc AS DOUBLE) AS cum_value
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

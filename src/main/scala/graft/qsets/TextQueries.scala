@@ -376,6 +376,29 @@ object TextQueries extends QuerySet {
           round(avg(log2(col("c2").cast("double") / col("c1"))), 4)
             .as("lm_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval (graft.text.Retrieval): top-20 docs for a
+    // fixed 5-term query. Postings are filtered to the query terms
+    // BEFORE the (doc, term) shuffle; df and (N, avgdl) broadcast back;
+    // the top-k is a TakeOrdered. Full hash oracle — idf, the k1/b
+    // saturation and the decimal score sum replay exactly in DuckDB.
+    "tx_bm25_topk" -> ((s, dir) => {
+      graft.text.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text",
+        terms = Seq("spark", "vector", "stream", "window", "hash"))
+    }),
+
+    // DSIR importance weights (graft.text.Dsir, Xie et al. 2302.03169):
+    // target = lang 'en', raw = whole corpus, 512 md5-hashed bigram
+    // buckets. Both LMs ride one bucket-grouped pass; the 512-row weight
+    // table broadcasts to the scoring join. Full hash oracle — the md5
+    // bucket hash, smoothing and decimal log-ratio sums are
+    // engine-portable.
+    "tx_dsir" -> ((s, dir) => {
+      graft.text.Dsir.importanceWeights(t(s, dir, "documents"),
+          "doc_id", "text", targetPred = col("lang") === "en")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -692,6 +715,65 @@ object TextQueries extends QuerySet {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS lm_score
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Retrieval.bm25TopK: same tokenizer, the Lucene
+    // ln(1 + (N - df + 0.5)/(df + 0.5)) idf rounded to 6, identical
+    // left-associated saturation arithmetic, per-term weights rounded to
+    // 6 then decimal-summed, (score DESC, doc_id) top-20.
+    "tx_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'vector', 'stream', 'window', 'hash')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+        |  COUNT(*) AS n_terms
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    // Mirrors Dsir.importanceWeights: chr(31)-joined bigrams, md5 15-hex
+    // bucket hash mod 512, add-1 smoothing over both LMs, per-gram
+    // log-ratios rounded to 6 then decimal-summed per doc.
+    "tx_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest([t[i] || chr(31) || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |b AS (
+        |  SELECT doc_id, is_t,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bkt
+        |  FROM grams),
+        |cnts AS (
+        |  SELECT bkt, COUNT(*) AS c_r,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+        |  FROM b GROUP BY bkt),
+        |tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM cnts),
+        |w AS (
+        |  SELECT bkt, round(ln((c_t + 1.0) / (t_t + 512.0))
+        |                  - ln((c_r + 1.0) / (t_r + 512.0)), 6) AS w
+        |  FROM cnts CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_weight
+        |FROM b JOIN w USING (bkt)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SemDedup
+import graft.similarity.Kmeans
+import graft.text.{Dsir, Retrieval}
+
+/** Round-12 training-data selection operators: SemDeDup within-cell
+  * pruning, BM25 retrieval, DSIR importance weights. */
+class SelectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("semdedup prunes the higher id of a within-cell near-dup, keeps cross-cell") {
+    // cells planted directly: 1≈2 in cell 0 (prune 2), 3 alone in cell 0,
+    // 4≈5 but in DIFFERENT cells (both survive — the SemDeDup contract is
+    // within-cell only)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.001, 0.0)),   // cosine ≈ 1 with id 1
+      (3L, Seq(0.0, 1.0, 0.0)),     // orthogonal — survives
+      (4L, Seq(0.0, 0.0, 1.0)),
+      (5L, Seq(0.0, 0.0011, 1.0))   // cosine ≈ 1 with id 4, other cell
+    ).toDF("vec_id", "c_vec")
+    val cells = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 2))
+      .toDF("vec_id", "cell")
+    val got = SemDedup.survivors(vecs, cells, tau = 0.97)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(got === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("semdedup over a kmeans-anchor fit drops planted perturbed copies") {
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(col("c_vec"), i) + lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+    val all = base.unionByName(planted)
+    val (asg, _) = Kmeans.fitAnchor(all, k = 4, iters = 1)
+    val surv = SemDedup.survivors(all, asg, tau = 0.97)
+      .collect().map(_.getLong(0)).toSet
+    val plantsDropped = (0L until 20L).count(i => !surv.contains(i + 100000L))
+    // a plant survives only if the fit split it from its original's cell;
+    // with k=4 over 520 vectors that is rare — require most to be caught,
+    // and every original must survive (plants carry the higher id)
+    assert(plantsDropped >= 15, s"only $plantsDropped/20 plants pruned")
+    assert((0L until 20L).forall(surv.contains))
+  }
+
+  test("bm25 ranks the saturating term-hit doc first; scores replay by hand") {
+    val docs = Seq(
+      (1L, "spark spark spark spark"),       // tf 4, short
+      (2L, "spark alpha beta gamma delta"),  // tf 1
+      (3L, "alpha beta gamma delta epsilon") // no hit
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 matches nothing
+    // hand replay: N=3, df=2, idf=ln(1+(3-2+0.5)/2.5); dl1=4, dl2=5, avgdl=14/3
+    val idf = BigDecimal(math.log(1.0 + 1.5 / 2.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def s(tf: Long, dl: Long): Double = {
+      val w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (14.0 / 3)))
+      BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.toMap === Map(1L -> s(4, 4), 2L -> s(1, 5)))
+  }
+
+  test("dsir weights target-like docs above off-target docs") {
+    // target slice speaks {aa bb}, off-target speaks {zz yy}; a fresh raw
+    // doc in target vocabulary must outweigh one in off-target vocabulary
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb", "en"),
+      (2L, "aa bb aa bb", "en"),
+      (3L, "zz yy zz yy zz yy", "fr"),
+      (4L, "aa bb aa bb aa", "de"),   // raw-only, target-shaped
+      (5L, "zz yy zz yy zz", "de")    // raw-only, off-target-shaped
+    ).toDF("doc_id", "text", "lang")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        targetPred = col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(4L) > w(5L))
+    assert(w(1L) > w(3L))
+  }
+}
