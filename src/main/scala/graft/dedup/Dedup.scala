@@ -584,4 +584,49 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** ASYMMETRIC n-gram containment pairs: C(A→B) = |g(A)∩g(B)| / |g(A)|
+    * over distinct token n-grams. Containment catches what symmetric
+    * Jaccard misses — a document EMBEDDED in a larger one (quotes,
+    * aggregator pages, prompt/completion subsets) scores near 1.0 on the
+    * contained side while Jaccard stays low.
+    *
+    * Scale shape: grams are per-doc DISTINCT (one explode), the pair
+    * candidates come from the gram equi-join whose per-gram fan-out is
+    * df² — so grams with document frequency above `maxDf` are DROPPED
+    * before the join (the standard stop-gram prune: a gram shared by
+    * hundreds of documents is boilerplate, carries no containment signal,
+    * and is exactly the quadratic blowup). With the prune the join is
+    * ≤ maxDf² rows per distinct gram, linear in the corpus for fixed
+    * maxDf. The df pass is counts-only (map-side combined). Exact and
+    * engine-replayable end to end — df pruning is plain SQL, so the
+    * oracle reproduces the same candidate set. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minC: Double = 0.8,
+                       maxDf: Int = 64): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), TextFunctions.wsTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          // U+001F join = the oracle's chr(31): unambiguous boundaries
+          i => xxhash64(array_join(slice(col("t"), i, lit(n)), "\u001F"))))).as("g"))
+    // per-doc gram-set size BEFORE df pruning: containment denominators
+    // stay exact; pruning only thins the candidate/intersection side
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val pruned = grams.join(rare, "g")
+    val inter = pruned.as("x").join(pruned.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .withColumn("c_ab", round(col("n_inter").cast("double") / col("n_a"), 6))
+      .withColumn("c_ba", round(col("n_inter").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minC)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("c_ab"), col("c_ba"))
+  }
 }

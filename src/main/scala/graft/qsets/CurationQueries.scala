@@ -171,6 +171,32 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Stratified sampling: rank-decile strata over doc length, then the
+    // content-hash Bernoulli keep INSIDE each stratum — "sample 1/16
+    // uniformly from every length decile" (keeps the curated set's
+    // length distribution instead of letting a global sample drift
+    // toward the bulk). Ranks come from Sampling.globalRank (range
+    // shards + per-shard offsets — no corpus-wide single-partition
+    // window); the decile is pure arithmetic on (rank, N); the keep is
+    // the engine-portable md5 threshold. Fully hash-oracled.
+    "samp_stratified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ranked = Sampling.globalRank(
+        docs.select(col("doc_id"), col("n_chars"), col("text")),
+        Seq(col("n_chars").asc, col("doc_id").asc))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", floor(((col("rank") - 1) * 10).cast("double")
+          / col("n_total")).cast("int"))
+        .withColumn("kept", Sampling.hashSample(col("text"), "1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("decile"))
+    }),
+
     // Deterministic per-group random sample: the 5 docs per source with
     // the smallest md5(doc_id) — a reproducible, engine-portable
     // "uniform 5 per domain" (eval subsets, per-source spot checks).
@@ -373,6 +399,21 @@ object CurationQueries extends QuerySet {
         |FROM kept
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "samp_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars, text,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        |SELECT CAST(floor(CAST((rank - 1) * 10 AS DOUBLE) / n_total) AS INT) AS decile,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN substr(md5(text), 1, 1) < '1' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM r CROSS JOIN tot
+        |GROUP BY 1
+        |ORDER BY decile""".stripMargin,
 
     "samp_pergroup" ->
       """SELECT source, doc_id, rk FROM (

@@ -77,6 +77,27 @@ object DedupQueries extends QuerySet {
         .limit(100)
     }),
 
+    // ASYMMETRIC containment dedup (Dedup.containmentPairs): a doc
+    // EMBEDDED in a larger one scores C(A→B) ≈ 1 on the contained side
+    // while Jaccard stays low — the quote/subset/aggregator-page signal.
+    // Planted: each doc_id < 50 gets a +200000 HALF-copy (first
+    // ⌈n/2⌉ tokens), guaranteed contained. Stop-gram pruning (df > 64
+    // dropped before the join) is the quadratic-fan-out guard and is
+    // replayed exactly by the oracle; containment denominators stay
+    // pre-prune so scores are true gram-set fractions.
+    "dd_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val halves = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(graft.text.TextFunctions.wsTokens(col("text")),
+            lit(1), floor((size(graft.text.TextFunctions.wsTokens(col("text"))) + 1) / 2)
+              .cast("int")), " ").as("text"))
+      Dedup.containmentPairs(docs.select(col("doc_id"), col("text"))
+          .unionByName(halves), "doc_id", "text",
+          n = 3, minC = 0.8, maxDf = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash+LSH with the PORTABLE md5 hash family: signatures, band
     // keys, candidates and the verified pair set are all reproducible in
     // any engine with md5 — so this row is hash-checked end-to-end by the
@@ -553,6 +574,41 @@ object DedupQueries extends QuerySet {
         |JOIN sizes sb ON sb.id = id_b
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 100""".stripMargin,
+
+    // Mirrors Dedup.containmentPairs + the half-copy plant: distinct
+    // chr(31)-joined 3-grams, df-pruned (> 64) BEFORE the pair join,
+    // denominators from the unpruned per-doc gram-set size, rounded-6
+    // containment both directions, keep pairs with either side ≥ 0.8.
+    "dd_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |docs AS (
+        |  SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    t[1:CAST(floor((len(t) + 1) / 2) AS INT)] AS t
+        |  FROM base WHERE doc_id < 50),
+        |grams AS (
+        |  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], chr(31)) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM docs WHERE len(t) >= 3)),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+        |rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64),
+        |pruned AS (SELECT id, g FROM grams JOIN rare USING (g)),
+        |inter AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+        |  FROM pruned x JOIN pruned y ON x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / sa.n, 6) AS c_ab,
+        |  round(CAST(n_inter AS DOUBLE) / sb.n, 6) AS c_ba
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE greatest(round(CAST(n_inter AS DOUBLE) / sa.n, 6),
+        |               round(CAST(n_inter AS DOUBLE) / sb.n, 6)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // union-of-fixed-length-intervals as a running least(L, gap) over
     // lag(): identical arithmetic to the Spark aggregate HOF (sorted

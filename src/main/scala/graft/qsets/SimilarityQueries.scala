@@ -339,6 +339,61 @@ object SimilarityQueries extends QuerySet {
       val (asg, _) = Kmeans.fitAnchor(all, k = 8, iters = 2)
       SemDedup.survivors(all, asg, tau = 0.97)
         .orderBy(col("vec_id"))
+    }),
+
+    // Clustering quality audit: per-cell size, majority label and purity
+    // of the anchor fit against the planted embedding labels — the
+    // "is my quantizer/semdedup clustering meaningful" eval every
+    // embedding pipeline runs. (cell, label) counts are one hash-agg;
+    // the majority pick is a window over ≤ k·|labels| rows (bounded by
+    // construction, not by data volume). Full hash oracle through the
+    // same Lloyd replay as sim_kmeans_anchor.
+    "sim_kmeans_purity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (asg, _) = Kmeans.fitAnchor(corpus(s, dir), k = 8, iters = 2)
+      val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val cl = asg.join(lab, "vec_id")
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_cl"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("n_cl").desc, col("label"))
+      cl.withColumn("rk", row_number().over(w))
+        .withColumn("n", sum(col("n_cl")).over(Window.partitionBy(col("cell"))))
+        .filter(col("rk") === 1)
+        .select(col("cell"), col("n"), col("label").as("top_label"),
+          round(col("n_cl").cast("double") / col("n"), 6).as("purity"))
+        .orderBy(col("cell"))
+    }),
+
+    // MMR diversified re-rank (Carbonell & Goldstein 1998): greedy
+    // λ·relevance − (1−λ)·max-sim-to-selected over a top-10 brute-force
+    // shortlist, 3 picks, λ = 0.7. Each greedy step is a TakeOrdered
+    // over the BOUNDED shortlist (the expensive part — the shortlist —
+    // is the oracle-checked brute-force top-k; the greedy tail is k·s
+    // cosines, constant work). Unrolled steps keep the whole thing
+    // plan-side and SQL-replayable: full hash oracle.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = queriesDf(s, dir, 1)
+      val shortlist = Vectors.bruteForceKnn(q, c, k = 10)
+        .join(c, "vec_id")
+        .select(col("vec_id"), col("score"), col("c_vec"))
+      val s1 = shortlist.orderBy(col("score").desc, col("vec_id")).limit(1)
+      val r1 = shortlist.join(broadcast(s1.select(col("vec_id").as("__v1"),
+          col("c_vec").as("__w1"))), col("vec_id") =!= col("__v1"))
+      val m2 = r1.withColumn("mmr", round(lit(0.7) * col("score") -
+        lit(0.3) * round(Vectors.cosine(col("c_vec"), col("__w1")), 6), 6))
+      val s2 = m2.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      val m3 = m2.join(broadcast(s2.select(col("vec_id").as("__v2"),
+          col("c_vec").as("__w2"))), col("vec_id") =!= col("__v2"))
+        .withColumn("mmr", round(lit(0.7) * col("score") -
+          lit(0.3) * greatest(
+            round(Vectors.cosine(col("c_vec"), col("__w1")), 6),
+            round(Vectors.cosine(col("c_vec"), col("__w2")), 6)), 6))
+      val s3 = m3.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      s1.select(lit(1L).as("rank"), col("vec_id"), col("score").as("mmr"))
+        .unionByName(s2.select(lit(2L).as("rank"), col("vec_id"), col("mmr")))
+        .unionByName(s3.select(lit(3L).as("rank"), col("vec_id"), col("mmr")))
+        .orderBy(col("rank"))
     })
   )
 
@@ -820,6 +875,106 @@ object SimilarityQueries extends QuerySet {
         |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.97)
         |SELECT vec_id, cell FROM ac
         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // Mirrors sim_kmeans_purity: the sim_kmeans_anchor Lloyd replay,
+    // then per-cell label counts, majority by (count desc, label), and
+    // rounded purity.
+    "sim_kmeans_purity" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
+        |  FROM piv),
+        |a1 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
+        |  FROM c0 LEFT JOIN c1n USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
+        |  FROM c1 LEFT JOIN c2n USING (cell)),
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
+        |cl AS (
+        |  SELECT af.cell, emb.label, COUNT(*) AS n_cl
+        |  FROM af JOIN embeddings emb USING (vec_id)
+        |  GROUP BY af.cell, emb.label),
+        |tot AS (SELECT cell, CAST(SUM(n_cl) AS BIGINT) AS n FROM cl GROUP BY cell),
+        |top AS (
+        |  SELECT cell, label, n_cl FROM (
+        |    SELECT cell, label, n_cl,
+        |      row_number() OVER (PARTITION BY cell ORDER BY n_cl DESC, label) AS rk
+        |    FROM cl) WHERE rk = 1)
+        |SELECT t.cell, t.n, top.label AS top_label,
+        |  round(CAST(top.n_cl AS DOUBLE) / t.n, 6) AS purity
+        |FROM tot t JOIN top USING (cell)
+        |ORDER BY t.cell""".stripMargin,
+
+    // Mirrors sim_mmr_rerank: brute top-10 shortlist for query vec 0,
+    // then three unrolled greedy picks of 0.7·score − 0.3·max cosine to
+    // the already-selected, every cosine and every mmr rounded to 6,
+    // ties to the lowest vec_id.
+    "sim_mmr_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        |sl AS (
+        |  SELECT vec_id, e, round(list_cosine_similarity(qe, e), 6) AS score
+        |  FROM v CROSS JOIN q WHERE vec_id <> 0
+        |  ORDER BY score DESC, vec_id LIMIT 10),
+        |s1 AS (SELECT vec_id, e, score FROM sl ORDER BY score DESC, vec_id LIMIT 1),
+        |m2 AS (
+        |  SELECT r.vec_id, r.e, r.score,
+        |    round(0.7*r.score
+        |        - 0.3*round(list_cosine_similarity(r.e, s1.e), 6), 6) AS mmr
+        |  FROM sl r CROSS JOIN s1 WHERE r.vec_id <> s1.vec_id),
+        |s2 AS (SELECT vec_id, e, mmr FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |m3 AS (
+        |  SELECT r.vec_id,
+        |    round(0.7*r.score - 0.3*greatest(
+        |      round(list_cosine_similarity(r.e, s1.e), 6),
+        |      round(list_cosine_similarity(r.e, s2.e), 6)), 6) AS mmr
+        |  FROM sl r CROSS JOIN s1 CROSS JOIN s2
+        |  WHERE r.vec_id <> s1.vec_id AND r.vec_id <> s2.vec_id),
+        |s3 AS (SELECT vec_id, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, vec_id, score AS mmr FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS rank, vec_id, mmr FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT) AS rank, vec_id, mmr FROM s3
+        |ORDER BY rank""".stripMargin
   )
 }

@@ -66,6 +66,60 @@ class SelectionSpec extends SparkSuite {
     assert(got.toMap === Map(1L -> s(4, 4), 2L -> s(1, 5)))
   }
 
+  test("containment flags the embedded doc asymmetrically; jaccard would miss it") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),                                  // container
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")), // first half — contained
+      (3L, (100 to 140).map(i => s"w$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, minC = 0.8, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === 1)
+    val (a, b, cab, cba) = got.head
+    assert((a, b) === (1L, 2L))
+    assert(cba === 1.0)              // every gram of the contained doc is shared
+    assert(cab < 0.5)                // the container is NOT contained in the half
+    // symmetric jaccard on the same pair stays below the 0.8 bar
+    assert(cab * cba / (cab + cba - cab * cba) < 0.8)
+  }
+
+  test("containment df-pruning drops boilerplate grams from candidates, not denominators") {
+    // gram "x x x" appears in all 5 docs → df=5 > maxDf=2 → pruned: no
+    // pair survives on boilerplate alone, but unique-gram containment
+    // still scores against the FULL gram-set size
+    val docs = (1L to 5L).map(i => (i, s"x x x a$i b$i c$i")).toDF("doc_id", "text")
+    val none = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minC = 0.1, maxDf = 2).collect()
+    assert(none.forall(r => r.getLong(2) <= 2)) // inter never counts the df-5 gram
+  }
+
+  test("mmr re-rank: a diversity-weighted step demotes the exact twin") {
+    // 11 is a scaled EXACT twin of 10 (cosine 1); with λ = 0.3 the
+    // diversity term dominates and step 2 must skip the twin for the
+    // near-orthogonal 12 despite 12's far lower relevance. (λ = 0.7 in
+    // the query row is relevance-dominant by design — this pins the
+    // greedy penalty arithmetic itself.)
+    val q = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("q_id", "q_vec")
+    val c = Seq(
+      (10L, Seq(0.9, 0.1, 0.0)),
+      (11L, Seq(1.8, 0.2, 0.0)),     // exact twin direction of 10
+      (12L, Seq(0.5, 0.0, 0.866))    // diverse, less relevant
+    ).toDF("vec_id", "c_vec")
+    val sl = graft.similarity.Vectors.bruteForceKnn(q, c, k = 3)
+      .join(c, "vec_id").select(col("vec_id"), col("score"), col("c_vec"))
+    val s1 = sl.orderBy(col("score").desc, col("vec_id")).limit(1)
+    val m2 = sl.join(broadcast(s1.select(col("vec_id").as("v1"), col("c_vec").as("w1"))),
+        col("vec_id") =!= col("v1"))
+      .withColumn("mmr", round(lit(0.3) * col("score") -
+        lit(0.7) * round(graft.similarity.Vectors.cosine(col("c_vec"), col("w1")), 6), 6))
+    val pick2 = m2.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    assert(s1.collect().head.getLong(0) === 10L) // score tie with twin → lowest id
+    assert(pick2 === 12L, "diversity-weighted MMR must prefer the diverse candidate")
+  }
+
   test("dsir weights target-like docs above off-target docs") {
     // target slice speaks {aa bb}, off-target speaks {zz yy}; a fresh raw
     // doc in target vocabulary must outweigh one in off-target vocabulary
