@@ -226,4 +226,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       "per-(query, cell) tables and shortlist must broadcast-join")
   }
+
+  test("bm25: term-count tables broadcast, heap top-k, no global sort or SMJ") {
+    val p = finalPlan("tx_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a heap, never a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "df / dl / stats joins must broadcast at any scale (terms-sized)")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "tf aggregation must combine map-side")
+  }
+
+  test("dsir: one bucket-grouped pass, weight table broadcast, no doc-sized SMJ") {
+    val p = finalPlan("tx_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the buckets-row weight table must broadcast onto the gram stream")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the DSIR path joins two data-sized sides")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "LM counts must combine map-side")
+  }
+
+  test("semdedup: cell equi-join, no cartesian, anti-join survivors") {
+    val p = finalPlan("dd_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must stay an equi-join on cell")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a non-equi pair join would all-pairs the corpus")
+    assert(p.toLowerCase.contains("leftanti") || p.contains("LeftAnti"),
+      "survivors must come from an anti-join against the dominated set")
+  }
+
+  test("rolling stats: window partitions by user, never a single partition") {
+    val p = plan("w4_rolling_stats")
+    assert(p.contains("hashpartitioning(user_id"),
+      "the window exchange must shard by user_id")
+    assert(p.contains("Window"), "frame aggregates must run as window functions")
+  }
 }
