@@ -208,6 +208,30 @@ object StreamingQueries extends QuerySet {
           countDistinct(col("event_id")).as("exact_nd"))
       exact.join(Sketches.hllFold(regs, Seq("event_type"), "est_hll"), "event_type")
         .orderBy("event_type")
+    }),
+
+    // ST14 — streaming DSIR scoring: documents arrive as a stream and are
+    // scored against the PRE-BUILT hashed-bigram LM artifact (the weight
+    // map is a plan literal — index-artifact billing like the PQ
+    // codebooks/IVF cells; built once per corpus snapshot batch-side).
+    // Scoring is a PURE PROJECTION (Dsir.scoreWithLiteralWeights): no
+    // join, no shuffle, zero streaming state — append mode on an
+    // unbounded stream with per-doc constant work, the shape a "score
+    // documents as they land" curation service actually runs. The
+    // converged streamed relation must equal the batch scorer exactly,
+    // so this row shares tx_dsir's full hash oracle.
+    "st14_stream_score" -> ((s, dir) => {
+      import graft.text.Dsir
+      val docs = t(s, dir, "documents")
+      val (weights, unseenW) = Dsir.weightTable(docs, "doc_id", "text",
+        targetPred = col("lang") === "en")
+      val stream = EventStreams.readTableStream(s, dir, "documents")
+      val scored = Dsir.scoreWithLiteralWeights(stream, "doc_id", "text",
+        weights, unseenW)
+      EventStreams.runToDir(scored,
+          s"/tmp/graft_export/stream/st14_score_${System.nanoTime()}",
+          OutputMode.Append)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -382,6 +406,37 @@ object StreamingQueries extends QuerySet {
         |  AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL '1 hour'
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    // The converged stream must equal the BATCH DSIR scorer — this is
+    // verbatim the tx_dsir oracle: any divergence between the literal
+    // weight map, the streaming projection, and the batch join path
+    // breaks the hash.
+    "st14_stream_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest([t[i] || chr(31) || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |b AS (
+        |  SELECT doc_id, is_t,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bkt
+        |  FROM grams),
+        |cnts AS (
+        |  SELECT bkt, COUNT(*) AS c_r,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+        |  FROM b GROUP BY bkt),
+        |tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM cnts),
+        |w AS (
+        |  SELECT bkt, round(ln((c_t + 1.0) / (t_t + 512.0))
+        |                  - ln((c_r + 1.0) / (t_r + 512.0)), 6) AS w
+        |  FROM cnts CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_weight
+        |FROM b JOIN w USING (bkt)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "st9_stream_hll" ->
       s"""WITH w AS (

@@ -87,6 +87,15 @@ object EventStreams {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Streaming file read of any single-parquet testdata table (the same
+    * glob trick as [[readEvents]]; no timestamp normalization — events
+    * must go through readEvents). */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/$name.[p]arquet")
+  }
+
   /** Streaming read of the events table (file source, explicit schema —
     * the batch loader's ns→timestamp conversion applied on top). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -120,6 +120,28 @@ class SelectionSpec extends SparkSuite {
     assert(pick2 === 12L, "diversity-weighted MMR must prefer the diverse candidate")
   }
 
+  test("literal-weight scorer ≡ batch dsir; unseen buckets take the smoothed weight") {
+    val fit = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val batch = Dsir.importanceWeights(fit, "doc_id", "text",
+        col("lang") === "en", buckets = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (w, unseenW) = Dsir.weightTable(fit, "doc_id", "text",
+      col("lang") === "en", buckets = 128)
+    val streamed = Dsir.scoreWithLiteralWeights(fit, "doc_id", "text",
+        w, unseenW, buckets = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    // a doc whose grams the fit corpus never saw scores n_grams · unseenW
+    val fresh = Seq((999999L, "zzqq wwvv zzqq")).toDF("doc_id", "text")
+    val got = Dsir.scoreWithLiteralWeights(fresh, "doc_id", "text",
+        Map.empty[Long, Double], unseenW, buckets = 128)
+      .collect().head
+    val expect = BigDecimal(2 * unseenW)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) === 2L && got.getDouble(2) === expect)
+  }
+
   test("dsir weights target-like docs above off-target docs") {
     // target slice speaks {aa bb}, off-target speaks {zz yy}; a fresh raw
     // doc in target vocabulary must outweigh one in off-target vocabulary
