@@ -77,6 +77,22 @@ object DedupQueries extends QuerySet {
         .limit(100)
     }),
 
+    // Duplicate-cluster-size histogram: the dedup observability row —
+    // "how much of the corpus is duplicated, at what multiplicity"
+    // (dedup-rate reporting before/after a pipeline stage). Two
+    // counts-only hash-aggs over the content hash; document bytes never
+    // shuffle. Plants give a known multi-modal shape: every doc doubled,
+    // docs with doc_id % 10 < 3 get a THIRD copy — so the histogram must
+    // show exactly the 2- and 3-clusters the plant implies.
+    "dd_cluster_sizes" -> ((s, dir) => {
+      val extra = t(s, dir, "documents").filter(col("doc_id") % 10 < 3)
+        .select((col("doc_id") + lit(2 * COPY_OFFSET)).as("doc_id"), col("text"))
+      doubled(s, dir).unionByName(extra)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // ASYMMETRIC containment dedup (Dedup.containmentPairs): a doc
     // EMBEDDED in a larger one scores C(A→B) ≈ 1 on the contained side
     // while Jaccard stays low — the quote/subset/aggregator-page signal.
@@ -574,6 +590,18 @@ object DedupQueries extends QuerySet {
         |JOIN sizes sb ON sb.id = id_b
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 100""".stripMargin,
+
+    "dd_cluster_sizes" ->
+      """WITH d AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 10 < 3),
+        |g AS (SELECT md5(text) AS h, COUNT(*) AS cluster_size FROM d GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM g GROUP BY 1
+        |ORDER BY cluster_size""".stripMargin,
 
     // Mirrors Dedup.containmentPairs + the half-copy plant: distinct
     // chr(31)-joined 3-grams, df-pruned (> 64) BEFORE the pair join,

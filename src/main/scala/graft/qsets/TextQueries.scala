@@ -378,6 +378,39 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocation mining: the bigrams whose joint probability most
+    // exceeds independence — the phrase/vocab-curation signal (multi-word
+    // expressions worth single tokens; boilerplate phrase detection).
+    // pmi = log2((c12/n_bi) / ((c1/n_tok)·(c2/n_tok))), unigram counts
+    // for the marginals, support floor c12 ≥ 5, top-50. Counts-only
+    // shuffles (vocabulary-sized aggregates, never document-sized);
+    // marginal tables broadcast under AQE; top-k is a TakeOrdered.
+    "tx_pmi_collocations" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).as("n_tok"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + lit(1)).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val nBi = bi.agg(count(lit(1)).as("n_bi"))
+      c12
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(nBi)).crossJoin(broadcast(nTok))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log2((col("c12").cast("double") / col("n_bi")) /
+            ((col("c1").cast("double") / col("n_tok")) *
+              (col("c2").cast("double") / col("n_tok")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // BM25 ranked retrieval (graft.text.Retrieval): top-20 docs for a
     // fixed 5-term query. Postings are filtered to the query terms
     // BEFORE the (doc, term) shuffle; df and (N, avgdl) broadcast back;
@@ -717,6 +750,34 @@ object TextQueries extends QuerySet {
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors tx_pmi_collocations: identical marginal definitions and
+    // paren structure in the pmi expression, support floor, rounded 6.
+    "tx_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |ntok AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+        |  HAVING COUNT(*) >= 5),
+        |nbi AS (SELECT COUNT(*) AS n_bi FROM bi)
+        |SELECT w1, w2, c12,
+        |  round(log2((CAST(c12 AS DOUBLE) / n_bi) /
+        |    ((CAST(u1.c AS DOUBLE) / n_tok) * (CAST(u2.c AS DOUBLE) / n_tok))), 6) AS pmi
+        |FROM c12
+        |JOIN uni u1 ON u1.w = w1
+        |JOIN uni u2 ON u2.w = w2
+        |CROSS JOIN nbi CROSS JOIN ntok
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     // Mirrors Retrieval.bm25TopK: same tokenizer, the Lucene
     // ln(1 + (N - df + 0.5)/(df + 0.5)) idf rounded to 6, identical
