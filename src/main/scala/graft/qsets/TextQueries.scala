@@ -378,6 +378,35 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source KL divergence from the corpus token distribution — the
+    // domain-shift diagnostic a mixing stage reads before setting
+    // per-source weights ("how far is src3 from the blend"). No
+    // smoothing needed: the corpus marginal dominates every source (a
+    // source token always has corpus count ≥ its source count). All
+    // shuffles carry (source, token) COUNTS, derived in one pass — the
+    // corpus marginal re-aggregates the per-source counts rather than
+    // re-scanning documents; terms rounded to 12 then decimal-summed so
+    // the oracle hash-matches.
+    "tx_source_kl" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      val st = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_st"))
+      val ct = st.groupBy(col("w")).agg(sum(col("c_st")).as("c_t"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val n = ns.agg(sum(col("n_s")).as("n"))
+      st.join(ct, "w").join(ns, "source").crossJoin(broadcast(n))
+        .withColumn("term", round(
+          (col("c_st").cast("double") / col("n_s")) *
+            log2((col("c_st").cast("double") / col("n_s")) /
+              (col("c_t").cast("double") / col("n"))), 12))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          round(sum(col("term").cast(DecimalType(28, 12))).cast("double"), 6)
+            .as("kl"))
+        .orderBy(col("source"))
+    }),
+
     // PMI collocation mining: the bigrams whose joint probability most
     // exceeds independence — the phrase/vocab-curation signal (multi-word
     // expressions worth single tokens; boilerplate phrase detection).
@@ -750,6 +779,28 @@ object TextQueries extends QuerySet {
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors tx_source_kl: identical probability/log2 paren structure,
+    // terms rounded 12 and decimal-summed, corpus marginal derived from
+    // the per-source counts.
+    "tx_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |st AS (SELECT source, w, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT w, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY w),
+        |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    round((CAST(c_st AS DOUBLE) / n_s) *
+        |      log2((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n)), 12) AS term
+        |  FROM st JOIN ct USING (w) JOIN ns USING (source) CROSS JOIN n)
+        |SELECT source, MAX(n_s) AS n_tokens,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+        |FROM terms
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // Mirrors tx_pmi_collocations: identical marginal definitions and
     // paren structure in the pmi expression, support floor, rounded 6.
