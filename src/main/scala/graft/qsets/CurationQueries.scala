@@ -171,6 +171,26 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    // the exponential-race form): each doc draws u from its content hash
+    // and races with key −ln(u)/w; the k smallest keys are a weighted
+    // sample without replacement — longer docs (w = n_chars) win
+    // proportionally more often, yet the draw is fully deterministic and
+    // engine-replayable (md5-derived u, the hashSample reproducibility
+    // contract). One narrow projection + a TakeOrdered top-k: no
+    // shuffle beyond the k-row heap merge, stable under re-sharding —
+    // the standard way to take "a 100-doc sample weighted by length /
+    // quality score" out of a 100 TB corpus in one pass.
+    "samp_weighted_es" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(-log(u) / col("n_chars"), 12).as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(100)
+    }),
+
     // Stratified sampling: rank-decile strata over doc length, then the
     // content-hash Bernoulli keep INSIDE each stratum — "sample 1/16
     // uniformly from every length decile" (keeps the curated set's
@@ -399,6 +419,14 @@ object CurationQueries extends QuerySet {
         |FROM kept
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "samp_weighted_es" ->
+      """SELECT doc_id, n_chars,
+        |  round(-ln((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |             + 1.0) / 1152921504606846976.0) / n_chars, 12) AS es_key
+        |FROM documents
+        |ORDER BY es_key, doc_id
+        |LIMIT 100""".stripMargin,
 
     "samp_stratified" ->
       """WITH r AS (
