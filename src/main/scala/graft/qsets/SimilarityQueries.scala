@@ -388,9 +388,15 @@ object SimilarityQueries extends QuerySet {
     "sim_mmr_rerank" -> ((s, dir) => {
       val c = corpus(s, dir)
       val q = queriesDf(s, dir, 1)
+      // the shortlist is a BOUNDED index artifact (k rows); checkpoint it
+      // once so the greedy steps reference 10 materialized rows instead
+      // of re-expanding the corpus-wide brute-force subtree per step —
+      // at scale the shortlist build is the expensive stage and must run
+      // exactly once
       val shortlist = Vectors.bruteForceKnn(q, c, k = 10)
         .join(c, "vec_id")
         .select(col("vec_id"), col("score"), col("c_vec"))
+        .localCheckpoint(eager = true)
       val s1 = shortlist.orderBy(col("score").desc, col("vec_id")).limit(1)
       val r1 = shortlist.join(broadcast(s1.select(col("vec_id").as("__v1"),
           col("c_vec").as("__w1"))), col("vec_id") =!= col("__v1"))

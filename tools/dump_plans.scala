@@ -61,7 +61,14 @@ val notes: Seq[(String, String)] = Seq(
   "lay_compaction" -> "Small-files compaction plan: sequential bin packing by a DISTRIBUTED running byte sum (range partition + counts-only shard offsets + in-shard window) - the single-partition SUM OVER (ORDER BY) a naive planner would emit never appears; bins and boundaries are exact integer arithmetic the oracle replays.",
   "tx_cdc_chunks" -> "Content-defined chunking: md5-mod cut rule over trailing token windows as bounded per-doc HOFs (insertion re-synchronization is the point - fixed chunking loses every offset); only fingerprints shuffle for the cross-document shared-chunk aggregation.",
   "dd_cdc_incremental" -> "Chunk-level incremental dedup: the batch's CDC fingerprints left-anti join the persistent fingerprint index (bytes per unique passage, batch=<id> idempotent commits); copied passages score novel=0 even at shifted offsets, and the whole pipeline hash-checks against the oracle.",
-  "sim_knn_sq8" -> "Scalar 8-bit quantization ANN: encode is a pure map (per-dim ranges inline as plan literals - plan-pinned exchange-free), scoring reconstructs from the codes column alone, the bounded shortlist heap caps the shuffle, and only shortlist rows touch raw vectors in the exact re-rank."
+  "sim_knn_sq8" -> "Scalar 8-bit quantization ANN: encode is a pure map (per-dim ranges inline as plan literals - plan-pinned exchange-free), scoring reconstructs from the codes column alone, the bounded shortlist heap caps the shuffle, and only shortlist rows touch raw vectors in the exact re-rank.",
+  "dd_semdedup" -> "SemDeDup: assignment against literal anchor centroids is a pure map over the scan; the within-cell pairwise compare self-joins ON CELL ONLY (quadratic in the cell, linear overall via k ~ n/cellSize), dominated ids distinct-ed before the survivors anti-join - nothing all-pairs across cells.",
+  "tx_bm25_topk" -> "BM25 retrieval: postings filtered to the query terms BEFORE the (doc,term) shuffle, df and (N,avgdl) broadcast back, per-doc weights decimal-summed map-side, top-k a TakeOrderedAndProject - never a global sort.",
+  "tx_dsir" -> "DSIR importance weights: both hashed-bigram LMs from ONE bucket-grouped pass (target count rides the raw count's shuffle as a conditional sum); the buckets-row weight table broadcasts onto the gram stream; per-doc decimal log-ratio sums are the only data-sized aggregation.",
+  "st14_stream_score" -> "Streaming DSIR scoring: the weight map is a plan LITERAL (index-artifact billing), so per-doc scoring is a stateless projection - no join, no shuffle, no streaming state; append mode on an unbounded stream at constant per-doc work, converged output sharing the batch scorer's oracle.",
+  "dd_containment" -> "Asymmetric containment: distinct per-doc grams, stop-gram (df > maxDf) prune BEFORE the pair join caps per-gram fan-out at maxDf^2, denominators from the unpruned gram-set sizes - the quote/subset detector at linear cost.",
+  "sim_mmr_rerank" -> "MMR diversified re-rank: the expensive stage is the oracle-checked brute-force shortlist; each greedy step is a TakeOrdered over the BOUNDED shortlist with the previous picks broadcast - constant work per step, fully plan-side.",
+  "w4_rolling_stats" -> "Rolling window stats: user_id is the window partition key (hash exchange, parallel across users), the 7-row frame is constant work per row and the cumulative sum a running aggregate; decimal frame sums keep the oracle hash-exact."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
