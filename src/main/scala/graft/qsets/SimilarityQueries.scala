@@ -50,6 +50,27 @@ object SimilarityQueries extends QuerySet {
       (asg.localCheckpoint(eager = true), cent)
     })
 
+  // the SemDeDup fit over the PLANTED corpus (base ∪ perturbed copies) is
+  // its own index artifact — same keying and billing as anchorFit, but a
+  // different corpus so it cannot share that cache. Returns the planted
+  // corpus (checkpointed — both the fit and the pairwise prune read it)
+  // and the checkpointed cell assignment.
+  private val plantedFitCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
+
+  private def plantedFit(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    plantedFitCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val base = corpus(s, dir)
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("c_vec"), i) +
+              lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+      val all = base.unionByName(planted).localCheckpoint(eager = true)
+      val (asg, _) = Kmeans.fitAnchor(all, k = 8, iters = 2)
+      (all, asg.localCheckpoint(eager = true))
+    })
+
   /** Diagnostic sweep point for the LSH recall-vs-cost curve recorded in
     * verify_recall.json (not part of the query surface): the top-5
     * result at (tables, bits) plus the measured mean deduped candidates
@@ -343,14 +364,7 @@ object SimilarityQueries extends QuerySet {
     // compare linear overall.
     "dd_semdedup" -> ((s, dir) => {
       import graft.dedup.SemDedup
-      val base = corpus(s, dir)
-      val planted = base.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          transform(sequence(lit(1), lit(64)),
-            i => element_at(col("c_vec"), i) +
-              lit(0.02) * (i % 3).cast("double")).as("c_vec"))
-      val all = base.unionByName(planted)
-      val (asg, _) = Kmeans.fitAnchor(all, k = 8, iters = 2)
+      val (all, asg) = plantedFit(s, dir)
       SemDedup.survivors(all, asg, tau = 0.97)
         .orderBy(col("vec_id"))
     }),
