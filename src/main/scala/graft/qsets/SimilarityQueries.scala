@@ -67,7 +67,15 @@ object SimilarityQueries extends QuerySet {
             i => element_at(col("c_vec"), i) +
               lit(0.02) * (i % 3).cast("double")).as("c_vec"))
       val all = base.unionByName(planted).localCheckpoint(eager = true)
-      val (asg, _) = Kmeans.fitAnchor(all, k = 8, iters = 2)
+      // k grows as ceil(sqrt(n)): SemDeDup's within-cell compare is
+      // quadratic in the cell, so a FIXED k turns the whole query
+      // quadratic as the corpus grows. sqrt-scaling balances the two
+      // costs — fit assignment is O(n·k·d), the prune is O(n²·d/k), both
+      // O(n^1.5·d) at k=√n. (Production fits target k ≈ n/cellSize with
+      // a sampled MLlib fit — Vectors.ivfFit; this row keeps the
+      // decimal-exact Lloyd replay so DuckDB reproduces the formula.)
+      val k = math.max(8, math.ceil(math.sqrt(all.count().toDouble)).toInt)
+      val (asg, _) = Kmeans.fitAnchor(all, k = k, iters = 2)
       (all, asg.localCheckpoint(eager = true))
     })
 
@@ -392,6 +400,28 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("cell"))
     }),
 
+    // Cluster-balanced selection: the 3 smallest-md5(vec_id) members of
+    // every anchor-fit cell — "take an even sample across the embedding
+    // space" (diverse eval subsets, balanced fine-tuning pools; the
+    // cluster-then-sample step SemDeDup-style pipelines run AFTER
+    // pruning). Rides the session-cached anchorFit (index-artifact
+    // billing: the fit is paid once by whichever consumer runs first);
+    // the per-cell pick is a window over cell partitions — groups are
+    // the parallel unit, k·quota rows survive. The md5 order makes the
+    // draw uniform-at-random per cell yet engine-replayable, and the
+    // Lloyd replay makes this the first ORACLE-CHECKED cluster-balanced
+    // sampler: DuckDB reproduces fit → assignment → per-cell draw.
+    "samp_cluster_balanced" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (asg, _) = anchorFit(s, dir)
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      asg.select(col("cell"), col("vec_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("cell"), col("rk"))
+    }),
+
     // MMR diversified re-rank (Carbonell & Goldstein 1998): greedy
     // λ·relevance − (1−λ)·max-sim-to-selected over a top-10 brute-force
     // shortlist, 3 picks, λ = 0.7. Each greedy step is a TakeOrdered
@@ -430,6 +460,63 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("rank"))
     })
   )
+
+  /** The sim_kmeans_anchor Lloyd replay (md5-pivot init, two
+    * decimal-exact Lloyd steps, rounded-9 argmin assignment) through the
+    * final assignment `af(vec_id, cell)` — the CTE prefix shared by the
+    * purity and cluster-balanced oracles so the fit replay cannot drift
+    * between consumers. */
+  private val anchorAfCtes: String =
+    """WITH v AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |piv AS (
+      |  SELECT vec_id AS pivot_id, e
+      |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
+      |  FROM piv),
+      |a1 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+      |        c.cell) AS rn
+      |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cell, ix.i,
+      |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |          / COUNT(*), 6) AS ci
+      |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+      |  GROUP BY cell, ix.i),
+      |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
+      |c1 AS (
+      |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
+      |  FROM c0 LEFT JOIN c1n USING (cell)),
+      |a2 AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT v.vec_id, v.e, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+      |        c.cell) AS rn
+      |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cell, ix.i,
+      |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |          / COUNT(*), 6) AS ci
+      |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+      |  GROUP BY cell, ix.i),
+      |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
+      |c2 AS (
+      |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
+      |  FROM c1 LEFT JOIN c2n USING (cell)),
+      |af AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+      |        c.cell) AS rn
+      |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "sim_knn_brute" ->
@@ -841,11 +928,12 @@ object SimilarityQueries extends QuerySet {
 
     // Mirrors dd_semdedup end to end: the planted corpus (each
     // vec_id < 100 duplicated at +100000 with +0.02·(i mod 3) per-dim
-    // perturbation), the sim_kmeans_anchor fit replay (md5-pivot init,
-    // two Lloyd steps with decimal-exact means, rounded-9 L2 argmin with
-    // ties to the lowest cell), then the within-cell cosine-≥-0.97 prune
-    // keeping the lowest id. Any slip in plant, fit, assignment, or
-    // prune arithmetic breaks the hash match.
+    // perturbation), the Lloyd fit replay at k = max(8, ceil(sqrt(n)))
+    // (md5-pivot init, two Lloyd steps with decimal-exact means,
+    // rounded-9 L2 argmin with ties to the lowest cell), then the
+    // within-cell cosine-≥-0.97 prune keeping the lowest id. Any slip in
+    // plant, k derivation, fit, assignment, or prune arithmetic breaks
+    // the hash match.
     "dd_semdedup" ->
       """WITH base AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -855,9 +943,11 @@ object SimilarityQueries extends QuerySet {
         |  SELECT vec_id + 100000 AS vec_id,
         |    [e[i] + 0.02*(i%3) for i in range(1,65)] AS e
         |  FROM base WHERE vec_id < 100),
+        |kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM v),
         |piv AS (
-        |  SELECT vec_id AS pivot_id, e
-        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |  SELECT vec_id AS pivot_id, e FROM v
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |    <= (SELECT k FROM kk)),
         |c0 AS (
         |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
         |  FROM piv),
@@ -915,56 +1005,7 @@ object SimilarityQueries extends QuerySet {
     // then per-cell label counts, majority by (count desc, label), and
     // rounded purity.
     "sim_kmeans_purity" ->
-      """WITH v AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |piv AS (
-        |  SELECT vec_id AS pivot_id, e
-        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
-        |  FROM piv),
-        |a1 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cell, ix.i,
-        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |          / COUNT(*), 6) AS ci
-        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-        |  GROUP BY cell, ix.i),
-        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
-        |c1 AS (
-        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
-        |  FROM c0 LEFT JOIN c1n USING (cell)),
-        |a2 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT cell, ix.i,
-        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |          / COUNT(*), 6) AS ci
-        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-        |  GROUP BY cell, ix.i),
-        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
-        |c2 AS (
-        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
-        |  FROM c1 LEFT JOIN c2n USING (cell)),
-        |af AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
-        |cl AS (
+      (anchorAfCtes + """cl AS (
         |  SELECT af.cell, emb.label, COUNT(*) AS n_cl
         |  FROM af JOIN embeddings emb USING (vec_id)
         |  GROUP BY af.cell, emb.label),
@@ -977,7 +1018,20 @@ object SimilarityQueries extends QuerySet {
         |SELECT t.cell, t.n, top.label AS top_label,
         |  round(CAST(top.n_cl AS DOUBLE) / t.n, 6) AS purity
         |FROM tot t JOIN top USING (cell)
-        |ORDER BY t.cell""".stripMargin,
+        |ORDER BY t.cell""".stripMargin),
+
+    // The anchor Lloyd replay through final assignment, then the
+    // per-cell 3 smallest-md5 draw — fit, assignment, and the sampling
+    // order all hash-checked end to end.
+    "samp_cluster_balanced" ->
+      (anchorAfCtes + """picked AS (
+        |  SELECT cell, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cell
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+        |  FROM af)
+        |SELECT cell, vec_id, rk FROM picked
+        |WHERE rk <= 3
+        |ORDER BY cell, rk""".stripMargin),
 
     // Mirrors sim_mmr_rerank: brute top-10 shortlist for query vec 0,
     // then three unrolled greedy picks of 0.7·score − 0.3·max cosine to
