@@ -14,7 +14,7 @@ object CurationQueries extends QuerySet {
 
   /** doc_id % 97 == 0 plays the held-out eval benchmark (~1% of docs);
     * the rest is the training corpus being screened against it. */
-  private val BENCH_MOD = 97
+  private[qsets] val BENCH_MOD = 97
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -293,13 +293,70 @@ object CurationQueries extends QuerySet {
         .select(graft.text.TextFunctions.wsTokenCount(col("text")).as("n_toks"))
       Sampling.linearHistogram(withToks, col("n_toks"), width = 32)
         .orderBy(col("bucket"))
+    }),
+
+    // Temperature-scaled domain mixture weights (the multilingual /
+    // multi-domain mixing rule: sample source s with probability
+    // ∝ share_s^α, α = 0.5) plus the effective epoch count each source
+    // runs at under a fixed token budget — THE numbers a training run
+    // reads off the corpus before building its sampler. Per-source token
+    // totals are one counts-only aggregate; the corpus total and the
+    // normalizer are 1-row broadcasts; everything after is arithmetic on
+    // |sources| rows. Determinism discipline: the α-power terms are
+    // rounded then DECIMAL-summed (order-independent), so both engines
+    // derive the identical normalizer and every weight hash-matches.
+    "tx_mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val budget = 1000000L // planned run size, in tokens
+      val per = t(s, dir, "documents")
+        .select(col("source"),
+          graft.text.TextFunctions.wsTokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t_tokens"))
+      val sc = per.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens").cast("double") / col("t_tokens"))
+        .withColumn("sq", round(sqrt(col("share")), 12))
+      val denom = sc.agg(
+        sum(col("sq").cast(DecimalType(28, 12))).cast("double").as("denom"))
+      sc.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_tokens"),
+          round(col("share"), 9).as("share"),
+          round(col("sq") / col("denom"), 9).as("weight"),
+          round(col("sq") / col("denom") * lit(budget.toDouble) / col("n_tokens"), 6)
+            .as("epochs"))
+        .orderBy(col("source"))
+    }),
+
+    // Distinct-n diversity profile per source (the generation-diversity
+    // metric): for n = 1,2,3, total gram occurrences, distinct grams,
+    // and the distinct ratio. Counts-only shuffles; grams travel as
+    // strings here so the DISTINCT count is definitionally exact for the
+    // oracle — the 100 TB form swaps countDistinct for
+    // approx_count_distinct (HLL++, fixed-size mergeable sketch) and
+    // hashes grams to 64-bit first, the tx_vocab precedent.
+    "tx_distinct_ngrams" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val docs = t(s, dir, "documents")
+      def profile(n: Int): DataFrame = docs
+        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("source"), explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          //  separator — boundary-unambiguous, = the oracle's chr(31)
+          i => array_join(slice(col("t"), i, lit(n)), "\u001F"))).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), lit(n).as("n"), col("total"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("total"), 6).as("distinct_ratio"))
+      profile(1).unionByName(profile(2)).unionByName(profile(3))
+        .orderBy(col("source"), col("n"))
     })
   )
 
   /** Shared by dd_decontaminate and dd_decontaminate_bloom: the Bloom
     * path is sketch-then-verify, so its OUTPUT is defined to be
     * identical — same oracle proves it. */
-  private val decontaminateSql =
+  private[qsets] val decontaminateSql =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),
@@ -494,6 +551,43 @@ object CurationQueries extends QuerySet {
         |  CAST(MIN(n_toks) AS BIGINT) AS lo, CAST(MAX(n_toks) AS BIGINT) AS hi
         |FROM toks
         |GROUP BY bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "tx_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS t_tokens FROM per),
+        |sc AS (
+        |  SELECT source, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / t_tokens AS share,
+        |    round(sqrt(CAST(n_tokens AS DOUBLE) / t_tokens), 12) AS sq
+        |  FROM per CROSS JOIN tot),
+        |d AS (SELECT CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE) AS denom
+        |      FROM sc)
+        |SELECT source, n_tokens, round(share, 9) AS share,
+        |  round(sq / denom, 9) AS weight,
+        |  round(sq / denom * 1000000.0 / n_tokens, 6) AS epochs
+        |FROM sc CROSS JOIN d
+        |ORDER BY source""".stripMargin,
+
+    "tx_distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT source, n, array_to_string(t[i:i+n-1], chr(31)) AS g
+        |  FROM (
+        |    SELECT source, t, n, unnest(generate_series(1, len(t) - (n - 1))) AS i
+        |    FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+        |    WHERE len(t) >= n))
+        |SELECT source, n, COUNT(*) AS total,
+        |  COUNT(DISTINCT g) AS n_distinct,
+        |  round(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+        |FROM grams
+        |GROUP BY source, n
+        |ORDER BY source, n""".stripMargin
   )
 }

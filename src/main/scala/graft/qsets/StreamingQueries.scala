@@ -232,6 +232,35 @@ object StreamingQueries extends QuerySet {
           s"/tmp/graft_export/stream/st14_score_${System.nanoTime()}",
           OutputMode.Append)
         .orderBy(col("doc_id"))
+    }),
+
+    // ST15 — streaming decontamination gate: documents arrive as a
+    // stream and are flagged against the STATIC benchmark gram set (the
+    // eval suite, fixed at deploy time) — the score-on-landing sibling
+    // of dd_decontaminate, the other half of a curation service beside
+    // st14's quality scorer. The per-doc gram explode → benchmark join →
+    // per-doc distinct-hit count is a stream-static join followed by an
+    // aggregation, which the streaming planner rejects in append mode —
+    // so it runs per micro-batch via runToDirPerBatch, which is EXACTLY
+    // correct here: every output row derives from one input row (one
+    // document), so no group ever straddles a batch boundary and
+    // stream ≡ batch by construction. The benchmark side broadcasts
+    // inside each batch (Decontaminate's measured-size gate); zero
+    // streaming state. Shares dd_decontaminate's full hash oracle
+    // verbatim — the converged stream must equal the batch flagging
+    // pass bit-for-bit, every round.
+    "st15_stream_decontaminate" -> ((s, dir) => {
+      import graft.dedup.Decontaminate
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % CurationQueries.BENCH_MOD === 0)
+      val stream = EventStreams.readTableStream(s, dir, "documents")
+      EventStreams.runToDirPerBatch(stream,
+          s"/tmp/graft_export/stream/st15_decon_${System.nanoTime()}",
+          OutputMode.Append) { b =>
+        Decontaminate.flagContaminated(
+          b.filter(col("doc_id") % CurationQueries.BENCH_MOD =!= 0),
+          bench, "doc_id", "text", n = 3)
+      }.orderBy(col("doc_id"))
     })
   )
 
@@ -463,6 +492,10 @@ object StreamingQueries extends QuerySet {
          |SELECT ex.g AS event_type, n_rows, exact_nd, v_zero, s_scaled,
          |       ${java.lang.Double.toString(graft.sketch.Sketches.HllNumerator)} / CAST(s_scaled AS DOUBLE) AS est_hll
          |FROM ex JOIN est ON ex.g = est.g
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    // stream ≡ batch: the converged streamed gate shares the batch
+    // flagging pass's oracle verbatim (the st14/tx_dsir discipline).
+    "st15_stream_decontaminate" -> CurationQueries.decontaminateSql
   )
 }

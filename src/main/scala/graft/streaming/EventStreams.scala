@@ -55,9 +55,26 @@ object EventStreams {
     * partition instead of blindly appending duplicate rows (the same
     * idempotent-overwrite discipline as `hllIndexAddBatch`; a blind
     * append would silently inflate e.g. st10's n_pairs on retry). */
-  def runToDir(df: DataFrame, outDir: String, mode: OutputMode): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
+  def runToDir(df: DataFrame, outDir: String, mode: OutputMode): DataFrame =
+    runToDirPerBatch(df, outDir, mode)(identity)
+
+  /** [[runToDir]] with a BATCH transform applied inside foreachBatch —
+    * the standard Structured Streaming escape hatch for logic the
+    * streaming planner rejects (stream-static join followed by
+    * aggregation, batch-only operators). Correctness contract: the
+    * transform must be row-local per carrier — every output row derives
+    * from rows of a single micro-batch (e.g. per-document computations
+    * where one input row IS one document). Under that contract
+    * stream ≡ batch regardless of how the source splits files across
+    * micro-batches, because no group ever straddles a batch boundary.
+    * The output schema is derived once, plan-side, by applying the
+    * transform to an empty typed frame. */
+  def runToDirPerBatch(stream: DataFrame, outDir: String, mode: OutputMode)
+                      (perBatch: DataFrame => DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    val schema = perBatch(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)).schema
+    val df = stream
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -73,7 +90,7 @@ object EventStreams {
     val q = df.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val target = if (complete) outDir else s"$outDir/$batchCol=$batchId"
-        b.write.mode("overwrite").parquet(target); ()
+        perBatch(b.toDF()).write.mode("overwrite").parquet(target); ()
       }
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -158,4 +158,50 @@ class SelectionSpec extends SparkSuite {
     assert(w(4L) > w(5L))
     assert(w(1L) > w(3L))
   }
+
+  test("mixture weights: normalized, temperature-compressed toward uniform") {
+    val rows = graft.qsets.CurationQueries.queries("tx_mix_weights")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    val wsum = rows.map(_._4).sum
+    assert(math.abs(wsum - 1.0) < 1e-6, s"weights sum to $wsum")
+    // α = 0.5 compresses toward uniform: every below-average source is
+    // UP-weighted (weight > share), every above-average one down-weighted
+    rows.foreach { case (src, _, share, weight, _) =>
+      val mean = 1.0 / rows.length
+      if (share < mean - 1e-9) assert(weight > share, s"$src not up-weighted")
+      if (share > mean + 1e-9) assert(weight < share, s"$src not down-weighted")
+    }
+    // epochs is the weight'd budget over the source's own tokens
+    rows.foreach { case (src, n, _, w, e) =>
+      assert(math.abs(e - w * 1000000.0 / n) < 1e-4, s"$src epochs off")
+    }
+  }
+
+  test("cluster-balanced sample: at most 3 per cell, every cell covered") {
+    val got = graft.qsets.SimilarityQueries.queries("samp_cluster_balanced")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val perCell = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 3))
+    assert(perCell.keySet.size >= 2, "fit should produce multiple cells")
+    // ranks are 1..n within each cell
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("distinct-ngram diversity: totals shrink and ratios grow with n") {
+    val rows = graft.qsets.CurationQueries.queries("tx_distinct_ngrams")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val sources = rows.keySet.map(_._1)
+    assert(sources.nonEmpty)
+    sources.foreach { s =>
+      val (t1, d1) = rows((s, 1)); val (t3, d3) = rows((s, 3))
+      assert(t1 >= t3, s"$s: gram totals must shrink with n")
+      // longer grams are more distinctive
+      assert(d3.toDouble / t3 >= d1.toDouble / t1, s"$s: trigram ratio below unigram")
+    }
+  }
 }

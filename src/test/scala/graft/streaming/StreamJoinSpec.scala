@@ -47,4 +47,35 @@ class StreamJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("__graft_batch"))
   }
+
+  test("runToDirPerBatch: per-batch stream-static join + agg ≡ batch result") {
+    // documents stream through a per-batch transform that joins a static
+    // gram set and aggregates per doc — the st15 shape. Row-local per
+    // document, so stream must equal batch exactly.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    def flag(corpus: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Decontaminate.flagContaminated(
+        corpus.filter(col("doc_id") % 7 =!= 0), bench, "doc_id", "text", n = 3)
+    val out = java.nio.file.Files.createTempDirectory("pbj").toString
+    val streamed = EventStreams.runToDirPerBatch(
+        EventStreams.readTableStream(spark, sfDir, "documents"),
+        out, OutputMode.Append)(flag)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batch = flag(docs).as[(Long, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty, "fixture should flag at least one doc")
+    assert(streamed == batch)
+  }
+
+  test("runToDirPerBatch guards the partition column on the TRANSFORMED schema") {
+    val in = java.nio.file.Files.createTempDirectory("pbj-guard-in").toString
+    spark.range(4).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema("id LONG").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("pbj-guard").toString
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.runToDirPerBatch(stream, out, OutputMode.Append)(
+        _.withColumn("__graft_batch", col("id")))
+    }
+    assert(e.getMessage.contains("__graft_batch"))
+  }
 }
