@@ -327,6 +327,36 @@ object CurationQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Corpus snapshot diff — the data-versioning audit between two
+    // releases: per doc, added / removed / changed by content hash
+    // (unchanged docs are dropped — at 100 TB they are ~all of the
+    // corpus and nobody lists them). v2 is derived deterministically
+    // from v1 (doc_id % 13 removed, % 10 edited, ids < 50 re-added
+    // under new ids), so both engines build identical snapshots. Shape:
+    // content hashes are row-local maps; the diff is ONE full-outer
+    // join on the snapshot key — co-partitioned (exchange-free) when
+    // both snapshots are bucketed by id, the j14 discipline; nothing
+    // compares text bytes across the wire, only 16-byte digests.
+    "dd_snapshot_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+      val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h2").isNull, "removed")
+            .when(col("h1").isNull, "added")
+            .when(col("h1") =!= col("h2"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distinct-n diversity profile per source (the generation-diversity
     // metric): for n = 1,2,3, total gram occurrences, distinct grams,
     // and the distinct ratio. Counts-only shuffles; grams travel as
@@ -572,6 +602,24 @@ object CurationQueries extends QuerySet {
         |  round(sq / denom * 1000000.0 / n_tokens, 6) AS epochs
         |FROM sc CROSS JOIN d
         |ORDER BY source""".stripMargin,
+
+    "dd_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' EDITED' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN md5(a.text) <> md5(b.text) THEN 'changed' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j
+        |WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "tx_distinct_ngrams" ->
       """WITH toks AS (

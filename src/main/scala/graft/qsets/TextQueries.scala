@@ -461,6 +461,56 @@ object TextQueries extends QuerySet {
       graft.text.Dsir.importanceWeights(t(s, dir, "documents"),
           "doc_id", "text", targetPred = col("lang") === "en")
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance RESAMPLING — the selection step the weights exist
+    // for (Xie et al. 2302.03169 §3: sample without replacement with
+    // probability ∝ exp(log-ratio)). Efraimidis-Spirakis race in log
+    // space: the ES key −ln(u)/exp(s) is rank-equivalent to
+    // ln(−ln u) − s, which needs only ln — portable across engines
+    // (the samp_weighted_es precedent; exp is avoided entirely, so no
+    // cross-libm last-ulp risk enters the ordering). u derives from
+    // md5("dsir:"||doc_id): deterministic, independent of the content
+    // hash u used elsewhere. One projection over the weight frame + a
+    // TakeOrdered top-k — the same one-pass shape as samp_weighted_es,
+    // composed with the DSIR artifact.
+    "samp_dsir_topk" -> ((s, dir) => {
+      val w = graft.text.Dsir.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", targetPred = col("lang") === "en")
+      val u = (conv(substring(md5(concat(lit("dsir:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+      w.select(col("doc_id"), col("dsir_weight"),
+          round(log(-log(u)) - col("dsir_weight"), 9).as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(100)
+    }),
+
+    // Exact phrase search — the positional-retrieval primitive (quote
+    // lookup, benchmark-prompt probes, template mining). The phrase is a
+    // QUERY-SIDE literal, so the whole count is row-local: one pass over
+    // each document's token array with a native higher-order filter —
+    // zero joins, zero shuffles beyond the final ORDER BY, the optimal
+    // shape for scan-the-corpus phrase counting at any scale. (The
+    // indexed-corpus form — positional postings filtered to the query
+    // terms before a (doc, pos)-chained join — is the tx_bm25_topk
+    // machinery; this is the scan side.)
+    "tx_phrase_search" -> ((s, dir) => {
+      val phrase = Seq("batch", "table")
+      val L = phrase.length
+      val matchAt = (i: Column) => phrase.zipWithIndex.map { case (term, j) =>
+        element_at(col("t"), i + lit(j)) === lit(term)
+      }.reduce(_ && _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= L)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.filter(
+            sequence(lit(1), size(col("t")) - (L - 1)), matchAt).as("pos"))
+        .filter(size(col("pos")) > 0)
+        .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
+          element_at(col("pos"), 1).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -862,31 +912,61 @@ object TextQueries extends QuerySet {
     // Mirrors Dsir.importanceWeights: chr(31)-joined bigrams, md5 15-hex
     // bucket hash mod 512, add-1 smoothing over both LMs, per-gram
     // log-ratios rounded to 6 then decimal-summed per doc.
-    "tx_dsir" ->
+    "tx_dsir" -> (dsirSql + "\nORDER BY doc_id"),
+
+    // The tx_dsir replay as a subquery, then the log-space ES key and
+    // the top-100 race — weight fit, scoring, and the draw all
+    // hash-checked end to end.
+    "samp_dsir_topk" ->
+      s"""SELECT doc_id, dsir_weight,
+         |  round(ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |                + 1.0) / 1152921504606846976.0)) - dsir_weight, 9) AS es_key
+         |FROM ($dsirSql) dsir
+         |ORDER BY es_key, doc_id
+         |LIMIT 100""".stripMargin,
+
+    "tx_phrase_search" ->
       """WITH toks AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, lang = 'en' AS is_t,
-        |    unnest([t[i] || chr(31) || t[i+1] for i in range(1, len(t))]) AS g
-        |  FROM toks WHERE len(t) >= 2),
-        |b AS (
-        |  SELECT doc_id, is_t,
-        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bkt
-        |  FROM grams),
-        |cnts AS (
-        |  SELECT bkt, COUNT(*) AS c_r,
-        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
-        |  FROM b GROUP BY bkt),
-        |tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM cnts),
-        |w AS (
-        |  SELECT bkt, round(ln((c_t + 1.0) / (t_t + 512.0))
-        |                  - ln((c_r + 1.0) / (t_r + 512.0)), 6) AS w
-        |  FROM cnts CROSS JOIN tot)
-        |SELECT doc_id, COUNT(*) AS n_grams,
-        |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_weight
-        |FROM b JOIN w USING (bkt)
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |    FROM toks WHERE len(t) >= 2)
+        |  WHERE t[i] = 'batch' AND t[i+1] = 'table')
+        |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(i) AS BIGINT) AS first_pos
+        |FROM pos
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The DSIR weight replay (hashed-bigram LMs, rounded log-ratio
+    * decimal sums) WITHOUT a final ORDER BY — shared by tx_dsir and the
+    * samp_dsir_topk resampling oracle so the weight derivation cannot
+    * drift between the scoring and selection rows. */
+  private val dsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |    unnest([t[i] || chr(31) || t[i+1] for i in range(1, len(t))]) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |b AS (
+      |  SELECT doc_id, is_t,
+      |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bkt
+      |  FROM grams),
+      |cnts AS (
+      |  SELECT bkt, COUNT(*) AS c_r,
+      |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM cnts),
+      |w AS (
+      |  SELECT bkt, round(ln((c_t + 1.0) / (t_t + 512.0))
+      |                  - ln((c_r + 1.0) / (t_r + 512.0)), 6) AS w
+      |  FROM cnts CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_weight
+      |FROM b JOIN w USING (bkt)
+      |GROUP BY doc_id""".stripMargin
 }

@@ -191,6 +191,52 @@ class SelectionSpec extends SparkSuite {
     }
   }
 
+  test("dsir resampling: key is the log-space ES race over exp(weight)") {
+    val rows = graft.qsets.TextQueries.queries("samp_dsir_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 100)
+    // keys ascend (it is a bottom-k race) and replay by hand from the id
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    rows.take(5).foreach { case (id, wgt, key) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 1152921504606846976.0
+      val expect = BigDecimal(math.log(-math.log(u)) - wgt)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(key - expect) < 1e-9, s"doc $id key $key != $expect")
+    }
+  }
+
+  test("phrase search replays against a scala scan of the same corpus") {
+    val got = graft.qsets.TextQueries.queries("tx_phrase_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(1).trim.split("\\s+")
+        val pos = (0 to t.length - 2).filter(i => t(i) == "batch" && t(i + 1) == "table")
+        if (pos.isEmpty) None
+        else Some((r.getLong(0), pos.length.toLong, pos.head.toLong + 1)) // 1-based
+      }.sortBy(_._1).toSeq
+    assert(expect.nonEmpty, "fixture should contain the phrase")
+    assert(got === expect)
+  }
+
+  test("snapshot diff: removed beats changed, adds carry new ids, sames absent") {
+    val st = graft.qsets.CurationQueries.queries("dd_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 13 == 0) assert(st.get(id).contains("removed"), s"$id")
+      else if (id % 10 == 0) assert(st.get(id).contains("changed"), s"$id")
+      else assert(!st.contains(id), s"$id should be unchanged")
+    }
+    ids.filter(_ < 50).foreach(id => assert(st.get(id + 1000000L).contains("added")))
+    assert(st.values.toSet === Set("removed", "changed", "added"))
+  }
+
   test("distinct-ngram diversity: totals shrink and ratios grow with n") {
     val rows = graft.qsets.CurationQueries.queries("tx_distinct_ngrams")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
