@@ -486,6 +486,20 @@ object TextQueries extends QuerySet {
         .limit(100)
     }),
 
+    // BPE tokenizer fit (Sennrich et al. 1508.07909): the first 3
+    // merges over the corpus word-frequency table — vocabulary
+    // construction as a query. One corpus-scale counts-only pass builds
+    // (word, freq); each round is a pair-count aggregate over the
+    // BOUNDED vocab table, a 1-row TakeOrdered winner, and a broadcast
+    // pure-map merge application. DuckDB replays char-split → 3
+    // unrolled count/pick/apply rounds exactly (replace() is
+    // left-to-right non-overlapping in both engines — the standard
+    // greedy BPE semantics), so every merge and its corpus count is
+    // hash-checked.
+    "tx_bpe_fit" -> ((s, dir) =>
+      graft.text.Bpe.fitMerges(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy(col("rank"))),
+
     // Exact phrase search — the positional-retrieval primitive (quote
     // lookup, benchmark-prompt probes, template mining). The phrase is a
     // QUERY-SIDE literal, so the whole count is row-local: one pass over
@@ -925,6 +939,8 @@ object TextQueries extends QuerySet {
          |ORDER BY es_key, doc_id
          |LIMIT 100""".stripMargin,
 
+    "tx_bpe_fit" -> bpeFitSql,
+
     "tx_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -939,6 +955,43 @@ object TextQueries extends QuerySet {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The tx_bpe_fit replay: word frequencies, char-split repr, then 3
+    * unrolled count-pairs / pick-winner / apply-merge rounds. Winner
+    * pick and replace() semantics match the Spark side exactly (see
+    * graft.text.Bpe scaladoc). */
+  private val bpeFitSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT sym[i] AS lhs, sym[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT string_split(s, chr(31)) AS sym, freq,
+         |      unnest(generate_series(1, len(string_split(s, chr(31))) - 1)) AS i
+         |    FROM r$r)
+         |  GROUP BY lhs, rhs),
+         |t$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |r${r + 1} AS (
+         |  SELECT replace(s, (SELECT lhs || chr(31) || rhs FROM t$r),
+         |                    (SELECT lhs || rhs FROM t$r)) AS s, freq
+         |  FROM r$r),""".stripMargin
+    s"""WITH w AS (
+       |  SELECT g AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS g
+       |    FROM documents)
+       |  GROUP BY g),
+       |r1 AS (
+       |  SELECT rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS s,
+       |    freq
+       |  FROM w),
+       |${round(1)}
+       |${round(2)}
+       |${round(3)}
+       |m AS (
+       |  SELECT 1 AS rank, lhs, rhs, n FROM t1
+       |  UNION ALL SELECT 2, lhs, rhs, n FROM t2
+       |  UNION ALL SELECT 3, lhs, rhs, n FROM t3)
+       |SELECT rank, lhs, rhs, n FROM m
+       |ORDER BY rank""".stripMargin
+  }
 
   /** The DSIR weight replay (hashed-bigram LMs, rounded log-ratio
     * decimal sums) WITHOUT a final ORDER BY — shared by tx_dsir and the

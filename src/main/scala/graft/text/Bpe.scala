@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer FIT over a corpus (Sennrich et al.
+  * 1508.07909): iteratively merge the most frequent adjacent symbol
+  * pair, starting from characters — the vocabulary-construction step a
+  * training pipeline runs before token counting and packing.
+  *
+  * Scale shape: classic BPE fits over the WORD-FREQUENCY table, not the
+  * corpus — the one corpus-scale pass is the (word, freq) aggregate
+  * (counts-only shuffle); every merge round after that operates on the
+  * vocabulary table, which is bounded by distinct-word count (millions,
+  * not corpus-sized) and checkpointed once. Per round: one pair-count
+  * aggregate over the vocab, a 1-row top-1 (TakeOrdered), and a pure-map
+  * merge application via the broadcast winner — no corpus re-reads, no
+  * driver-side loops over data.
+  *
+  * Determinism: symbols ride a \u001F-joined string (the separator
+  * cannot appear inside whitespace-split tokens), merge application is
+  * `replace` — left-to-right non-overlapping in both Spark and DuckDB,
+  * which IS the standard greedy BPE pair-merge semantics — and the
+  * winner tie-breaks on (count DESC, lhs, rhs) binary order, so the fit
+  * replays exactly in any engine.
+  *
+  * Reference: qcfractal has no tokenizer; this extends the curation
+  * surface (SURVEY §2.11) alongside tx_token_counts' regex form.
+  */
+object Bpe {
+
+  private val SEP = "\u001F"
+
+  /** The first `rounds` BPE merges as (rank, lhs, rhs, n) — `n` is the
+    * corpus frequency of the merged pair at the time of its merge. A
+    * round whose vocabulary has no adjacent pair left emits no row
+    * (fit-to-exhaustion on tiny corpora). */
+  def fitMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    // the one corpus-scale pass: word frequencies, then the char-split
+    // representation. Checkpointed — every merge round reads this table.
+    val vocab = docs
+      .select(explode(TextFunctions.wsTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("word"), "(.)", "$1" + SEP), SEP).as("s"),
+        col("freq"))
+      .localCheckpoint(eager = true)
+    var repr = vocab
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = repr
+        .select(split(col("s"), SEP).as("sym"), col("freq"))
+        // sequence(1, 0) would infer a DESCENDING step in Spark — guard
+        // single-symbol words out before building pair indexes
+        .filter(size(col("sym")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("lhs"),
+            element_at(col("sym"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+      // 1 row (or 0 at exhaustion); checkpointed so the output union and
+      // the next round's merge application share one computation
+      val top = pairs.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(eager = true)
+      val m = top.select(lit(r).as("rank"), col("lhs"), col("rhs"), col("n"))
+      merges = if (merges == null) m else merges.unionByName(m)
+      repr = repr.crossJoin(broadcast(top))
+        .select(replace(col("s"),
+          concat(col("lhs"), lit(SEP), col("rhs")),
+          concat(col("lhs"), col("rhs"))).as("s"), col("freq"))
+    }
+    merges
+  }
+}

@@ -191,6 +191,28 @@ class SelectionSpec extends SparkSuite {
     }
   }
 
+  test("bpe fit replays by hand: freq-weighted pair picks, greedy merges, ties") {
+    val docs = Seq((1L, "low low low lower"), (2L, "newest newest"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Bpe.fitMerges(docs, "text", rounds = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: l-o and o-w tie at 4 → lex order picks (l,o); round 2 the
+    // merged `lo` re-pairs with w at 4; round 3 is a 5-way tie at 2 won
+    // by (e,s) on (lhs, rhs) order
+    assert(got.toSeq === Seq((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "e", "s", 2L)))
+  }
+
+  test("bpe fit exhausts gracefully when the vocab runs out of pairs") {
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.fitMerges(docs, "text", rounds = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // merge 1 collapses aa; merge 2 takes the leftover (a,b); round 3
+    // finds no adjacent pair and emits nothing
+    assert(got.toSeq === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
   test("dsir resampling: key is the log-space ES race over exp(weight)") {
     val rows = graft.qsets.TextQueries.queries("samp_dsir_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
