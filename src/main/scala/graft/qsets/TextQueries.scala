@@ -502,29 +502,38 @@ object TextQueries extends QuerySet {
 
     // Exact phrase search — the positional-retrieval primitive (quote
     // lookup, benchmark-prompt probes, template mining). The phrase is a
-    // QUERY-SIDE literal, so the whole count is row-local: one pass over
-    // each document's token array with a native higher-order filter —
-    // zero joins, zero shuffles beyond the final ORDER BY, the optimal
-    // shape for scan-the-corpus phrase counting at any scale. (The
-    // indexed-corpus form — positional postings filtered to the query
+    // QUERY-SIDE literal, so the scan is two codegen'd stages: a cheap
+    // `contains` substring pre-filter over raw text (a superset of true
+    // matches — any token-aligned hit IS a substring hit), then
+    // adjacent-token verification on the candidates via slice/zip/
+    // explode — everything whole-stage-codegen, and only MATCHED
+    // positions reach the per-doc aggregate (tens of rows, not tokens).
+    // A higher-order filter lambda would be the terser form, but Spark's
+    // HOFs are CodegenFallback — interpreted per element — and
+    // projection collapse re-evaluates the array thrice; this shape is
+    // the one that survives a 100× corpus at scan speed. (The
+    // indexed-corpus sibling — positional postings filtered to query
     // terms before a (doc, pos)-chained join — is the tx_bm25_topk
     // machinery; this is the scan side.)
     "tx_phrase_search" -> ((s, dir) => {
       val phrase = Seq("batch", "table")
       val L = phrase.length
-      val matchAt = (i: Column) => phrase.zipWithIndex.map { case (term, j) =>
-        element_at(col("t"), i + lit(j)) === lit(term)
-      }.reduce(_ && _)
-      t(s, dir, "documents")
+      val cand = t(s, dir, "documents")
+        .filter(col("text").contains(phrase.mkString(" ")))
         .select(col("doc_id"), wsTokens(col("text")).as("t"))
         .filter(size(col("t")) >= L)
-        .select(col("doc_id"),
-          org.apache.spark.sql.functions.filter(
-            sequence(lit(1), size(col("t")) - (L - 1)), matchAt).as("pos"))
-        .filter(size(col("pos")) > 0)
-        .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"),
-          element_at(col("pos"), 1).cast("long").as("first_pos"))
-        .orderBy(col("doc_id"))
+      val zipped = cand.select(col("doc_id"), posexplode(arrays_zip(
+        (0 until L).map(j =>
+          slice(col("t"), lit(j + 1), size(col("t")) - (L - 1)).as(s"w$j")): _*)))
+      phrase.zipWithIndex.map { case (term, j) =>
+          col("col").getField(s"w$j") === lit(term)
+        }.reduceLeft(_ && _) match { case hit =>
+        zipped.filter(hit)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            (min(col("pos")) + 1).cast("long").as("first_pos"))
+          .orderBy(col("doc_id"))
+      }
     })
   )
 
