@@ -87,6 +87,61 @@ object Multimodal {
   case class DecodedImage(doc_id: Long, width: Int, height: Int, channels: Int,
                           sum_r: Long, sum_g: Long, sum_b: Long,
                           thumb_w: Int, thumb_h: Int, thumb_sum: Long)
+  case class ImageHash(doc_id: Long, phash: String, crop_md5: String)
+
+  /** Perceptual + exact signatures over the top-left 8×8 crop of a REAL
+    * decoded image (every synthetic image is ≥ 8×8, so the crop always
+    * exists; a production variant resizes first, which is
+    * interpolation-dependent and so not engine-replayable — the crop
+    * form keeps the whole pipeline arithmetic):
+    *
+    *  - `phash`: 64-bit average-hash, bit(x,y) = [64·gray > Σgray]
+    *    (division-free, no rounding; gray = plain channel sum), emitted
+    *    as a 64-char bit string — portable, and ~8 bytes after parquet
+    *    dictionary encoding. aHash is DELIBERATELY coarse: it is
+    *    brightness-pattern-invariant (a constant channel shift leaves
+    *    every bit unchanged), so it groups visually-similar images —
+    *    the CANDIDATE stage of image dedup, same role as minhash bands.
+    *  - `crop_md5`: md5 of the comma-joined gray values in (y, x)
+    *    order — the exact-verify key inside a candidate bucket (both
+    *    engines hash the identical string, so the verify is portable).
+    *
+    * Decode failures and sub-crop images emit ("", "") sentinels, the
+    * decodeImages -1 policy. */
+  def imageAHash(spark: SparkSession, images: Dataset[ImageDoc]): Dataset[ImageHash] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { d =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.image))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          ImageHash(d.doc_id, "", "")
+        else {
+          val g = new Array[Long](64)
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x, y)
+              val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              g(y * 8 + x) = v; s += v; x += 1
+            }
+            y += 1
+          }
+          val bits = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < 64) { bits.append(if (g(i) * 64 > s) '1' else '0'); i += 1 }
+          md.reset()
+          val digest = md.digest(g.mkString(",").getBytes("UTF-8"))
+          val hex = digest.map("%02x".format(_)).mkString
+          ImageHash(d.doc_id, bits.toString, hex)
+        }
+      }
+    }
+  }
 
   /** Deterministic synthetic RGB image for `id`: dims and every pixel are
     * pure integer arithmetic in the id, so an external oracle can predict

@@ -33,6 +33,34 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual-hash image dedup, sketch-then-verify (the minhash
+    // band/verify discipline applied to pixels): REAL PNG decode →
+    // 64-bit average-hash over the top-left 8×8 crop as the CANDIDATE
+    // bucket (aHash is brightness-pattern-invariant, so it coarsely
+    // groups visually-similar images), then the exact crop digest
+    // verifies true duplicates inside each bucket. The pixel formula
+    // makes ids that agree mod 256 crop-identical (31/17/23 are odd,
+    // hence invertible mod 256), so docs < 600 plant {i, i+256, i+512}
+    // exact triples inside wider perceptual buckets — and the oracle
+    // predicts every hash bit, digest, and cluster arithmetically: only
+    // a correct lossless decode + hash chain matches. Shape: decode and
+    // both signatures are per-row map work inside partition batches
+    // (image bytes never shuffle); candidate and verify clustering are
+    // counts-only hash-aggs on fixed-width keys + joins back.
+    "mm_image_phash" -> ((s, dir) => {
+      val imgs = Multimodal.withPngPayload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 600), "doc_id")
+      val h = Multimodal.imageAHash(s, imgs).toDF()
+      val cand = h.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val exact = h.groupBy(col("crop_md5"))
+        .agg(count(lit(1)).as("exact_size"), min(col("doc_id")).as("rep_id"))
+      h.join(cand, "phash").join(exact, "crop_md5")
+        .select(col("doc_id"), col("phash"), col("n_candidates"),
+          col("exact_size"), col("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode: deterministic per-doc WAVs (16-bit mono PCM,
     // sample formula in doc_id) through the JDK's WAV codec; format
     // metadata + integer signal stats the oracle predicts arithmetically.
@@ -258,6 +286,37 @@ object MultimodalQueries extends QuerySet {
         |  GROUP BY b.doc_id, b.n)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, f0, f1, f2, f3
         |FROM f
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // The pixel formula replayed over the 8×8 crop: the division-free
+    // bit rule (64·gray > Σgray) for the candidate hash, md5 over the
+    // identical comma-joined gray string for the verify digest, then
+    // both clusterings — every bit and byte arithmetic, no codec in
+    // the loop.
+    "mm_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+        |ys AS (SELECT doc_id, unnest(range(8)) AS y FROM ids),
+        |px AS (SELECT doc_id, y, unnest(range(8)) AS x FROM ys),
+        |g AS (
+        |  SELECT doc_id, y, x,
+        |      (31 * doc_id + 7 * x + 13 * y) % 256
+        |    + (17 * doc_id + 5 * x + 11 * y) % 256
+        |    + (23 * doc_id + 3 * x + 19 * y) % 256 AS g
+        |  FROM px),
+        |s AS (SELECT doc_id, SUM(g) AS tot FROM g GROUP BY doc_id),
+        |h AS (
+        |  SELECT g.doc_id,
+        |    string_agg(CASE WHEN 64 * g.g > s.tot THEN '1' ELSE '0' END, ''
+        |               ORDER BY g.y, g.x) AS phash,
+        |    md5(string_agg(CAST(g.g AS VARCHAR), ',' ORDER BY g.y, g.x)) AS crop_md5
+        |  FROM g JOIN s USING (doc_id)
+        |  GROUP BY g.doc_id),
+        |cand AS (SELECT phash, COUNT(*) AS n_candidates FROM h GROUP BY phash),
+        |ex AS (
+        |  SELECT crop_md5, COUNT(*) AS exact_size, MIN(doc_id) AS rep_id
+        |  FROM h GROUP BY crop_md5)
+        |SELECT h.doc_id, h.phash, cand.n_candidates, ex.exact_size, ex.rep_id
+        |FROM h JOIN cand USING (phash) JOIN ex USING (crop_md5)
+        |ORDER BY h.doc_id""".stripMargin
   )
 }

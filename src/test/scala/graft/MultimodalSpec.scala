@@ -245,6 +245,33 @@ class MultimodalSpec extends SparkSuite {
       || Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("image ahash+digest: mod-256 crops verify exact, aHash is the coarse bucket") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 4L, 256L, 257L, 512L).toDF("doc_id")
+    val rows = Multimodal.imageAHash(spark,
+        Multimodal.withPngPayload(spark, ids, "doc_id"))
+      .collect().map(r => r.doc_id -> (r.phash, r.crop_md5)).toMap
+    val (ph, cd) = (rows.view.mapValues(_._1).toMap, rows.view.mapValues(_._2).toMap)
+    // ids ≡ mod 256 are crop-identical (odd channel multipliers are
+    // invertible mod 256): exact digests AND hashes agree
+    assert(cd(0L) === cd(256L) && cd(0L) === cd(512L) && cd(1L) === cd(257L))
+    assert(ph(0L) === ph(256L))
+    // aHash is brightness-shift-invariant, so non-wrapping neighbors
+    // share the COARSE bucket while the exact digest separates them —
+    // the sketch-then-verify contract
+    assert(ph(0L) === ph(1L) && (cd(0L) !== cd(1L)))
+    // a wrapping id (31·4 = 124 > 115 wraps the red ramp inside the
+    // crop) lands in a different coarse bucket
+    assert(ph(4L) != ph(0L))
+    // hand replay of doc 0's bits from the formula
+    val g = for (y <- 0 until 8; x <- 0 until 8)
+      yield ((7L * x + 13 * y) % 256) + ((5L * x + 11 * y) % 256) + ((3L * x + 19 * y) % 256)
+    val tot = g.sum
+    val expect = g.map(v => if (v * 64 > tot) '1' else '0').mkString
+    assert(ph(0L) === expect)
+    assert(ph(0L).length === 64 && ph(0L).count(_ == '1') > 0)
+  }
+
   test("frame sampling: ceil(n/frame) frames, every 2nd kept, sizes right") {
     val docs = Seq((1L, "a" * 700)).toDF("doc_id", "text") // 3 frames of 256
     val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
