@@ -321,6 +321,65 @@ object Multimodal {
     }
   }
 
+  case class AudioFingerprint(doc_id: Long, afp: String, energy_md5: String)
+
+  /** Acoustic fingerprint over a REAL decoded WAV — the chromaprint-style
+    * candidate/verify pair, mirroring [[imageAHash]]'s contract for the
+    * audio modality: split the first 2048 samples (every synthetic clip
+    * has ≥ 2048) into 32 windows of 64, take per-window absolute-energy
+    * sums, then
+    *  - `afp`: 31-bit energy-CONTOUR fingerprint, bit w = [E_w > E_{w-1}]
+    *    — level-invariant (a constant gain shift preserves every bit),
+    *    the coarse candidate bucket;
+    *  - `energy_md5`: md5 of the comma-joined energies in window order —
+    *    the exact verify key (both engines hash the identical string).
+    * Pure integer arithmetic end to end, so an external oracle predicts
+    * every bit and byte from the sample formula; only a correct 16-bit
+    * little-endian PCM decode can reproduce them. Decode failures or
+    * short clips emit ("", "") sentinels. */
+  def audioFingerprint(spark: SparkSession, docs: Dataset[AudioDoc]): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { d =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(d.audio))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getChannels != 1 || bytes.length < 2048 * 2)
+            AudioFingerprint(d.doc_id, "", "")
+          else {
+            val e = new Array[Long](32)
+            var w = 0
+            while (w < 32) {
+              var s = 0L
+              var t = 0
+              while (t < 64) {
+                val i = 2 * (w * 64 + t)
+                val v = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+                s += math.abs(v); t += 1
+              }
+              e(w) = s; w += 1
+            }
+            val bits = new java.lang.StringBuilder(31)
+            var j = 1
+            while (j < 32) { bits.append(if (e(j) > e(j - 1)) '1' else '0'); j += 1 }
+            md.reset()
+            val hex = md.digest(e.mkString(",").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            AudioFingerprint(d.doc_id, bits.toString, hex)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioFingerprint(d.doc_id, "", "")
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Real video container demux (ISO-BMFF / MP4 box walk — pure JVM)
   // ---------------------------------------------------------------------

@@ -61,6 +61,32 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Acoustic-fingerprint audio dedup, sketch-then-verify (the
+    // mm_image_phash contract on the audio modality): REAL WAV decode →
+    // 31-bit energy-contour fingerprint over 32 windows of the first
+    // 2048 samples as the candidate bucket (contour bits are
+    // level-invariant — gain changes keep the bucket), exact
+    // energy-vector digest as the verify key. The sample formula depends
+    // on id only through id·31 mod 4096, so planting +4096 copies of
+    // ids < 50 creates exact duplicate pairs inside wider contour
+    // buckets; the oracle predicts every window energy, bit, and digest
+    // arithmetically — only a correct little-endian PCM decode matches.
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"))
+      val ids = base.unionByName(base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 4096L).as("doc_id")))
+      val h = Multimodal.audioFingerprint(s,
+        Multimodal.withWavPayload(s, ids, "doc_id")).toDF()
+      val cand = h.groupBy(col("afp")).agg(count(lit(1)).as("n_candidates"))
+      val exact = h.groupBy(col("energy_md5"))
+        .agg(count(lit(1)).as("exact_size"), min(col("doc_id")).as("rep_id"))
+      h.join(cand, "afp").join(exact, "energy_md5")
+        .select(col("doc_id"), col("afp"), col("n_candidates"),
+          col("exact_size"), col("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode: deterministic per-doc WAVs (16-bit mono PCM,
     // sample formula in doc_id) through the JDK's WAV codec; format
     // metadata + integer signal stats the oracle predicts arithmetically.
@@ -287,6 +313,39 @@ object MultimodalQueries extends QuerySet {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, f0, f1, f2, f3
         |FROM f
         |ORDER BY doc_id""".stripMargin,
+
+    // The sample formula replayed over 32×64 windows: energies, contour
+    // bits via lag, digest via the identical comma-joined string, both
+    // clusterings — no codec in the loop.
+    "mm_audio_fingerprint" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |ids AS (
+        |  SELECT doc_id FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 4096 AS doc_id FROM base WHERE doc_id < 50),
+        |ws AS (SELECT doc_id, unnest(range(32)) AS w FROM ids),
+        |ts AS (SELECT doc_id, w, unnest(range(64)) AS t FROM ws),
+        |sm AS (
+        |  SELECT doc_id, w,
+        |    SUM(abs((31 * doc_id + 7 * (64 * w + t)) % 4096 - 2048)) AS e
+        |  FROM ts GROUP BY doc_id, w),
+        |lagd AS (
+        |  SELECT doc_id, w, e,
+        |    lag(e) OVER (PARTITION BY doc_id ORDER BY w) AS pe
+        |  FROM sm),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN e > pe THEN '1' ELSE '0' END, '' ORDER BY w)
+        |      FILTER (WHERE w > 0) AS afp,
+        |    md5(string_agg(CAST(e AS VARCHAR), ',' ORDER BY w)) AS energy_md5
+        |  FROM lagd GROUP BY doc_id),
+        |cand AS (SELECT afp, COUNT(*) AS n_candidates FROM f GROUP BY afp),
+        |ex AS (
+        |  SELECT energy_md5, COUNT(*) AS exact_size, MIN(doc_id) AS rep_id
+        |  FROM f GROUP BY energy_md5)
+        |SELECT f.doc_id, f.afp, cand.n_candidates, ex.exact_size, ex.rep_id
+        |FROM f JOIN cand USING (afp) JOIN ex USING (energy_md5)
+        |ORDER BY f.doc_id""".stripMargin,
 
     // The pixel formula replayed over the 8×8 crop: the division-free
     // bit rule (64·gray > Σgray) for the candidate hash, md5 over the

@@ -272,6 +272,27 @@ class MultimodalSpec extends SparkSuite {
     assert(ph(0L).length === 64 && ph(0L).count(_ == '1') > 0)
   }
 
+  test("audio fingerprint: mod-4096 ids verify exact, contour replays by hand") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 4096L, 4099L).toDF("doc_id")
+    val rows = Multimodal.audioFingerprint(spark,
+        Multimodal.withWavPayload(spark, ids, "doc_id"))
+      .collect().map(r => r.doc_id -> (r.afp, r.energy_md5)).toMap
+    // s(t) depends on id only via id·31 mod 4096 → +4096 ids are
+    // sample-identical on the fingerprint prefix
+    assert(rows(0L)._2 === rows(4096L)._2 && rows(3L)._2 === rows(4099L)._2)
+    assert(rows(0L)._1 === rows(4096L)._1)
+    assert(rows(0L)._2 != rows(1L)._2)
+    // hand replay of doc 1's energies and contour from the formula
+    val e = (0 until 32).map(w => (0 until 64)
+      .map(t => math.abs((31L + 7L * (64 * w + t)) % 4096 - 2048)).sum)
+    val afp = (1 until 32).map(w => if (e(w) > e(w - 1)) '1' else '0').mkString
+    assert(rows(1L)._1 === afp && afp.length === 31)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(e.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L)._2 === hex)
+  }
+
   test("frame sampling: ceil(n/frame) frames, every 2nd kept, sizes right") {
     val docs = Seq((1L, "a" * 700)).toDF("doc_id", "text") // 3 frames of 256
     val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
