@@ -261,6 +261,24 @@ object StreamingQueries extends QuerySet {
           b.filter(col("doc_id") % CurationQueries.BENCH_MOD =!= 0),
           bench, "doc_id", "text", n = 3)
       }.orderBy(col("doc_id"))
+    }),
+
+    // ST16 — streaming multimodal signing: documents arrive as a stream
+    // and each gets its image perceptual hash + exact crop digest ON
+    // LANDING (the ingest half of mm_image_phash — clustering runs
+    // downstream over the signed table, so the streamed computation is
+    // strictly per-row: encode, REAL PNG decode, hash — zero state,
+    // trivially row-local under the runToDirPerBatch contract).
+    // Converged stream shares the arithmetic pixel-formula oracle.
+    "st16_stream_phash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val stream = EventStreams.readTableStream(s, dir, "documents")
+      EventStreams.runToDirPerBatch(stream,
+          s"/tmp/graft_export/stream/st16_phash_${System.nanoTime()}",
+          OutputMode.Append) { b =>
+        Multimodal.imageAHash(s, Multimodal.withPngPayload(
+          s, b.filter(col("doc_id") < 600).select(col("doc_id")), "doc_id")).toDF()
+      }.orderBy(col("doc_id"))
     })
   )
 
@@ -496,6 +514,27 @@ object StreamingQueries extends QuerySet {
 
     // stream ≡ batch: the converged streamed gate shares the batch
     // flagging pass's oracle verbatim (the st14/tx_dsir discipline).
-    "st15_stream_decontaminate" -> CurationQueries.decontaminateSql
+    "st15_stream_decontaminate" -> CurationQueries.decontaminateSql,
+
+    // The mm_image_phash pixel-formula replay, signature columns only —
+    // the streamed signer must equal the batch signer bit-for-bit.
+    "st16_stream_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+        |ys AS (SELECT doc_id, unnest(range(8)) AS y FROM ids),
+        |px AS (SELECT doc_id, y, unnest(range(8)) AS x FROM ys),
+        |g AS (
+        |  SELECT doc_id, y, x,
+        |      (31 * doc_id + 7 * x + 13 * y) % 256
+        |    + (17 * doc_id + 5 * x + 11 * y) % 256
+        |    + (23 * doc_id + 3 * x + 19 * y) % 256 AS g
+        |  FROM px),
+        |s AS (SELECT doc_id, SUM(g) AS tot FROM g GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  string_agg(CASE WHEN 64 * g.g > s.tot THEN '1' ELSE '0' END, ''
+        |             ORDER BY g.y, g.x) AS phash,
+        |  md5(string_agg(CAST(g.g AS VARCHAR), ',' ORDER BY g.y, g.x)) AS crop_md5
+        |FROM g JOIN s USING (doc_id)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin
   )
 }

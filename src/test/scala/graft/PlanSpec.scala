@@ -238,7 +238,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("dsir: one bucket-grouped pass, weight table broadcast, no doc-sized SMJ") {
-    val p = finalPlan("tx_dsir")
+    // the query row serves the session-cached checkpoint (a scan), so
+    // the pin inspects the FIT plan itself — the thing a fresh corpus
+    // snapshot pays
+    import org.apache.spark.sql.functions.col
+    val fit = graft.text.Dsir.importanceWeights(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+      targetPred = col("lang") === "en")
+    fit.collect()
+    val p = fit.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "the buckets-row weight table must broadcast onto the gram stream")
     assert(!p.contains("SortMergeJoin"),
