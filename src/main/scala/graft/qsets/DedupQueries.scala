@@ -101,6 +101,50 @@ object DedupQueries extends QuerySet {
     // dropped before the join) is the quadratic-fan-out guard and is
     // replayed exactly by the oracle; containment denominators stay
     // pre-prune so scores are true gram-set fractions.
+    // Dedup FUNNEL — the per-stage removal report every production
+    // pipeline publishes ("raw → exact → containment: how many docs did
+    // each stage cost"): exact first-wins dedup, then containment-based
+    // near-dup pruning over the exact survivors (drop the higher id of
+    // every qualifying pair — the derived/later doc). Fixture plants
+    // both stages' prey: +1000000 exact copies (ids < 100) die at the
+    // exact stage, +200000 half-docs (ids < 50) die at containment.
+    // The corpus is checkpointed once (all three stages read it); each
+    // stage count is a 1-row aggregate, chained by designed 1-row
+    // crossJoins — the whole report is one plan, no driver-side counts.
+    "dd_funnel" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") < 100)
+        .select((col("doc_id") + COPY_OFFSET).as("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          array_join(slice(TextFunctions.wsTokens(col("text")),
+            lit(1), floor((size(TextFunctions.wsTokens(col("text"))) + 1) / 2)
+              .cast("int")), " ").as("text"))
+      val corpus = base.unionByName(copies).unionByName(halves)
+        .localCheckpoint(eager = true)
+      val exactSurv = Dedup.exactDedup(corpus, "doc_id", Seq(col("text")))
+        .select(col("doc_id"), col("text"))
+      val dropped = Dedup.containmentPairs(exactSurv, "doc_id", "text",
+          n = 3, minC = 0.8, maxDf = 64)
+        .select(col("id_b").as("doc_id")).distinct()
+      val finalSurv = exactSurv.join(dropped, Seq("doc_id"), "left_anti")
+      def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+      val s1 = n(corpus, "n_out")
+        .select(lit(1).as("stage"), lit("raw").as("label"),
+          col("n_out").as("n_in"), col("n_out"))
+      val s2 = n(corpus, "n_in").crossJoin(n(exactSurv, "n_out"))
+        .select(lit(2).as("stage"), lit("exact").as("label"),
+          col("n_in"), col("n_out"))
+      val s3 = n(exactSurv, "n_in").crossJoin(n(finalSurv, "n_out"))
+        .select(lit(3).as("stage"), lit("containment").as("label"),
+          col("n_in"), col("n_out"))
+      s1.unionByName(s2).unionByName(s3)
+        .withColumn("n_removed", col("n_in") - col("n_out"))
+        .orderBy(col("stage"))
+    }),
+
     "dd_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
       val halves = docs.filter(col("doc_id") < 50)
@@ -607,6 +651,58 @@ object DedupQueries extends QuerySet {
     // chr(31)-joined 3-grams, df-pruned (> 64) BEFORE the pair join,
     // denominators from the unpruned per-doc gram-set size, rounded-6
     // containment both directions, keep pairs with either side ≥ 0.8.
+    // The funnel replayed: corpus plant, exact first-wins, the
+    // dd_containment pair CTE over the exact survivors, higher-id drop,
+    // three scalar stage rows.
+    "dd_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(t[1:CAST(floor((len(t) + 1) / 2) AS INT)], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM base WHERE doc_id < 50)),
+        |ex AS (
+        |  SELECT doc_id, text FROM corpus
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |grams AS (
+        |  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], chr(31)) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM ex)
+        |        WHERE len(t) >= 3)),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY id),
+        |rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 64),
+        |pruned AS (SELECT id, g FROM grams JOIN rare USING (g)),
+        |inter AS (
+        |  SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+        |  FROM pruned x JOIN pruned y ON x.g = y.g AND x.id < y.id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE greatest(round(CAST(n_inter AS DOUBLE) / sa.n, 6),
+        |                 round(CAST(n_inter AS DOUBLE) / sb.n, 6)) >= 0.8),
+        |fin AS (SELECT doc_id FROM ex ANTI JOIN dropped USING (doc_id)),
+        |n0 AS (SELECT COUNT(*) AS n FROM corpus),
+        |n1 AS (SELECT COUNT(*) AS n FROM ex),
+        |n2 AS (SELECT COUNT(*) AS n FROM fin),
+        |stages AS (
+        |  SELECT 1 AS stage, 'raw' AS label,
+        |    (SELECT n FROM n0) AS n_in, (SELECT n FROM n0) AS n_out
+        |  UNION ALL
+        |  SELECT 2, 'exact', (SELECT n FROM n0), (SELECT n FROM n1)
+        |  UNION ALL
+        |  SELECT 3, 'containment', (SELECT n FROM n1), (SELECT n FROM n2))
+        |SELECT stage, label, n_in, n_out, n_in - n_out AS n_removed
+        |FROM stages
+        |ORDER BY stage""".stripMargin,
+
     "dd_containment" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -511,6 +511,18 @@ object TextQueries extends QuerySet {
       graft.text.Bpe.fitMerges(t(s, dir, "documents"), "text", rounds = 3)
         .orderBy(col("rank"))),
 
+    // The APPLY half of the tokenizer story: corpus token counts under
+    // the 3-merge fitted vocabulary, per source — whitespace tokens vs
+    // BPE symbols and symbols-per-word, the number a token-budget
+    // planner actually reads. The corpus text is touched once (the
+    // (source, word) occurrence aggregate); the bounded (word → n_sym)
+    // table from the fit broadcasts onto it. Oracle replays fit + apply
+    // through the shared CTE prefix, so the two rows cannot drift.
+    "tx_bpe_tokens" -> ((s, dir) =>
+      graft.text.Bpe.tokenCounts(t(s, dir, "documents"), "text", "source",
+          rounds = 3)
+        .orderBy(col("source"))),
+
     // Exact phrase search — the positional-retrieval primitive (quote
     // lookup, benchmark-prompt probes, template mining). The phrase is a
     // QUERY-SIDE literal, so the scan is two codegen'd stages: a cheap
@@ -961,6 +973,8 @@ object TextQueries extends QuerySet {
 
     "tx_bpe_fit" -> bpeFitSql,
 
+    "tx_bpe_tokens" -> bpeTokensSql,
+
     "tx_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -976,11 +990,13 @@ object TextQueries extends QuerySet {
         |ORDER BY doc_id""".stripMargin
   )
 
-  /** The tx_bpe_fit replay: word frequencies, char-split repr, then 3
-    * unrolled count-pairs / pick-winner / apply-merge rounds. Winner
-    * pick and replace() semantics match the Spark side exactly (see
-    * graft.text.Bpe scaladoc). */
-  private val bpeFitSql: String = {
+  /** The BPE fit replay: word frequencies, char-split repr, then 3
+    * unrolled count-pairs / pick-winner / apply-merge rounds (`word`
+    * carried through so the apply oracle can join back). Winner pick
+    * and replace() semantics match the Spark side exactly (see
+    * graft.text.Bpe scaladoc). Shared by tx_bpe_fit and tx_bpe_tokens
+    * so fit and apply cannot drift. */
+  private val bpeCtes: String = {
     def round(r: Int): String =
       s"""p$r AS (
          |  SELECT sym[i] AS lhs, sym[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS n FROM (
@@ -990,8 +1006,8 @@ object TextQueries extends QuerySet {
          |  GROUP BY lhs, rhs),
          |t$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
          |r${r + 1} AS (
-         |  SELECT replace(s, (SELECT lhs || chr(31) || rhs FROM t$r),
-         |                    (SELECT lhs || rhs FROM t$r)) AS s, freq
+         |  SELECT word, replace(s, (SELECT lhs || chr(31) || rhs FROM t$r),
+         |                          (SELECT lhs || rhs FROM t$r)) AS s, freq
          |  FROM r$r),""".stripMargin
     s"""WITH w AS (
        |  SELECT g AS word, COUNT(*) AS freq FROM (
@@ -999,19 +1015,41 @@ object TextQueries extends QuerySet {
        |    FROM documents)
        |  GROUP BY g),
        |r1 AS (
-       |  SELECT rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS s,
+       |  SELECT word,
+       |    rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS s,
        |    freq
        |  FROM w),
        |${round(1)}
        |${round(2)}
-       |${round(3)}
-       |m AS (
-       |  SELECT 1 AS rank, lhs, rhs, n FROM t1
-       |  UNION ALL SELECT 2, lhs, rhs, n FROM t2
-       |  UNION ALL SELECT 3, lhs, rhs, n FROM t3)
-       |SELECT rank, lhs, rhs, n FROM m
-       |ORDER BY rank""".stripMargin
+       |${round(3)}""".stripMargin
   }
+
+  private val bpeFitSql: String =
+    bpeCtes + """
+      |m AS (
+      |  SELECT 1 AS rank, lhs, rhs, n FROM t1
+      |  UNION ALL SELECT 2, lhs, rhs, n FROM t2
+      |  UNION ALL SELECT 3, lhs, rhs, n FROM t3)
+      |SELECT rank, lhs, rhs, n FROM m
+      |ORDER BY rank""".stripMargin
+
+  private val bpeTokensSql: String =
+    bpeCtes + """
+      |nsym AS (
+      |  SELECT word, CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_sym
+      |  FROM r4),
+      |occ AS (
+      |  SELECT source, g AS word, COUNT(*) AS occ FROM (
+      |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS g
+      |    FROM documents)
+      |  GROUP BY source, g)
+      |SELECT source,
+      |  CAST(SUM(occ) AS BIGINT) AS n_tokens_ws,
+      |  CAST(SUM(occ * n_sym) AS BIGINT) AS n_tokens_bpe,
+      |  round(CAST(SUM(occ * n_sym) AS DOUBLE) / SUM(occ), 6) AS syms_per_word
+      |FROM occ JOIN nsym USING (word)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 
   /** The DSIR weight replay (hashed-bigram LMs, rounded log-ratio
     * decimal sums) WITHOUT a final ORDER BY — shared by tx_dsir and the

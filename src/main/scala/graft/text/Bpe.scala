@@ -31,18 +31,19 @@ object Bpe {
 
   private val SEP = "\u001F"
 
-  /** The first `rounds` BPE merges as (rank, lhs, rhs, n) — `n` is the
-    * corpus frequency of the merged pair at the time of its merge. A
-    * round whose vocabulary has no adjacent pair left emits no row
-    * (fit-to-exhaustion on tiny corpora). */
-  def fitMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** Fit state: the merge table (rank, lhs, rhs, n) and the final
+    * vocabulary representation (word, s, freq) after `rounds` merges —
+    * both bounded by vocab size, never corpus size. */
+  private def fitState(docs: DataFrame, textCol: String,
+                       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     // the one corpus-scale pass: word frequencies, then the char-split
     // representation. Checkpointed — every merge round reads this table.
     val vocab = docs
       .select(explode(TextFunctions.wsTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(rtrim(regexp_replace(col("word"), "(.)", "$1" + SEP), SEP).as("s"),
+      .select(col("word"),
+        rtrim(regexp_replace(col("word"), "(.)", "$1" + SEP), SEP).as("s"),
         col("freq"))
       .localCheckpoint(eager = true)
     var repr = vocab
@@ -66,10 +67,42 @@ object Bpe {
       val m = top.select(lit(r).as("rank"), col("lhs"), col("rhs"), col("n"))
       merges = if (merges == null) m else merges.unionByName(m)
       repr = repr.crossJoin(broadcast(top))
-        .select(replace(col("s"),
+        .select(col("word"), replace(col("s"),
           concat(col("lhs"), lit(SEP), col("rhs")),
           concat(col("lhs"), col("rhs"))).as("s"), col("freq"))
     }
-    merges
+    (merges, repr)
+  }
+
+  /** The first `rounds` BPE merges as (rank, lhs, rhs, n) — `n` is the
+    * corpus frequency of the merged pair at the time of its merge. A
+    * round whose vocabulary has no adjacent pair left emits no row
+    * (fit-to-exhaustion on tiny corpora). */
+  def fitMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    fitState(docs, textCol, rounds)._1
+
+  /** Corpus token counts UNDER the fitted vocabulary — the number a
+    * token-budget planner actually needs: per `sourceCol`, whitespace
+    * token count vs BPE symbol count after `rounds` merges, plus
+    * symbols-per-word. The apply is a broadcast join of the bounded
+    * (word → n_sym) table onto per-(source, word) occurrence counts —
+    * the corpus text is touched exactly once (the occurrence aggregate);
+    * no per-document re-segmentation. */
+  def tokenCounts(docs: DataFrame, textCol: String, sourceCol: String,
+                  rounds: Int): DataFrame = {
+    val (_, finalRepr) = fitState(docs, textCol, rounds)
+    val nSym = finalRepr.select(col("word"),
+      size(split(col("s"), SEP)).cast("long").as("n_sym"))
+    val occ = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.wsTokens(col(textCol))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("occ"))
+    occ.join(broadcast(nSym), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_tokens_ws"),
+        sum(col("occ") * col("n_sym")).as("n_tokens_bpe"))
+      .select(col("source"), col("n_tokens_ws"), col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") / col("n_tokens_ws"), 6)
+          .as("syms_per_word"))
   }
 }

@@ -477,4 +477,29 @@ class CurationSpec extends SparkSuite {
       assert(p.getLong(1) === r.getLong(5), s"residual for id $id [${r.getString(1)}]")
     }
   }
+
+  test("dedup funnel: stages chain, exact eats the copies, containment the halves") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.qsets.DedupQueries.queries("dd_funnel")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 300).select(col("doc_id")).collect().map(_.getLong(0))
+    val nBase = docs.length.toLong
+    val nCopies = docs.count(_ < 100).toLong
+    val nHalves = docs.count(_ < 50).toLong
+    val (_, in1, out1, rm1) = rows(1)
+    val (_, in2, out2, rm2) = rows(2)
+    val (_, in3, out3, rm3) = rows(3)
+    assert(in1 === nBase + nCopies + nHalves && out1 === in1 && rm1 === 0L)
+    // stage inputs chain from the previous stage's output
+    assert(in2 === out1 && in3 === out2)
+    // every +1000000 copy exact-dups its original (synthetic texts are
+    // unique among themselves, so removal is exactly the copy count)
+    assert(rm2 === nCopies, s"exact stage removed $rm2, expected $nCopies")
+    // every half-doc is contained in its surviving original at c = 1.0;
+    // natural containment pairs may remove a few more
+    assert(rm3 >= nHalves, s"containment stage removed $rm3 < $nHalves")
+    assert(out3 === in1 - rm2 - rm3)
+  }
 }

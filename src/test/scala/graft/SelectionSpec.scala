@@ -203,6 +203,16 @@ class SelectionSpec extends SparkSuite {
     assert(got.toSeq === Seq((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "e", "s", 2L)))
   }
 
+  test("bpe token counts replay by hand under the fitted merges") {
+    val docs = Seq((1L, "low low low lower", "a"), (2L, "newest newest", "a"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.text.Bpe.tokenCounts(docs, "text", "source", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // merges (l,o),(lo,w),(e,s): low → 1 symbol, lower → low|e|r = 3,
+    // newest → n|e|w|es|t = 5. ws = 3+1+2 = 6, bpe = 3·1 + 3 + 2·5 = 16
+    assert(got.toSeq === Seq(("a", 6L, 16L, 2.666667)))
+  }
+
   test("bpe fit exhausts gracefully when the vocab runs out of pairs") {
     val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
     val got = graft.text.Bpe.fitMerges(docs, "text", rounds = 3)
