@@ -131,6 +131,22 @@ object Verify {
     }
     val docIds = ids("documents", "doc_id")
     val vecIds = ids("embeddings", "vec_id")
+    // HLL++ diversity profile vs the exact-DISTINCT sibling: recorded as
+    // 1 − max relative error across the (source, n) cells, so the same
+    // floor machinery gates it (floor 0.95 = every cell within 5%;
+    // rsd is configured at 1%)
+    def approxDistinctAccuracy(): Double = {
+      val exact = out("tx_distinct_ngrams")
+        .select(col("source"), col("n"), col("n_distinct")).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+      val approx = out("tx_distinct_ngrams_approx")
+        .select(col("source"), col("n"), col("n_distinct_approx")).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+      if (exact.isEmpty || exact.keySet != approx.keySet) return 0.0
+      val maxRelErr = exact.map { case (k, e) =>
+        math.abs(approx(k) - e).toDouble / math.max(e, 1L) }.max
+      1.0 - maxRelErr
+    }
     // dd_minhash_capped: the planted boilerplate family (doc_id < 500,
     // doc_id % 10 < 3 — must mirror the query's predicate) is one
     // homogeneous near-dup cluster processed under ACTIVE bucket capping;
@@ -178,7 +194,8 @@ object Verify {
       // floor, so a regression in either the trained fit or the
       // residual encode trips the gate rather than hiding under a
       // loose ablation-level floor
-      ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.75))
+      ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.75),
+      ("tx_distinct_ngrams_approx", () => approxDistinctAccuracy(), 0.95))
     val results = checks.map { case (name, f, floor) =>
       val (value, err) =
         try (f(), None)

@@ -380,6 +380,39 @@ object CurationQueries extends QuerySet {
           round(col("n_distinct").cast("double") / col("total"), 6).as("distinct_ratio"))
       profile(1).unionByName(profile(2)).unionByName(profile(3))
         .orderBy(col("source"), col("n"))
+    }),
+
+    // The 100 TB form of the diversity profile — the HEADLINE row; the
+    // exact-DISTINCT sibling above is the correctness anchor. Grams are
+    // hashed to 64-bit BEFORE aggregation (8-byte rows in the shuffle,
+    // not arbitrary-length strings) and the distinct count is
+    // approx_count_distinct (HLL++, rsd 1%): a fixed-size mergeable
+    // sketch per (source, n) group, so the map-side partials are
+    // KB-sized regardless of corpus size — the exact form's
+    // COUNT(DISTINCT string) instead shuffles every unique gram. No SQL
+    // oracle (DuckDB's HLL is a different implementation); correctness
+    // is anchored by the exact sibling: Verify records the measured
+    // relative error per round (verify_recall.json) and
+    // ScaleGuardSpec pins the bound.
+    "tx_distinct_ngrams_approx" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      val docs = t(s, dir, "documents")
+      def profile(n: Int): DataFrame = docs
+        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("source"), explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => xxhash64(array_join(slice(col("t"), i, lit(n)), "\u001F"))))
+          .as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"),
+          approx_count_distinct(col("h"), 0.01).as("n_distinct_approx"))
+        .select(col("source"), lit(n).as("n"), col("total"),
+          col("n_distinct_approx"),
+          round(col("n_distinct_approx").cast("double") / col("total"), 6)
+            .as("distinct_ratio_approx"))
+      profile(1).unionByName(profile(2)).unionByName(profile(3))
+        .orderBy(col("source"), col("n"))
     })
   )
 
@@ -586,8 +619,8 @@ object CurationQueries extends QuerySet {
     "tx_mix_weights" ->
       """WITH per AS (
         |  SELECT source,
-        |    SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
-        |      AS n_tokens
+        |    CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+        |      AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |tot AS (SELECT SUM(n_tokens) AS t_tokens FROM per),
         |sc AS (

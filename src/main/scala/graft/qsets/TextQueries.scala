@@ -428,8 +428,12 @@ object TextQueries extends QuerySet {
     // expressions worth single tokens; boilerplate phrase detection).
     // pmi = log2((c12/n_bi) / ((c1/n_tok)·(c2/n_tok))), unigram counts
     // for the marginals, support floor c12 ≥ 5, top-50. Counts-only
-    // shuffles (vocabulary-sized aggregates, never document-sized);
-    // marginal tables broadcast under AQE; top-k is a TakeOrdered.
+    // shuffles (vocabulary-sized aggregates, never document-sized).
+    // The FULL unigram table is vocabulary-sized (millions of rows at
+    // 100 TB) and must never broadcast: the surviving c12 endpoints are
+    // checkpointed once (support-floored → bounded), uni is semi-joined
+    // down to those endpoints, and only that bounded marginal table
+    // broadcasts. Top-k is a TakeOrdered.
     "tx_pmi_collocations" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), wsTokens(col("text")).as("t"))
@@ -443,10 +447,14 @@ object TextQueries extends QuerySet {
         .select(col("b.w1"), col("b.w2"))
       val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
+        .localCheckpoint(eager = true)
+      val ends = c12.select(col("w1").as("w"))
+        .union(c12.select(col("w2").as("w"))).distinct()
+      val uniF = uni.join(ends, Seq("w"), "left_semi")
       val nBi = bi.agg(count(lit(1)).as("n_bi"))
       c12
-        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .join(broadcast(uniF.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uniF.select(col("w").as("w2"), col("c").as("c2"))), "w2")
         .crossJoin(broadcast(nBi)).crossJoin(broadcast(nTok))
         .select(col("w1"), col("w2"), col("c12"),
           round(log2((col("c12").cast("double") / col("n_bi")) /
@@ -541,8 +549,13 @@ object TextQueries extends QuerySet {
     "tx_phrase_search" -> ((s, dir) => {
       val phrase = Seq("batch", "table")
       val L = phrase.length
+      // scan-side pre-filter: rlike with \s+ between terms, NOT a
+      // single-space contains — verification tokenizes on \s+, so a
+      // tab/newline/multi-space-separated adjacent pair is a real hit
+      // and must survive the filter
       val cand = t(s, dir, "documents")
-        .filter(col("text").contains(phrase.mkString(" ")))
+        .filter(col("text").rlike(phrase.map(java.util.regex.Pattern.quote)
+          .mkString("\\s+")))
         .select(col("doc_id"), wsTokens(col("text")).as("t"))
         .filter(size(col("t")) >= L)
       val zipped = cand.select(col("doc_id"), posexplode(arrays_zip(
@@ -993,9 +1006,11 @@ object TextQueries extends QuerySet {
   /** The BPE fit replay: word frequencies, char-split repr, then 3
     * unrolled count-pairs / pick-winner / apply-merge rounds (`word`
     * carried through so the apply oracle can join back). Winner pick
-    * and replace() semantics match the Spark side exactly (see
-    * graft.text.Bpe scaladoc). Shared by tx_bpe_fit and tx_bpe_tokens
-    * so fit and apply cannot drift. */
+    * and the symbol-array merge fold (list_reduce — boundary-exact,
+    * never matching across symbol edges; LEFT JOIN ON TRUE keeps the
+    * repr intact when a round exhausts) match the Spark side exactly
+    * (see graft.text.Bpe scaladoc). Shared by tx_bpe_fit and
+    * tx_bpe_tokens so fit and apply cannot drift. */
   private val bpeCtes: String = {
     def round(r: Int): String =
       s"""p$r AS (
@@ -1006,9 +1021,14 @@ object TextQueries extends QuerySet {
          |  GROUP BY lhs, rhs),
          |t$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1),
          |r${r + 1} AS (
-         |  SELECT word, replace(s, (SELECT lhs || chr(31) || rhs FROM t$r),
-         |                          (SELECT lhs || rhs FROM t$r)) AS s, freq
-         |  FROM r$r),""".stripMargin
+         |  SELECT word,
+         |    CASE WHEN t$r.lhs IS NULL THEN s ELSE
+         |      list_reduce(string_split(s, chr(31)), (acc, x) -> CASE
+         |        WHEN x = t$r.rhs AND (acc = t$r.lhs
+         |             OR ends_with(acc, chr(31) || t$r.lhs))
+         |        THEN acc || x ELSE acc || chr(31) || x END)
+         |    END AS s, freq
+         |  FROM r$r LEFT JOIN t$r ON TRUE),""".stripMargin
     s"""WITH w AS (
        |  SELECT g AS word, COUNT(*) AS freq FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS g

@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: symbols ride a \u001F-joined string (the separator
   * cannot appear inside whitespace-split tokens), merge application is
-  * `replace` — left-to-right non-overlapping in both Spark and DuckDB,
-  * which IS the standard greedy BPE pair-merge semantics — and the
-  * winner tie-breaks on (count DESC, lhs, rhs) binary order, so the fit
-  * replays exactly in any engine.
+  * a left fold over the SYMBOL ARRAY — append `rhs` without a separator
+  * when the accumulator's last symbol is exactly `lhs`, else append
+  * separator+symbol — which is standard greedy left-to-right
+  * non-overlapping pair merging and, unlike a raw string replace,
+  * cannot match across symbol boundaries (rule (o,w) must not fire on
+  * [b, lo, w] even though "ow" is a substring of the joined
+  * form). The winner tie-breaks on (count DESC, lhs, rhs) binary
+  * order, so the fit replays exactly in any engine (the DuckDB oracle
+  * runs the same fold via `list_reduce`).
   *
   * Reference: qcfractal has no tokenizer; this extends the curation
   * surface (SURVEY §2.11) alongside tx_token_counts' regex form.
@@ -48,7 +53,8 @@ object Bpe {
       .localCheckpoint(eager = true)
     var repr = vocab
     var merges: DataFrame = null
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val pairs = repr
         .select(split(col("s"), SEP).as("sym"), col("freq"))
         // sequence(1, 0) would infer a DESCENDING step in Spark — guard
@@ -66,12 +72,37 @@ object Bpe {
         .localCheckpoint(eager = true)
       val m = top.select(lit(r).as("rank"), col("lhs"), col("rhs"), col("n"))
       merges = if (merges == null) m else merges.unionByName(m)
-      repr = repr.crossJoin(broadcast(top))
-        .select(col("word"), replace(col("s"),
-          concat(col("lhs"), lit(SEP), col("rhs")),
-          concat(col("lhs"), col("rhs"))).as("s"), col("freq"))
+      // exhaustion guard: an empty winner must leave `repr` UNTOUCHED —
+      // a crossJoin against zero rows would annihilate the whole
+      // vocabulary and tokenCounts would return zero rows. `top` is an
+      // eager 1-or-0-row checkpoint, so this count is free.
+      if (top.isEmpty) exhausted = true
+      else repr = repr.crossJoin(broadcast(top))
+        .select(col("word"), applyMerge(col("s"), col("lhs"), col("rhs"))
+          .as("s"), col("freq"))
     }
     (merges, repr)
+  }
+
+  /** One merge rule applied to a -joined symbol string: left fold
+    * over the symbol array, appending `rhs` separator-less when the
+    * accumulator's last symbol is exactly `lhs`. The suffix test
+    * (`acc == lhs` or acc ends with SEP+lhs) is boundary-exact because
+    * symbols never contain the separator; the just-merged symbol
+    * (lhs+rhs) never re-fires the same rule, which is the standard
+    * non-overlapping greedy semantics. Runs on the vocab table only —
+    * never corpus-scale — so the HOF is off the hot path. */
+  private def applyMerge(s: org.apache.spark.sql.Column,
+                         lhs: org.apache.spark.sql.Column,
+                         rhs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sym = split(s, SEP)
+    aggregate(
+      slice(sym, lit(2), greatest(size(sym) - 1, lit(0))),
+      element_at(sym, 1),
+      (acc, x) => when(
+        x === rhs && (acc === lhs || acc.endsWith(concat(lit(SEP), lhs))),
+        concat(acc, x)
+      ).otherwise(concat(acc, lit(SEP), x)))
   }
 
   /** The first `rounds` BPE merges as (rank, lhs, rhs, n) — `n` is the

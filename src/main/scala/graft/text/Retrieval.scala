@@ -13,11 +13,16 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: the posting build is one explode + (doc, term) hash-agg
   * restricted to the query terms — the isin filter runs BEFORE the
-  * shuffle, so shuffled rows are matches-per-doc, not corpus tokens; df
-  * is a terms-sized aggregate and (N, avgdl) a single row, both joined
-  * back by broadcast; the final top-k is a TakeOrdered (never a global
-  * sort). Every arithmetic step is rounded/decimal-disciplined so any
-  * engine reproduces the ranking bit-for-bit.
+  * shuffle, so shuffled rows are matches-per-doc, not corpus tokens.
+  * Document length rides THROUGH that aggregate as a grouping column
+  * (it is functionally dependent on doc_id, so the key is unchanged):
+  * no corpus-sized (doc_id → dl) frame is ever exchanged to answer a
+  * top-k — the only corpus-scale work is the scan itself plus the
+  * 1-row (N, avgdl) partial aggregate. df is a terms-sized aggregate
+  * and (N, avgdl) a single row, both joined back by broadcast; the
+  * final top-k is a TakeOrdered (never a global sort). Every
+  * arithmetic step is rounded/decimal-disciplined so any engine
+  * reproduces the ranking bit-for-bit.
   */
 object Retrieval {
 
@@ -29,17 +34,22 @@ object Retrieval {
                topK: Int = 20): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.wsTokens(col(textCol)).as("t"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     // one-row corpus stats; integer sum is exact, the final division is
     // one IEEE op so avgdl is engine-identical
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+    val stats = toks.select(size(col("t")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // dl rides the (doc, term) aggregate as a grouping column — it is
+    // functionally dependent on doc_id, so no extra shuffle and no
+    // corpus-sized length join afterwards
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", round(log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))

@@ -502,4 +502,20 @@ class CurationSpec extends SparkSuite {
     assert(rm3 >= nHalves, s"containment stage removed $rm3 < $nHalves")
     assert(out3 === in1 - rm2 - rm3)
   }
+
+  test("approx diversity profile tracks the exact sibling within 5%") {
+    // the 100 TB headline row vs its exact anchor: same totals exactly,
+    // every per-(source, n) distinct estimate within the pinned bound
+    val exact = graft.qsets.CurationQueries.queries("tx_distinct_ngrams")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val approx = graft.qsets.CurationQueries.queries("tx_distinct_ngrams_approx")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (total, nd)) =>
+      val (aTotal, aNd) = approx(k)
+      assert(aTotal === total, s"cell $k: totals must be exact")
+      assert(math.abs(aNd - nd) <= math.max(2.0, nd * 0.05),
+        s"cell $k: approx $aNd vs exact $nd")
+    }
+  }
 }

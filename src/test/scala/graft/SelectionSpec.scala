@@ -48,6 +48,47 @@ class SelectionSpec extends SparkSuite {
     assert((0L until 20L).forall(surv.contains))
   }
 
+  test("incremental semdedup ≡ the global pass under id-ascending batches") {
+    import graft.dedup.SemDedupIncremental
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(col("c_vec"), i) + lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+    val all = base.unionByName(planted).localCheckpoint(eager = true)
+    val (asg, cent) = Kmeans.fitAnchor(all, k = 6, iters = 1)
+    val global = SemDedup.survivors(all, asg, tau = 0.97)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_inc").toString
+    // three id-ascending batches with an uneven middle cut
+    val cuts = Seq(0L, 150L, 100000L, Long.MaxValue)
+    val got = (0 until 3).flatMap { i =>
+      SemDedupIncremental.addBatch(
+        all.filter(col("vec_id") >= cuts(i) && col("vec_id") < cuts(i + 1)),
+        cent, tau = 0.97, idx, batchId = i + 1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(got === global)
+
+    // idempotent retry: re-running the LAST batch must reproduce its
+    // survivors exactly (the read excludes the batch's own partition)
+    val retry = SemDedupIncremental.addBatch(
+      all.filter(col("vec_id") >= cuts(2)), cent, tau = 0.97, idx, batchId = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val lastBatch = got.filter(_._1 >= cuts(2))
+    assert(retry === lastBatch)
+
+    // centroid-swap guard: different centroids against the same index
+    // must be rejected by the params sidecar
+    val swapped = cent.map(_.map(_ + 1.0))
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIncremental.addBatch(all.limit(1), swapped, tau = 0.97, idx, batchId = 4L)
+    }
+    assert(e.getMessage.contains("was built with"))
+  }
+
   test("bm25 ranks the saturating term-hit doc first; scores replay by hand") {
     val docs = Seq(
       (1L, "spark spark spark spark"),       // tf 4, short
@@ -221,6 +262,35 @@ class SelectionSpec extends SparkSuite {
     // merge 1 collapses aa; merge 2 takes the leftover (a,b); round 3
     // finds no adjacent pair and emits nothing
     assert(got.toSeq === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
+  test("bpe token counts survive merge exhaustion with the repr intact") {
+    // rounds=3 but the vocab exhausts after 2 merges — the apply side
+    // must keep the last representation (NOT annihilate it), so every
+    // source still gets its row
+    val docs = Seq((1L, "aa ab aa", "a")).toDF("doc_id", "text", "source")
+    val got = graft.text.Bpe.tokenCounts(docs, "text", "source", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // merges (a,a),(a,b) fully collapse both words → 1 symbol each
+    assert(got.toSeq === Seq(("a", 3L, 3L, 1.0)))
+  }
+
+  test("bpe merge application is symbol-boundary exact") {
+    // rule (o,w) must not fire on [b, lo, w] even though "ow" is a
+    // substring of the joined form; corpus engineered so round 1 merges
+    // (l,o) and round 2 merges (o,w) — "blow" must stay b|lo|w, i.e. it
+    // keeps 3 symbols, not collapse to b|low
+    val docs = Seq(
+      (1L, "lo lo lo lo lo blow", "a"),
+      (2L, "ow ow ow", "a")).toDF("doc_id", "text", "source")
+    val merges = graft.text.Bpe.fitMerges(docs, "text", rounds = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq === Seq((1, "l", "o"), (2, "o", "w")))
+    val counts = graft.text.Bpe.tokenCounts(docs, "text", "source", rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // lo×5 → 1 sym each (5), blow → b|lo|w (3), ow×3 → 1 sym each (3)
+    assert(counts.toSeq === Seq(("a", 9L, 11L)))
   }
 
   test("dsir resampling: key is the log-space ES race over exp(weight)") {

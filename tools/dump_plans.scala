@@ -68,7 +68,18 @@ val notes: Seq[(String, String)] = Seq(
   "st14_stream_score" -> "Streaming DSIR scoring: the weight map is a plan LITERAL (index-artifact billing), so per-doc scoring is a stateless projection - no join, no shuffle, no streaming state; append mode on an unbounded stream at constant per-doc work, converged output sharing the batch scorer's oracle.",
   "dd_containment" -> "Asymmetric containment: distinct per-doc grams, stop-gram (df > maxDf) prune BEFORE the pair join caps per-gram fan-out at maxDf^2, denominators from the unpruned gram-set sizes - the quote/subset detector at linear cost.",
   "sim_mmr_rerank" -> "MMR diversified re-rank: the expensive stage is the oracle-checked brute-force shortlist; each greedy step is a TakeOrdered over the BOUNDED shortlist with the previous picks broadcast - constant work per step, fully plan-side.",
-  "w4_rolling_stats" -> "Rolling window stats: user_id is the window partition key (hash exchange, parallel across users), the 7-row frame is constant work per row and the cumulative sum a running aggregate; decimal frame sums keep the oracle hash-exact."
+  "w4_rolling_stats" -> "Rolling window stats: user_id is the window partition key (hash exchange, parallel across users), the 7-row frame is constant work per row and the cumulative sum a running aggregate; decimal frame sums keep the oracle hash-exact.",
+  "tx_bpe_fit" -> "BPE fit over the word-frequency table: the one corpus pass is the (word, freq) aggregate (checkpointed scan here); each merge round is a bounded pair-count hash-agg, a 1-row TakeOrdered winner, and a broadcast symbol-array merge fold — the corpus is never re-read.",
+  "tx_bpe_tokens" -> "BPE apply side: the bounded (word -> n_sym) table from the fitted repr broadcasts onto per-(source, word) occurrence counts — the corpus text is tokenized exactly once (the occurrence hash-agg); no per-document re-segmentation, no vocab-sized shuffle.",
+  "tx_phrase_search" -> "Query-literal phrase scan: codegen'd rlike prefilter (\\s+ between terms, so multi-whitespace hits survive) feeds slice/zip/posexplode adjacency verification; only matched positions reach the per-doc aggregate. No HOF lambdas (CodegenFallback) on the corpus path.",
+  "mm_image_phash" -> "Perceptual image dedup: decode+hash are per-row map work inside partition batches (image bytes never shuffle); candidate (aHash) and verify (crop digest) clusterings are counts-only hash-aggs on fixed-width keys joined back.",
+  "mm_audio_fingerprint" -> "Audio near-dup: per-row JDK decode to a fixed-width energy-contour fingerprint inside partition batches (audio bytes never shuffle); the contour key buckets candidates, exact digest verifies — sketch-then-verify on counts-only aggregates.",
+  "samp_dsir_topk" -> "DSIR importance resampling: the scored weight frame is a session-cached checkpoint (scan), the log-space ES key is a pure projection, and the draw is a TakeOrdered top-k — no sort shuffle.",
+  "dd_funnel" -> "Per-stage dedup report as ONE plan: each stage count is a 1-row aggregate chained by designed 1-row crossJoins (the BroadcastNestedLoopJoins below are those single-row stat joins); the containment stage's SortMergeJoin is the gram self-join whose fan-out the df<=64 stop-gram prune bounds.",
+  "dd_snapshot_diff" -> "Snapshot diff: row-local content digests, then one full-outer SortMergeJoin on the snapshot key (both sides corpus-scale; full-outer cannot broadcast) — unchanged docs never leave the join.",
+  "st15_stream_decontaminate" -> "Streaming decontamination: the benchmark gram set is a broadcast-joined static frame built once per stream start; each micro-batch's grams hash and probe it map-side — per-batch work linear in the batch, no stream-side state growth.",
+  "st16_stream_phash" -> "Streaming image signer: decode + perceptual hash as stateless per-row map work inside each micro-batch (foreachBatch parquet sink, distributed write); no state store — the dedup join happens against the persistent index, not stream memory.",
+  "tx_distinct_ngrams_approx" -> "The 100 TB diversity profile: grams hash to 64-bit BEFORE aggregation (8-byte shuffle rows) and distinct counts are approx_count_distinct (HLL++ rsd 1%) — fixed-size mergeable sketch per (source, n) partial, so map-side state is KB regardless of corpus size; the exact-DISTINCT sibling is the oracle anchor and Verify records the per-round measured error."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
