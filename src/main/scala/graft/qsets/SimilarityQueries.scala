@@ -53,12 +53,13 @@ object SimilarityQueries extends QuerySet {
   // the SemDeDup fit over the PLANTED corpus (base ∪ perturbed copies) is
   // its own index artifact — same keying and billing as anchorFit, but a
   // different corpus so it cannot share that cache. Returns the planted
-  // corpus (checkpointed — both the fit and the pairwise prune read it)
-  // and the checkpointed cell assignment.
+  // corpus (checkpointed — both the fit and the pairwise prune read it),
+  // the checkpointed cell assignment, and the fitted centroids (the
+  // incremental row re-assigns batches against them as frozen literals).
   private val plantedFitCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (DataFrame, DataFrame)]()
+    (String, String), (DataFrame, DataFrame, Seq[Seq[Double]])]()
 
-  private def plantedFit(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def plantedFit(s: SparkSession, dir: String): (DataFrame, DataFrame, Seq[Seq[Double]]) =
     plantedFitCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
       val base = corpus(s, dir)
       val planted = base.filter(col("vec_id") < 100)
@@ -75,8 +76,8 @@ object SimilarityQueries extends QuerySet {
       // a sampled MLlib fit — Vectors.ivfFit; this row keeps the
       // decimal-exact Lloyd replay so DuckDB reproduces the formula.)
       val k = math.max(8, math.ceil(math.sqrt(all.count().toDouble)).toInt)
-      val (asg, _) = Kmeans.fitAnchor(all, k = k, iters = 2)
-      (all, asg.localCheckpoint(eager = true))
+      val (asg, cent) = Kmeans.fitAnchor(all, k = k, iters = 2)
+      (all, asg.localCheckpoint(eager = true), cent)
     })
 
   /** Diagnostic sweep point for the LSH recall-vs-cost curve recorded in
@@ -372,9 +373,34 @@ object SimilarityQueries extends QuerySet {
     // compare linear overall.
     "dd_semdedup" -> ((s, dir) => {
       import graft.dedup.SemDedup
-      val (all, asg) = plantedFit(s, dir)
+      val (all, asg, _) = plantedFit(s, dir)
       SemDedup.survivors(all, asg, tau = 0.97)
         .orderBy(col("vec_id"))
+    }),
+
+    // Incremental SemDeDup: the same semantic prune as a PERSISTENT
+    // INGEST — batches assigned against the frozen fitted centroids (a
+    // pure map), pruned within-cell against the accumulated index plus
+    // themselves, every batch committed idempotently (batch=<id>
+    // overwrite; the read excludes the current batch). The index stores
+    // all ingested vectors, not just survivors — the global rule's
+    // domination set — so under id-ascending batches the union of batch
+    // survivor outputs IS the global dd_semdedup result: same oracle SQL
+    // checks both paths (the dd_decontaminate_bloom precedent), and
+    // SelectionSpec pins the batch-≡-global equivalence directly.
+    "dd_semdedup_incremental" -> ((s, dir) => {
+      import graft.dedup.SemDedupIncremental
+      val (all, _, cent) = plantedFit(s, dir)
+      val idx = "/tmp/graft_export/semdedup_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // id-ascending batches: naturals first, then the planted copies
+      val s1 = SemDedupIncremental.addBatch(
+        all.filter(col("vec_id") < 100000L), cent, tau = 0.97, idx, batchId = 1L)
+      val s2 = SemDedupIncremental.addBatch(
+        all.filter(col("vec_id") >= 100000L), cent, tau = 0.97, idx, batchId = 2L)
+      s1.unionByName(s2).orderBy(col("vec_id"))
     }),
 
     // Clustering quality audit: per-cell size, majority label and purity
@@ -517,6 +543,78 @@ object SimilarityQueries extends QuerySet {
       |        c.cell) AS rn
       |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
       |""".stripMargin
+
+  /** Shared by dd_semdedup and dd_semdedup_incremental: the
+    * incremental ingest is DEFINED to equal the global pass under
+    * id-ascending batches (the index stores the full domination set
+    * — see SemDedupIncremental), so one replay checks both plans,
+    * the dd_decontaminate_bloom precedent. */
+  private val semdedupSql: String =
+  """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    [e[i] + 0.02*(i%3) for i in range(1,65)] AS e
+        |  FROM base WHERE vec_id < 100),
+        |kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM v),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e FROM v
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |    <= (SELECT k FROM kk)),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
+        |  FROM piv),
+        |a1 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
+        |c1 AS (
+        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
+        |  FROM c0 LEFT JOIN c1n USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cell, ix.i,
+        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS ci
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY cell, ix.i),
+        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
+        |c2 AS (
+        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
+        |  FROM c1 LEFT JOIN c2n USING (cell)),
+        |af AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
+        |ac AS (SELECT af.vec_id, af.cell, v.e FROM af JOIN v USING (vec_id)),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM ac a JOIN ac b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.97)
+        |SELECT vec_id, cell FROM ac
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "sim_knn_brute" ->
@@ -934,72 +1032,13 @@ object SimilarityQueries extends QuerySet {
     // within-cell cosine-≥-0.97 prune keeping the lowest id. Any slip in
     // plant, k derivation, fit, assignment, or prune arithmetic breaks
     // the hash match.
-    "dd_semdedup" ->
-      """WITH base AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |v AS (
-        |  SELECT vec_id, e FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000 AS vec_id,
-        |    [e[i] + 0.02*(i%3) for i in range(1,65)] AS e
-        |  FROM base WHERE vec_id < 100),
-        |kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM v),
-        |piv AS (
-        |  SELECT vec_id AS pivot_id, e FROM v
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-        |    <= (SELECT k FROM kk)),
-        |c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, e AS centroid
-        |  FROM piv),
-        |a1 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c0 c) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cell, ix.i,
-        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |          / COUNT(*), 6) AS ci
-        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-        |  GROUP BY cell, ix.i),
-        |c1n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m1 GROUP BY cell),
-        |c1 AS (
-        |  SELECT c0.cell, coalesce(c1n.centroid, c0.centroid) AS centroid
-        |  FROM c0 LEFT JOIN c1n USING (cell)),
-        |a2 AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT v.vec_id, v.e, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c1 c) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT cell, ix.i,
-        |    round(CAST(SUM(CAST(round(e[ix.i], 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |          / COUNT(*), 6) AS ci
-        |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-        |  GROUP BY cell, ix.i),
-        |c2n AS (SELECT cell, list(ci ORDER BY i) AS centroid FROM m2 GROUP BY cell),
-        |c2 AS (
-        |  SELECT c1.cell, coalesce(c2n.centroid, c1.centroid) AS centroid
-        |  FROM c1 LEFT JOIN c2n USING (cell)),
-        |af AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1,65)]), 9),
-        |        c.cell) AS rn
-        |    FROM v CROSS JOIN c2 c) WHERE rn = 1),
-        |ac AS (SELECT af.vec_id, af.cell, v.e FROM af JOIN v USING (vec_id)),
-        |dup AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM ac a JOIN ac b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.97)
-        |SELECT vec_id, cell FROM ac
-        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
-        |ORDER BY vec_id""".stripMargin,
+    "dd_semdedup" -> semdedupSql,
+
+    // Same oracle, different plan: under id-ascending batches the
+    // incremental ingest is DEFINED to equal the global pass (the index
+    // stores the full domination set — see SemDedupIncremental), so the
+    // replay above checks the persistent-index path byte-for-byte.
+    "dd_semdedup_incremental" -> semdedupSql,
 
     // Mirrors sim_kmeans_purity: the sim_kmeans_anchor Lloyd replay,
     // then per-cell label counts, majority by (count desc, label), and
