@@ -63,7 +63,7 @@ val notes: Seq[(String, String)] = Seq(
   "dd_cdc_incremental" -> "Chunk-level incremental dedup: the batch's CDC fingerprints left-anti join the persistent fingerprint index (bytes per unique passage, batch=<id> idempotent commits); copied passages score novel=0 even at shifted offsets, and the whole pipeline hash-checks against the oracle.",
   "sim_knn_sq8" -> "Scalar 8-bit quantization ANN: encode is a pure map (per-dim ranges inline as plan literals - plan-pinned exchange-free), scoring reconstructs from the codes column alone, the bounded shortlist heap caps the shuffle, and only shortlist rows touch raw vectors in the exact re-rank.",
   "dd_semdedup" -> "SemDeDup: assignment against literal anchor centroids is a pure map over the scan; the within-cell pairwise compare self-joins ON CELL ONLY (quadratic in the cell, linear overall via k ~ n/cellSize), dominated ids distinct-ed before the survivors anti-join - nothing all-pairs across cells.",
-  "tx_bm25_topk" -> "BM25 retrieval: postings filtered to the query terms BEFORE the (doc,term) shuffle, df and (N,avgdl) broadcast back, per-doc weights decimal-summed map-side, top-k a TakeOrderedAndProject - never a global sort.",
+  "tx_bm25_topk" -> "BM25 retrieval: postings filtered to the query terms BEFORE the (doc,term) shuffle, and the document LENGTH rides that aggregate as a grouping column (functionally dependent on doc_id) — no corpus-sized (doc_id, dl) frame is ever exchanged to answer a top-k; df and (N,avgdl) broadcast back, per-doc weights decimal-summed map-side, top-k a TakeOrderedAndProject - never a global sort.",
   "tx_dsir" -> "DSIR importance weights: both hashed-bigram LMs from ONE bucket-grouped pass (target count rides the raw count's shuffle as a conditional sum); the buckets-row weight table broadcasts onto the gram stream; per-doc decimal log-ratio sums are the only data-sized aggregation.",
   "st14_stream_score" -> "Streaming DSIR scoring: the weight map is a plan LITERAL (index-artifact billing), so per-doc scoring is a stateless projection - no join, no shuffle, no streaming state; append mode on an unbounded stream at constant per-doc work, converged output sharing the batch scorer's oracle.",
   "dd_containment" -> "Asymmetric containment: distinct per-doc grams, stop-gram (df > maxDf) prune BEFORE the pair join caps per-gram fan-out at maxDf^2, denominators from the unpruned gram-set sizes - the quote/subset detector at linear cost.",
@@ -79,7 +79,8 @@ val notes: Seq[(String, String)] = Seq(
   "dd_snapshot_diff" -> "Snapshot diff: row-local content digests, then one full-outer SortMergeJoin on the snapshot key (both sides corpus-scale; full-outer cannot broadcast) — unchanged docs never leave the join.",
   "st15_stream_decontaminate" -> "Streaming decontamination: the benchmark gram set is a broadcast-joined static frame built once per stream start; each micro-batch's grams hash and probe it map-side — per-batch work linear in the batch, no stream-side state growth.",
   "st16_stream_phash" -> "Streaming image signer: decode + perceptual hash as stateless per-row map work inside each micro-batch (foreachBatch parquet sink, distributed write); no state store — the dedup join happens against the persistent index, not stream memory.",
-  "tx_distinct_ngrams_approx" -> "The 100 TB diversity profile: grams hash to 64-bit BEFORE aggregation (8-byte shuffle rows) and distinct counts are approx_count_distinct (HLL++ rsd 1%) — fixed-size mergeable sketch per (source, n) partial, so map-side state is KB regardless of corpus size; the exact-DISTINCT sibling is the oracle anchor and Verify records the per-round measured error."
+  "tx_distinct_ngrams_approx" -> "The 100 TB diversity profile: grams hash to 64-bit BEFORE aggregation (8-byte shuffle rows) and distinct counts are approx_count_distinct (HLL++ rsd 1%) — fixed-size mergeable sketch per (source, n) partial, so map-side state is KB regardless of corpus size; the exact-DISTINCT sibling is the oracle anchor and Verify records the per-round measured error.",
+  "dd_semdedup_incremental" -> "Incremental SemDeDup ingest: per batch, assignment against the frozen literal centroids is a pure map, the batch x index compare joins ON CELL ONLY (both sides cell-co-partitioned; work is batch x cellSize, never index-quadratic), and commits are idempotent batch=<id> overwrites. The final plan below reads the per-batch survivor checkpoints — the domination joins ran eagerly inside each addBatch."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
