@@ -127,9 +127,15 @@ private[graft] object SignatureIndex {
     * whose signature sibling is gone (possible only mid-delete, since
     * writes create signatures first) are swept as residue up front.
     *
-    * Returns the number of batch partitions folded (0 = nothing to do). */
+    * Returns the number of batch partitions folded (0 = nothing to do).
+    *
+    * `partitionCols`: sub-partition columns WITHIN each batch (e.g. the
+    * postings index's term bucket `tb`) — the consolidated write
+    * re-partitions by them so directory-level pruning survives
+    * compaction; the fold read recovers them from the source dirs. */
   def compact(spark: SparkSession, indexDir: String, schema: StructType,
-              statsSchema: StructType, keyCols: Seq[String]): Int = {
+              statsSchema: StructType, keyCols: Seq[String],
+              partitionCols: Seq[String] = Nil): Int = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(root)) return 0
@@ -170,9 +176,19 @@ private[graft] object SignatureIndex {
     if (!priorComplete) {
       val noBatch = StructType(schema.filterNot(_.name == "batch"))
       // the overwrite deletes genSig first — including any stale marker
-      // from a partially-written prior attempt
-      spark.read.schema(noBatch).parquet(foldRead.map(_._2.toString): _*)
-        .write.mode("overwrite").parquet(genSig.toString)
+      // from a partially-written prior attempt. Sub-partitioned sources
+      // are read one root at a time and unioned: a multi-path read over
+      // nested partition dirs trips partition-inference's common-base
+      // check, and a basePath of the index root would re-introduce the
+      // excluded `batch` column.
+      val folded =
+        if (partitionCols.isEmpty)
+          spark.read.schema(noBatch).parquet(foldRead.map(_._2.toString): _*)
+        else foldRead.map(p => spark.read.schema(noBatch).parquet(p._2.toString))
+          .reduce(_ unionByName _)
+      val writer = if (partitionCols.isEmpty) folded.write
+        else folded.write.partitionBy(partitionCols: _*)
+      writer.mode("overwrite").parquet(genSig.toString)
       // stats: re-aggregate the folded partitions into one
       if (foldStats.nonEmpty) {
         val noBatchStats = StructType(statsSchema.filterNot(_.name == "batch"))

@@ -165,6 +165,50 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009 —
+    // the fusion default of Elasticsearch/Vespa-class engines): the
+    // lexical top-50 (tx_bm25_topk's BM25) and the semantic top-50
+    // (exact cosine against a query embedding) fuse as Σ 1/(60+rank) —
+    // rank-space fusion needs no score calibration between rankers.
+    // Both shortlists are LIMIT-bounded and eagerly checkpointed, so
+    // the rank windows run over 50 rows each (bounded, never a
+    // data-sized single partition) and the fusion join is a 50×50
+    // full-outer. At 100× the semantic shortlist swaps to the IVF/PQ
+    // index path (same contract); the fusion stays identical. Full
+    // hash oracle replaying both rankers end to end.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.text.Retrieval.bm25TopK(t(s, dir, "documents"),
+          "doc_id", "text",
+          terms = Seq("spark", "vector", "stream", "window", "hash"), topK = 50)
+        .localCheckpoint(eager = true)
+      val lexR = lex.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("lex_rank"))
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("e"))
+      val q = v.filter(col("vec_id") === 42).select(col("e").as("qe"))
+      val sem = v.filter(col("vec_id") =!= 42).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(Vectors.cosine(col("e"), col("qe")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+        .localCheckpoint(eager = true)
+      val semR = sem.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id")))
+          .cast("long").as("sem_rank"))
+      lexR.join(semR, Seq("doc_id"), "full_outer")
+        // rank 0 = "absent from that list" — never-null outputs (a null
+        // rank surfaces as NaN in the gate's hasher and NaN ≠ NaN)
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 9)
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Ranked embedding near-dup pairs (top-50 by cosine, bounded subset).
     "sim_embcos_pairs" -> ((s, dir) => {
       val v = t(s, dir, "embeddings").filter(col("vec_id") < 300)
@@ -629,6 +673,59 @@ object SimilarityQueries extends QuerySet {
         |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
         |QUALIFY row_number() OVER w <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // Replays BOTH rankers: the tx_bm25_topk SQL at LIMIT 50, the
+    // sim_knn_brute cosine against vec 42 at LIMIT 50, then the
+    // 1/(60+rank) fusion in explicit DOUBLE (a bare 1.0 is DECIMAL in
+    // DuckDB — decimal division would drift from Spark's IEEE path).
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'vector', 'stream', 'window', 'hash')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+        |  FROM w GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bm),
+        |v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 42),
+        |sem0 AS (
+        |  SELECT vec_id AS doc_id, round(list_cosine_similarity(e, qe), 6) AS sim
+        |  FROM v CROSS JOIN q WHERE vec_id <> 42
+        |  ORDER BY sim DESC, doc_id
+        |  LIMIT 50),
+        |sem AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS sem_rank
+        |  FROM sem0)
+        |SELECT doc_id,
+        |  coalesce(lex_rank, 0) AS lex_rank,
+        |  coalesce(sem_rank, 0) AS sem_rank,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE)) +
+        |    coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)), 9) AS rrf_score
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     // Mirrors pivotFit + ivfProbe exactly: pivot pick by smallest
     // md5(vec_id), cells numbered in pivot-id order, assignment and

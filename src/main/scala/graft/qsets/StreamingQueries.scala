@@ -234,6 +234,23 @@ object StreamingQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // ST17 — streaming ingest into the persistent postings index: the
+    // foreachBatch sibling of tx_bm25_incremental, the shape a
+    // "index documents as they land" retrieval service actually runs.
+    // Each micro-batch tokenizes once into term-bucketed postings and
+    // commits idempotently to its own batch partition; postings, df and
+    // corpus stats are pure functions of the ingested document SET — no
+    // order dependence — so the converged index answers bit-identically
+    // to the batch build and this row shares the scan oracle.
+    "st17_stream_index" -> ((s, dir) => {
+      import graft.text.PostingsIndex
+      val idx = "/tmp/graft_export/stream/st17_postings_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      EventStreams.streamingPostingsIngest(s, dir, idx)
+      PostingsIndex.query(s, idx,
+        terms = Seq("spark", "vector", "stream", "window", "hash"))
+    }),
+
     // ST15 — streaming decontamination gate: documents arrive as a
     // stream and are flagged against the STATIC benchmark gram set (the
     // eval suite, fixed at deploy time) — the score-on-landing sibling
@@ -515,6 +532,10 @@ object StreamingQueries extends QuerySet {
     // stream ≡ batch: the converged streamed gate shares the batch
     // flagging pass's oracle verbatim (the st14/tx_dsir discipline).
     "st15_stream_decontaminate" -> CurationQueries.decontaminateSql,
+
+    // Converged streaming ingest ≡ batch build ≡ corpus scan: one SQL
+    // answers all three BM25 rows.
+    "st17_stream_index" -> TextQueries.bm25Sql,
 
     // The mm_image_phash pixel-formula replay, signature columns only —
     // the streamed signer must equal the batch signer bit-for-bit.

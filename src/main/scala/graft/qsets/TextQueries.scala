@@ -47,6 +47,33 @@ object TextQueries extends QuerySet {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Per-doc corpus-bigram-LM scores — ONE definition shared by
+    * tx_lm_score and tx_ppl_buckets so the LM cannot drift between the
+    * scoring row and the bucketing stage. `riders` are columns carried
+    * through the per-doc aggregate as functionally-dependent grouping
+    * keys (the BM25-dl discipline: same key cardinality, zero extra
+    * shuffle). Counts ride xxhash64 bigram keys, not strings — the
+    * corpus-scale shuffles carry 16 bytes per row. */
+  private def lmScores(docs: DataFrame, riders: Seq[String]): DataFrame = {
+    val keys = (Seq("doc_id") ++ riders).map(col)
+    val bi = docs
+      .select(keys :+ wsTokens(col("text")).as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select(keys :+ explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + lit(1)).as("w2")))).as("b"): _*)
+      .select(keys :+ xxhash64(col("b.w1")).as("h1") :+
+        xxhash64(col("b.w1"), col("b.w2")).as("h12"): _*)
+    val c2 = bi.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
+    bi.join(c2.join(c1, "h1"), Seq("h1", "h12"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("c2").cast("double") / col("c1"))), 4)
+          .as("lm_score"))
+  }
+
   /** The fitted DSIR weight frame is an index artifact — built once per
     * (session, corpus snapshot) and checkpointed, the anchorFit billing:
     * the first consumer (tx_dsir, samp_dsir_topk — st14 builds the
@@ -374,23 +401,28 @@ object TextQueries extends QuerySet {
     // tables broadcast under AQE, degrading to shuffled joins with skew
     // splitting when the vocabulary outgrows broadcast (hot prefixes like
     // "the" are exactly the AQE skew-split case).
-    "tx_lm_score" -> ((s, dir) => {
-      val bi = t(s, dir, "documents")
-        .select(col("doc_id"), wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + lit(1)).as("w2")))).as("b"))
-        .select(col("doc_id"), xxhash64(col("b.w1")).as("h1"),
-          xxhash64(col("b.w1"), col("b.w2")).as("h12"))
-      val c2 = bi.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
-      bi.join(c2.join(c1, "h1"), Seq("h1", "h12"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log2(col("c2").cast("double") / col("c1"))), 4)
-            .as("lm_score"))
+    "tx_lm_score" -> ((s, dir) =>
+      lmScores(t(s, dir, "documents"), riders = Nil).orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 1911.00359): per
+    // SOURCE, rank documents by the corpus bigram-LM score and split
+    // into head/middle/tail terciles — the filter stage that keeps
+    // head+middle for training. NTILE is integer math over a
+    // deterministic (lm_score desc, doc_id) order, so there is no
+    // float-cutoff parity risk; the per-source rank is the one
+    // corpus-ordering step (a range-partitioned sort per source at
+    // scale — the sampled-cutoff variant that replaces it at 100× is
+    // the tx_distinct_ngrams_approx precedent, trading the sort for a
+    // broadcast threshold compare).
+    "tx_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lm = lmScores(t(s, dir, "documents"), riders = Seq("source"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lm_score").desc, col("doc_id"))
+      lm.withColumn("nt", ntile(3).over(w))
+        .select(col("doc_id"), col("source"), col("n_bigrams"), col("lm_score"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -472,6 +504,29 @@ object TextQueries extends QuerySet {
     "tx_bm25_topk" -> ((s, dir) => {
       graft.text.Retrieval.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text",
+        terms = Seq("spark", "vector", "stream", "window", "hash"))
+    }),
+
+    // The INDEXED form of the same retrieval (graft.text.PostingsIndex):
+    // three document batches tokenize once into a term-bucketed
+    // persistent postings index (batch=<id>/tb=<bucket> layout, stats
+    // sidecar), then the query answers from the index alone — the scan
+    // prunes to the query terms' buckets via PARTITION filters before
+    // any file opens, and N/avgdl come from the per-batch stats rows.
+    // Shares tx_bm25_topk's oracle: a doc lives in exactly one batch, so
+    // df and the corpus stats are exact over the union and the scoring
+    // tail (Retrieval.scoreTopK) is the same arithmetic bit for bit.
+    "tx_bm25_incremental" -> ((s, dir) => {
+      import graft.text.PostingsIndex
+      val idx = "/tmp/graft_export/postings_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, dir, "documents")
+      for (b <- 0L to 2L)
+        PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", idx, batchId = b)
+      PostingsIndex.query(s, idx,
         terms = Seq("spark", "vector", "stream", "window", "hash"))
     }),
 
@@ -572,6 +627,35 @@ object TextQueries extends QuerySet {
       }
     })
   )
+
+  /** Okapi BM25 top-20 — the oracle shared verbatim by the corpus-scan
+    * row (tx_bm25_topk), the postings-index row (tx_bm25_incremental),
+    * and the streaming-ingest row (st17_stream_index), which must all
+    * agree bit for bit. */
+  private[qsets] val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      |  WHERE term IN ('spark', 'vector', 'stream', 'window', 'hash')
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |w AS (
+      |  SELECT doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id,
+      |  round(CAST(SUM(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
+      |  COUNT(*) AS n_terms
+      |FROM w GROUP BY doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "tx_token_counts" ->
@@ -889,6 +973,31 @@ object TextQueries extends QuerySet {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // tx_lm_score's LM replayed with source carried through, then the
+    // CCNet tercile split: NTILE over the rounded-4 scores — both
+    // engines compare identical rounded doubles, so the integer split
+    // is parity-exact.
+    "tx_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        |lm AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS lm_score
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id, source)
+        |SELECT doc_id, source, n_bigrams, lm_score,
+        |  CASE NTILE(3) OVER (PARTITION BY source ORDER BY lm_score DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lm
+        |ORDER BY doc_id""".stripMargin,
+
     // Mirrors tx_source_kl: identical probability/log2 paren structure,
     // terms rounded 12 and decimal-summed, corpus marginal derived from
     // the per-source counts.
@@ -943,30 +1052,12 @@ object TextQueries extends QuerySet {
     // ln(1 + (N - df + 0.5)/(df + 0.5)) idf rounded to 6, identical
     // left-associated saturation arithmetic, per-term weights rounded to
     // 6 then decimal-summed, (score DESC, doc_id) top-20.
-    "tx_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-        |stats AS (
-        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-        |  FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-        |  WHERE term IN ('spark', 'vector', 'stream', 'window', 'hash')
-        |  GROUP BY doc_id, term),
-        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |w AS (
-        |  SELECT doc_id,
-        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
-        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-        |SELECT doc_id,
-        |  round(CAST(SUM(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score,
-        |  COUNT(*) AS n_terms
-        |FROM w GROUP BY doc_id
-        |ORDER BY score DESC, doc_id
-        |LIMIT 20""".stripMargin,
+    "tx_bm25_topk" -> bm25Sql,
+
+    // The indexed path answers from batch-committed postings, but a doc
+    // lives in exactly one batch so df/N/avgdl are exact over the union
+    // and the scoring tail is shared — the scan oracle IS its oracle.
+    "tx_bm25_incremental" -> bm25Sql,
 
     // Mirrors Dsir.importanceWeights: chr(31)-joined bigrams, md5 15-hex
     // bucket hash mod 512, add-1 smoothing over both LMs, per-gram

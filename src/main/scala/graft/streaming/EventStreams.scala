@@ -281,6 +281,28 @@ object EventStreams {
     * streaming ingest path of the sk_hll_incremental pattern: a
     * dashboard's all-time distinct counts stay bytes-sized and
     * oracle-exact while the stream runs. */
+  /** Streaming ingest into the persistent postings index
+    * ([[graft.text.PostingsIndex]]): each micro-batch of documents
+    * tokenizes ONCE into term-bucketed postings and commits to its own
+    * `batch=<id>` partition — foreachBatch retries overwrite themselves,
+    * so the ingest is exactly-once in effect. Postings, df, and the
+    * corpus stats are pure functions of the ingested SET of documents
+    * (no order dependence), so the converged index answers queries
+    * bit-identically to the batch build and the query row shares the
+    * scan oracle. */
+  def streamingPostingsIngest(spark: SparkSession, dir: String,
+                              indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val q = readTableStream(spark, dir, "documents").writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.text.PostingsIndex.addBatch(b.toDF(), "doc_id", "text",
+          indexPath, batchId)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   def streamingHllIndex(spark: SparkSession, dir: String, indexPath: String,
                         groupCols: Seq[String], value: Column): Unit = {
     import graft.sketch.Sketches

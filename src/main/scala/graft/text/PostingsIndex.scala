@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.SignatureIndex
+
+/** Persistent inverted (postings) index with incremental batch commits —
+  * the 100 TB form of lexical retrieval. [[Retrieval.bm25TopK]] re-scans
+  * the corpus per query; a production pipeline tokenizes each arriving
+  * batch ONCE into term-bucketed postings and answers every later query
+  * from the index, reading only the buckets its terms hash to.
+  *
+  * Layout: `indexDir/batch=<id>/tb=<bucket>/` parquet with rows
+  * (term, doc_id, tf, dl) — `tb = pmod(xxhash64(term), 64)` is a
+  * DIRECTORY partition column, so a query's scan prunes to ≤ |terms|
+  * of 64 buckets before any file is opened (partition pruning, visible
+  * as PartitionFilters in the plan), and the residual `term IN (...)`
+  * predicate pushes into parquet row groups within them. Corpus-level
+  * stats (n_docs, Σdl) commit per batch as two tiny rows in the
+  * `_stats` subtree (the [[SignatureIndex]] sidecar convention), so
+  * N/avgdl never re-scan anything.
+  *
+  * Invariants: a document lives in exactly one batch, so per-term df
+  * from the pruned postings is exact and global stats are the sum of
+  * the per-batch rows. Commits are `batch=<id>` overwrites → retry
+  * idempotent; `_graft_params` pins (tokenizer, bucket count) — a batch
+  * tokenized differently would silently split postings, so it fails
+  * loudly instead. [[SignatureIndex.compact]] folds settled batches
+  * (partition columns preserved via its `partitionCols` parameter).
+  *
+  * Reference: qcfractal has no retrieval index; this is the persistent
+  * sibling of the SURVEY §2.11 curation surface's tx_bm25_topk, shaped
+  * like dd_incremental's signature index (SURVEY §8).
+  */
+object PostingsIndex {
+
+  /** Term-hash bucket fan-out. 64 keeps directory counts trivial while
+    * a typical ≤ 10-term query prunes ~85% of the index; at a real
+    * deployment this scales with vocabulary (it is pinned in
+    * `_graft_params`, so the choice is per-index immutable). */
+  val TermBuckets = 64
+
+  private[text] val postingsSchema = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false),
+    StructField("tb", IntegerType, nullable = false),
+    StructField("batch", LongType, nullable = false)))
+
+  /** Stats rows are (stat, n): 'n_docs' and 'sum_dl' per batch. The
+    * generic (key, n) shape is what [[SignatureIndex.compact]] folds
+    * with sum(n) — both stats are sums, so consolidation is exact. */
+  private[text] val statsSchema = StructType(Seq(
+    StructField("stat", StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("batch", LongType, nullable = false)))
+
+  private def params = s"tok=ws,tb=$TermBuckets"
+
+  /** Tokenize one arriving batch of documents into the index. One
+    * corpus-scale pass: the (doc, term) hash-aggregate with dl riding
+    * as a grouping column (the [[Retrieval.bm25TopK]] shape), then a
+    * bucket-partitioned write. Nothing existing is read — a retry just
+    * overwrites its own partition. */
+  def addBatch(docs: DataFrame, idCol: String, textCol: String,
+               indexDir: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    SignatureIndex.checkParams(spark, indexDir, params)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.wsTokens(col(textCol)).as("t"))
+    val post = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        pmod(xxhash64(col("term")), lit(TermBuckets)).cast("int").as("tb"))
+    post.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$indexDir/batch=$batchId")
+    // per-batch corpus stats: every doc counts (dl from the token array,
+    // BEFORE the explode — a doc with no query-relevant terms still
+    // contributes to N and avgdl, exactly like the scan path's stats)
+    toks.select(size(col("t")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(explode(map(
+        lit("n_docs"), col("n_docs"),
+        lit("sum_dl"), col("sum_dl"))).as(Seq("stat", "n")))
+      .write.mode("overwrite").parquet(s"$indexDir/_stats/batch=$batchId")
+  }
+
+  /** BM25 top-k from the index alone — bit-identical to
+    * [[Retrieval.bm25TopK]] over the union of all ingested batches
+    * (same [[Retrieval.scoreTopK]] tail), but the corpus is never
+    * re-read: the postings scan prunes to the query terms' buckets and
+    * the stats read is rows-per-batch tiny. */
+  def query(spark: SparkSession, indexDir: String, terms: Seq[String],
+            k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    SignatureIndex.checkParams(spark, indexDir, params)
+    // the terms' bucket ids, via the engine's own xxhash64 on a local
+    // relation (a LocalTableScan job over |terms| rows — no data read);
+    // literal values are what makes the scan filter PARTITION-prunable
+    import spark.implicits._
+    val tbs = terms.toDS().select(
+        pmod(xxhash64(col("value")), lit(TermBuckets)).cast("int"))
+      .as[Int].collect().distinct.toIndexedSeq.sorted
+    val tf = spark.read.schema(postingsSchema).parquet(indexDir)
+      .filter(col("tb").isin(tbs.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.schema(statsSchema)
+      .parquet(s"$indexDir/_stats")
+      .agg(sum(when(col("stat") === "n_docs", col("n"))).as("n_docs"),
+        (sum(when(col("stat") === "sum_dl", col("n"))).cast("double") /
+          sum(when(col("stat") === "n_docs", col("n")))).as("avgdl"))
+    Retrieval.scoreTopK(tf, df, stats, k1, b, topK)
+  }
+
+  /** Fold settled batch partitions into one consolidated partition,
+    * preserving the `tb` bucket layout (and thus query-time pruning). */
+  def compactIndex(spark: SparkSession, indexDir: String): Int =
+    SignatureIndex.compact(spark, indexDir, postingsSchema, statsSchema,
+      Seq("stat"), partitionCols = Seq("tb"))
+}

@@ -49,6 +49,16 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreTopK(tf, df, stats, k1, b, topK)
+  }
+
+  /** The BM25 scoring tail shared by the scan path above and the
+    * [[PostingsIndex]] query path: `tf` rows are (doc_id, dl, term, tf),
+    * `df` is (term, df), `stats` one row (n_docs, avgdl). Both producers
+    * feed EXACTLY the same arithmetic, so the indexed and scan answers
+    * are bit-identical and share one oracle. */
+  private[text] def scoreTopK(tf: DataFrame, df: DataFrame, stats: DataFrame,
+                              k1: Double, b: Double, topK: Int): DataFrame =
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf", round(log(lit(1.0) +
@@ -61,5 +71,4 @@ object Retrieval {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
-  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{PostingsIndex, Retrieval}
+
+/** Pins for the persistent postings index (tx_bm25_incremental) and the
+  * RRF fusion row: indexed ≡ scan answers, retry idempotence, the
+  * tokenizer-params guard, bucket-pruned query plans, and compaction
+  * preserving both the answer and the tb directory layout. */
+class PostingsIndexSpec extends SparkSuite {
+
+  private val terms = Seq("spark", "vector", "stream", "window", "hash")
+
+  private def freshIdx(tag: String): String = {
+    val dir = s"/tmp/graft_test/postings_$tag"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    dir
+  }
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  private def ingest3(idx: String): Unit =
+    for (b <- 0L to 2L)
+      PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", idx, batchId = b)
+
+  test("indexed BM25 over split batches equals the corpus-scan answer") {
+    val idx = freshIdx("equiv")
+    ingest3(idx)
+    val fromIndex = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    val fromScan = Retrieval.bm25TopK(docs, "doc_id", "text", terms)
+      .collect().toSeq
+    assert(fromIndex == fromScan)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("addBatch retry is idempotent: re-committing a batch changes nothing") {
+    val idx = freshIdx("retry")
+    ingest3(idx)
+    val before = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    // a foreachBatch retry re-runs the SAME batch id with the same data
+    PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", idx, batchId = 1L)
+    val after = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    assert(after == before)
+  }
+
+  test("params sidecar rejects a differently-tokenized batch") {
+    val idx = freshIdx("guard")
+    ingest3(idx)
+    // simulate an index built under other params: clobber the sidecar
+    val p = new org.apache.hadoop.fs.Path(idx, "_graft_params")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(p, true)
+    out.write("tok=bpe,tb=64".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      PostingsIndex.addBatch(docs.limit(1), "doc_id", "text", idx, batchId = 9L)
+    }
+    assert(e.getMessage.contains("tok=bpe"))
+  }
+
+  test("query scan prunes to the terms' tb partitions") {
+    val idx = freshIdx("prune")
+    ingest3(idx)
+    val plan = PostingsIndex.query(spark, idx, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    // partition pruning on the bucket column, not a post-scan filter
+    assert(plan.contains("PartitionFilters: ["))
+    assert(plan.split("PartitionFilters").exists(s =>
+      s.take(200).contains("tb")))
+    // and the term predicate pushes into parquet within the buckets
+    assert(plan.contains("PushedFilters") && plan.contains("term"))
+  }
+
+  test("compaction folds settled batches, keeps tb layout and the answer") {
+    val idx = freshIdx("compact")
+    ingest3(idx)
+    val before = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    assert(PostingsIndex.compactIndex(spark, idx) == 2) // batches 0,1 fold
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = hfs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(batches == Seq("batch=-2", "batch=2"))
+    // the consolidated partition keeps the tb=<bucket> directory layout
+    val consolidated = hfs.listStatus(new org.apache.hadoop.fs.Path(root, "batch=-2"))
+      .map(_.getPath.getName).filter(_.startsWith("tb=")).toSeq
+    assert(consolidated.nonEmpty)
+    val after = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    assert(after == before)
+  }
+
+  test("RRF fusion arithmetic: both-list docs sum both reciprocal ranks") {
+    val rows = SparkEntry.queries("sim_hybrid_rrf")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = r.getAs[Long]("lex_rank")
+      val sem = r.getAs[Long]("sem_rank")
+      val want = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - want) < 1e-9)
+    }
+    // fused output is rank-descending with the doc_id tiebreak
+    val scores = rows.map(_.getAs[Double]("rrf_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ppl buckets: per-source terciles are balanced and score-ordered") {
+    val rows = SparkEntry.queries("tx_ppl_buckets")(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+      // NTILE(3): group sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // head scores dominate tail scores within every source
+      val head = rs.filter(_.getAs[String]("bucket") == "head")
+        .map(_.getAs[Double]("lm_score"))
+      val tail = rs.filter(_.getAs[String]("bucket") == "tail")
+        .map(_.getAs[Double]("lm_score"))
+      assert(head.min >= tail.max)
+    }
+  }
+}

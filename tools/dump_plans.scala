@@ -80,7 +80,11 @@ val notes: Seq[(String, String)] = Seq(
   "st15_stream_decontaminate" -> "Streaming decontamination: the benchmark gram set is a broadcast-joined static frame built once per stream start; each micro-batch's grams hash and probe it map-side — per-batch work linear in the batch, no stream-side state growth.",
   "st16_stream_phash" -> "Streaming image signer: decode + perceptual hash as stateless per-row map work inside each micro-batch (foreachBatch parquet sink, distributed write); no state store — the dedup join happens against the persistent index, not stream memory.",
   "tx_distinct_ngrams_approx" -> "The 100 TB diversity profile: grams hash to 64-bit BEFORE aggregation (8-byte shuffle rows) and distinct counts are approx_count_distinct (HLL++ rsd 1%) — fixed-size mergeable sketch per (source, n) partial, so map-side state is KB regardless of corpus size; the exact-DISTINCT sibling is the oracle anchor and Verify records the per-round measured error.",
-  "dd_semdedup_incremental" -> "Incremental SemDeDup ingest: per batch, assignment against the frozen literal centroids is a pure map, the batch x index compare joins ON CELL ONLY (both sides cell-co-partitioned; work is batch x cellSize, never index-quadratic), and commits are idempotent batch=<id> overwrites. The final plan below reads the per-batch survivor checkpoints — the domination joins ran eagerly inside each addBatch."
+  "dd_semdedup_incremental" -> "Incremental SemDeDup ingest: per batch, assignment against the frozen literal centroids is a pure map, the batch x index compare joins ON CELL ONLY (both sides cell-co-partitioned; work is batch x cellSize, never index-quadratic), and commits are idempotent batch=<id> overwrites. The final plan below reads the per-batch survivor checkpoints — the domination joins ran eagerly inside each addBatch.",
+  "tx_bm25_incremental" -> "Indexed BM25: the query answers from the persistent term-bucketed postings index alone — the scan shows PartitionFilters on tb (only the query terms' buckets are even listed) plus PushedFilters on term within them, stats come from the rows-per-batch _stats sidecar, and the scoring tail is the same TakeOrdered pipeline as the scan row. The corpus itself is never re-read at query time; tokenization cost was paid once at addBatch.",
+  "sim_hybrid_rrf" -> "Reciprocal rank fusion: both rankers end in LIMIT-bounded, eagerly-checkpointed 50-row shortlists, so the two rank windows run over 50 rows each (bounded by construction - the single-partition WindowExec is fused over a checkpoint scan, never data-sized) and the fusion is a 50x50 full-outer SMJ. The corpus-scale work is exactly the two shortlist builders: the BM25 term-filtered aggregate and one broadcast-query cosine pass.",
+  "tx_ppl_buckets" -> "CCNet perplexity terciles: the LM is tx_lm_score's pass (16-byte hashed-bigram count shuffles), then ONE per-source range-sorted window computes NTILE(3) over (lm_score, doc_id) - integer math, no float cutoffs. At 100x the window swaps for sampled cutoff thresholds broadcast onto a stateless projection (the tx_distinct_ngrams_approx precedent); the exact form stays as the oracle anchor.",
+  "st17_stream_index" -> "Streaming postings ingest: each micro-batch tokenizes once and commits term-bucketed postings + a 2-row stats sidecar to its own batch partition (foreachBatch retries overwrite themselves). The plan below is the post-convergence QUERY - identical pruned-scan shape to tx_bm25_incremental, because the index is a pure function of the ingested document set regardless of arrival order or batching."
 )
 
 val pw = new PrintWriter("PLANS.md", "UTF-8")
