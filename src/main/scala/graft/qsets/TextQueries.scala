@@ -90,6 +90,28 @@ object TextQueries extends QuerySet {
           "doc_id", "text", targetPred = col("lang") === "en")
         .localCheckpoint(eager = true))
 
+  /** Session-cached postings index over `documents` — an index
+    * ARTIFACT like the DSIR weight table above: whichever of the
+    * query-side rows (tx_phrase_indexed, tx_bm25_multiquery) runs
+    * first pays the one-time build; tx_bm25_incremental deliberately
+    * does NOT use the cache, because ingest IS that row's contract. */
+  private val postingsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  private def postingsIdx(s: SparkSession, dir: String): String =
+    postingsCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val idx = "/tmp/graft_export/postings_shared_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, dir, "documents")
+      for (b <- 0L to 2L)
+        graft.text.PostingsIndex.addBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", idx, batchId = b)
+      idx
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace + BPE-ish regex grain.
@@ -426,6 +448,33 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc TF-IDF keyword extraction — the topic-tagging primitive
+    // (domain labeling, cluster naming, dedup-cluster summaries). Two
+    // counts-only hash-aggregates: the (doc, term) tf frame and the
+    // vocabulary df; the df join shuffles on term with AQE skew
+    // handling (hot stopwords are exactly the skew-split case — their
+    // idf ≈ 0 keeps them out of every top-3 anyway). The per-doc top-3
+    // window partitions BY DOC — groups are the parallel unit, never a
+    // single-partition sort.
+    "tx_keyword_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") *
+          round(log(col("n_docs").cast("double") / col("df")), 6), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Per-source KL divergence from the corpus token distribution — the
     // domain-shift diagnostic a mixing stage reads before setting
     // per-source weights ("how far is src3 from the blend"). No
@@ -528,6 +577,31 @@ object TextQueries extends QuerySet {
           "doc_id", "text", idx, batchId = b)
       PostingsIndex.query(s, idx,
         terms = Seq("spark", "vector", "stream", "window", "hash"))
+    }),
+
+    // Batched multi-query retrieval against the session-cached index —
+    // the production shape (thousands of queries per pass): per-(doc,
+    // term) BM25 weights computed ONCE over the union of all query
+    // terms, the (q_id, term) table broadcast onto them, per-query
+    // top-k via the bounded TopKByScore heap (map tasks ship ≤ k rows
+    // per query — the per-group TakeOrdered, never a sorted window over
+    // every candidate). Full hash oracle with the query table as VALUES.
+    "tx_bm25_multiquery" -> ((s, dir) => {
+      graft.text.PostingsIndex.multiQuery(s, postingsIdx(s, dir), Seq(
+        0L -> Seq("spark", "vector"),
+        1L -> Seq("stream", "window", "hash"),
+        2L -> Seq("table", "sort", "merge")), topK = 10)
+    }),
+
+    // Exact phrase search from the POSITIONAL postings — the indexed
+    // sibling of tx_phrase_search's corpus scan (same output contract,
+    // same oracle): each term's position list shifts by its phrase
+    // offset and the per-doc intersection yields phrase starts. Only
+    // the phrase terms' buckets are read; the corpus text is never
+    // touched at query time.
+    "tx_phrase_indexed" -> ((s, dir) => {
+      graft.text.PostingsIndex.phraseQuery(s, postingsIdx(s, dir),
+        phrase = Seq("batch", "table"))
     }),
 
     // DSIR importance weights (graft.text.Dsir, Xie et al. 2302.03169):
@@ -1079,20 +1153,85 @@ object TextQueries extends QuerySet {
 
     "tx_bpe_tokens" -> bpeTokensSql,
 
-    "tx_phrase_search" ->
+    "tx_phrase_search" -> phraseSql,
+
+    // The positional-index path finds exactly the token-aligned
+    // adjacencies the scan finds — the scan oracle IS its oracle.
+    "tx_phrase_indexed" -> phraseSql,
+
+    // The bm25Sql CTE prefix with a VALUES query table: per-(doc, term)
+    // weights are query-independent, per-query scores decimal-summed,
+    // per-query top-10 by (score desc, doc_id).
+    "tx_bm25_multiquery" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl),
+        |q(q_id, term) AS (VALUES
+        |  (0, 'spark'), (0, 'vector'),
+        |  (1, 'stream'), (1, 'window'), (1, 'hash'),
+        |  (2, 'table'), (2, 'sort'), (2, 'merge')),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN (SELECT term FROM q)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id, term,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |qs AS (
+        |  SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
+        |    round(CAST(SUM(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+        |  FROM q JOIN w USING (term)
+        |  GROUP BY q_id, doc_id)
+        |SELECT q_id, CAST(row_number() OVER win AS BIGINT) AS rank, doc_id, score
+        |FROM qs
+        |WINDOW win AS (PARTITION BY q_id ORDER BY score DESC, doc_id)
+        |QUALIFY row_number() OVER win <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Per-doc TF-IDF keywords: the (doc, term) counts and the
+    // vocabulary df in two hash-aggregates, tf·ln(N/df) rounded at
+    // every step, top-3 per doc by (score desc, term).
+    "tx_keyword_extract" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
         |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, i FROM (
-        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |    FROM toks WHERE len(t) >= 2)
-        |  WHERE t[i] = 'batch' AND t[i+1] = 'table')
-        |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(i) AS BIGINT) AS first_pos
-        |FROM pos
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS rank, term, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
+
+  /** Token-aligned 'batch table' adjacency — shared verbatim by the
+    * corpus-scan row (tx_phrase_search) and the positional-index row
+    * (tx_phrase_indexed), which must agree exactly. */
+  private[qsets] val phraseSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |    FROM toks WHERE len(t) >= 2)
+      |  WHERE t[i] = 'batch' AND t[i+1] = 'table')
+      |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(i) AS BIGINT) AS first_pos
+      |FROM pos
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** The BPE fit replay: word frequencies, char-split repr, then 3
     * unrolled count-pairs / pick-winner / apply-merge rounds (`word`

@@ -47,6 +47,8 @@ object PostingsIndex {
     StructField("doc_id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false),
     StructField("dl", LongType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
     StructField("tb", IntegerType, nullable = false),
     StructField("batch", LongType, nullable = false)))
 
@@ -58,13 +60,16 @@ object PostingsIndex {
     StructField("n", LongType, nullable = false),
     StructField("batch", LongType, nullable = false)))
 
-  private def params = s"tok=ws,tb=$TermBuckets"
+  private def params = s"tok=ws,tb=$TermBuckets,pos=0based"
 
   /** Tokenize one arriving batch of documents into the index. One
     * corpus-scale pass: the (doc, term) hash-aggregate with dl riding
     * as a grouping column (the [[Retrieval.bm25TopK]] shape), then a
-    * bucket-partitioned write. Nothing existing is read — a retry just
-    * overwrites its own partition. */
+    * bucket-partitioned write. Postings carry the term's sorted 0-based
+    * POSITIONS (the Lucene-style positional index) — BM25 queries never
+    * read that column (parquet column pruning), phrase queries read
+    * only it. Nothing existing is read — a retry just overwrites its
+    * own partition. */
   def addBatch(docs: DataFrame, idCol: String, textCol: String,
                indexDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
@@ -73,10 +78,12 @@ object PostingsIndex {
       TextFunctions.wsTokens(col(textCol)).as("t"))
     val post = toks
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        explode(col("t")).as("term"))
+        posexplode(col("t")).as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"),
         pmod(xxhash64(col("term")), lit(TermBuckets)).cast("int").as("tb"))
     post.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexDir/batch=$batchId")
@@ -98,26 +105,106 @@ object PostingsIndex {
     * the stats read is rows-per-batch tiny. */
   def query(spark: SparkSession, indexDir: String, terms: Seq[String],
             k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tf = prunedPostings(spark, indexDir, terms)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Retrieval.scoreTopK(tf, df, corpusStats(spark, indexDir), k1, b, topK)
+  }
+
+  /** Batched retrieval — the production shape: many queries answered in
+    * ONE pass over the union of their terms' postings. The per-(doc,
+    * term) BM25 weight is computed once (it is query-independent), the
+    * tiny (q_id, term) table broadcast-joins onto it, and per-query
+    * top-k rides the bounded [[graft.similarity.TopKByScore]] heap
+    * aggregate — each map task ships ≤ k candidates per query, never
+    * every scored row into a sorted window. Returns (q_id, rank,
+    * doc_id, score). */
+  def multiQuery(spark: SparkSession, indexDir: String,
+                 queries: Seq[(Long, Seq[String])], k1: Double = 1.2,
+                 b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val terms = queries.flatMap(_._2).distinct
+    val tf = prunedPostings(spark, indexDir, terms)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(corpusStats(spark, indexDir)))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("doc_id"), col("term"), col("w"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("q_id", "term")
+    w.join(broadcast(qt), "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(round(col("w"), 6).cast(DecimalType(18, 6))).cast("double"), 6)
+        .as("score"))
+      .select(col("q_id"), col("score"), col("doc_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.similarity.TopKByScore(topK).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact phrase query from the positional postings alone — the
+    * indexed sibling of the tx_phrase_search corpus scan. Each phrase
+    * term's position list shifts left by its offset; intersecting the
+    * shifted lists per doc yields the phrase start positions (positions
+    * are distinct within a posting, so array_intersect is exact). All
+    * joins are matches-sized doc_id equi-joins; the corpus is never
+    * read. Returns (doc_id, n_hits, first_pos) — first_pos 1-based,
+    * the scan row's contract. */
+  def phraseQuery(spark: SparkSession, indexDir: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = prunedPostings(spark, indexDir, phrase.distinct)
+      .select(col("doc_id"), col("term"), col("positions"))
+      .localCheckpoint(eager = false) // one read shared by all |phrase| consumers
+    val start = post.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("starts"))
+    val folded = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (term, j)) =>
+      acc.join(post.filter(col("term") === term)
+          .select(col("doc_id"),
+            transform(col("positions"), p => p - j).as(s"__p$j")),
+        Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(col("starts"), col(s"__p$j")).as("starts"))
+    }
+    folded.filter(size(col("starts")) > 0)
+      .select(col("doc_id"), size(col("starts")).cast("long").as("n_hits"),
+        (array_min(col("starts")) + 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The terms' postings with both pruning layers applied: partition
+    * pruning on the tb buckets (literal ids via the engine's own
+    * xxhash64 over a |terms|-row local relation — no data read) and the
+    * residual term IN (...) pushed into parquet within them. */
+  private def prunedPostings(spark: SparkSession, indexDir: String,
+                             terms: Seq[String]): DataFrame = {
     SignatureIndex.checkParams(spark, indexDir, params)
-    // the terms' bucket ids, via the engine's own xxhash64 on a local
-    // relation (a LocalTableScan job over |terms| rows — no data read);
-    // literal values are what makes the scan filter PARTITION-prunable
     import spark.implicits._
     val tbs = terms.toDS().select(
         pmod(xxhash64(col("value")), lit(TermBuckets)).cast("int"))
       .as[Int].collect().distinct.toIndexedSeq.sorted
-    val tf = spark.read.schema(postingsSchema).parquet(indexDir)
+    spark.read.schema(postingsSchema).parquet(indexDir)
       .filter(col("tb").isin(tbs.map(Int.box): _*))
       .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = spark.read.schema(statsSchema)
+  }
+
+  /** One-row (n_docs, avgdl) from the per-batch stats sidecar. */
+  private def corpusStats(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.schema(statsSchema)
       .parquet(s"$indexDir/_stats")
       .agg(sum(when(col("stat") === "n_docs", col("n"))).as("n_docs"),
         (sum(when(col("stat") === "sum_dl", col("n"))).cast("double") /
           sum(when(col("stat") === "n_docs", col("n")))).as("avgdl"))
-    Retrieval.scoreTopK(tf, df, stats, k1, b, topK)
-  }
 
   /** Fold settled batch partitions into one consolidated partition,
     * preserving the `tb` bucket layout (and thus query-time pruning). */

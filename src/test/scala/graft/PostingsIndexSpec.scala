@@ -92,6 +92,39 @@ class PostingsIndexSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("BM25 query plan prunes the positions column (ReadSchema excludes it)") {
+    val idx = freshIdx("colprune")
+    ingest3(idx)
+    val plan = PostingsIndex.query(spark, idx, terms)
+      .queryExecution.executedPlan.toString
+    val readSchemas = plan.split("ReadSchema: ").drop(1).map(_.takeWhile(_ != '\n'))
+    assert(readSchemas.nonEmpty)
+    // the postings scan reads (term, doc_id, tf, dl) — never positions
+    assert(!readSchemas.exists(_.contains("positions")))
+  }
+
+  test("indexed phrase query equals the corpus-scan phrase search") {
+    val idx = freshIdx("phrase")
+    ingest3(idx)
+    val fromIndex = PostingsIndex.phraseQuery(spark, idx, Seq("batch", "table"))
+      .collect().toSeq
+    val fromScan = SparkEntry.queries("tx_phrase_search")(spark, sfDir)
+      .collect().toSeq
+    assert(fromIndex == fromScan)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("multiQuery agrees with the single-query path per q_id") {
+    val idx = freshIdx("multi")
+    ingest3(idx)
+    val multi = PostingsIndex.multiQuery(spark, idx, Seq(
+        7L -> Seq("spark", "vector", "stream", "window", "hash")), topK = 20)
+      .select(col("doc_id"), col("score")).collect().toSeq
+    val single = PostingsIndex.query(spark, idx, terms, topK = 20)
+      .select(col("doc_id"), col("score")).collect().toSeq
+    assert(multi == single)
+  }
+
   test("RRF fusion arithmetic: both-list docs sum both reciprocal ranks") {
     val rows = SparkEntry.queries("sim_hybrid_rrf")(spark, sfDir).collect()
     assert(rows.nonEmpty)
