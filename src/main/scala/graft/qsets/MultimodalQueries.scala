@@ -122,6 +122,37 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Scene-cut detection over REAL decoded frames — the frame-sampling
+    // heuristic a VLM pipeline runs before picking frames to caption:
+    // per-frame mean intensity from the lossless decode, then a
+    // per-video lag compare (|mean_f − mean_{f−1}| > τ marks a cut;
+    // production swaps the statistic for an aHash/histogram delta —
+    // same plan shape). The window partitions BY VIDEO, so videos are
+    // the parallel unit and decode stays partition-batched upstream.
+    // The oracle replays decode + lag from the generator formulas — a
+    // wrong frame order or a wrong decode breaks the hash.
+    "mm_video_scene_cuts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vids = Multimodal.withFramedMp4Payload(
+        s, t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+      val means = Multimodal.decodeVideoFrames(s, vids).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round((col("sum_r") + col("sum_g") + col("sum_b")).cast("double") /
+            (col("width").cast("long") * col("height") * lit(3L)), 6)
+            .as("mean_px"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      means
+        .withColumn("delta",
+          round(abs(col("mean_px") - lag(col("mean_px"), 1).over(w)), 6))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("delta") > 2.0, 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("delta") > 2.0, col("frame_idx"))).as("fc"))
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          coalesce(col("fc"), lit(-1L)).as("first_cut"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL video container demux: deterministic minimal MP4s walked by
     // the bounds-checked ISO-BMFF box parser; box/track counts and
     // movie-header fields oracle-predicted. Frame decode for codecs the
@@ -196,6 +227,43 @@ object MultimodalQueries extends QuerySet {
         |  CAST(SUM((fid*23 + x*3 + y*19) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mm_video_frames' formula replay extended by the lag compare: the
+    // per-frame mean in explicit DOUBLE over an integer denominator,
+    // delta rounded 6, τ compared as DOUBLE (a bare 2.0 is DECIMAL).
+    "mm_video_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT doc_id, unnest(range(nf)) AS f FROM d),
+        |dim AS (
+        |  SELECT doc_id, f, doc_id*1000 + f AS fid,
+        |    8 + (doc_id*1000 + f) % 9 AS w, 8 + (doc_id*1000 + f) % 7 AS h
+        |  FROM fr),
+        |xs AS (SELECT doc_id, f, fid, w, h, unnest(range(w)) AS x FROM dim),
+        |px AS (SELECT doc_id, f, fid, w, h, x, unnest(range(h)) AS y FROM xs),
+        |fs AS (
+        |  SELECT doc_id, f, MAX(w) AS w, MAX(h) AS h,
+        |    SUM((fid*31 + x*7 + y*13) % 256) AS sr,
+        |    SUM((fid*17 + x*5 + y*11) % 256) AS sg,
+        |    SUM((fid*23 + x*3 + y*19) % 256) AS sb
+        |  FROM px GROUP BY doc_id, f),
+        |m AS (
+        |  SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |    round(CAST(sr + sg + sb AS DOUBLE) / (w * h * 3), 6) AS mean_px
+        |  FROM fs),
+        |del AS (
+        |  SELECT doc_id, frame_idx,
+        |    round(abs(mean_px -
+        |      lag(mean_px) OVER (PARTITION BY doc_id ORDER BY frame_idx)), 6) AS delta
+        |  FROM m)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN delta > CAST(2.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(coalesce(MIN(CASE WHEN delta > CAST(2.0 AS DOUBLE)
+        |    THEN frame_idx END), -1) AS BIGINT) AS first_cut
+        |FROM del GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Predicts the DEMUXED structure of mm_video_demux from the
     // generator formulas: n tracks = 1 + id%3, boxes = ftyp + moov +
