@@ -448,6 +448,36 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // The 100 TB form of the tercile split (the sampled-cutoff variant
+    // the exact row's plan note promises): cutoffs are exact percentiles
+    // OF A DETERMINISTIC 25% md5 HASH-SAMPLE per source (a bounded
+    // aggregate), broadcast onto a stateless projection — no per-source
+    // corpus sort anywhere. Everything is engine-portable (hash draw,
+    // R-7 interpolation on rounded-4 scores, cutoffs rounded 6), so
+    // unlike the HLL diversity sibling this row carries a FULL hash
+    // oracle; bucket agreement vs the exact terciles is the measured
+    // approximation quality, recorded per round in verify_recall.json.
+    // (A source with an empty sample would drop from the inner cutoff
+    // join — production enforces a per-source minimum quota; every
+    // source draws ≥ 4 docs in this corpus.)
+    "tx_ppl_buckets_approx" -> ((s, dir) => {
+      // per-doc scores checkpointed once — shared by the sample
+      // aggregate and the assignment (doc-count-sized, never corpus)
+      val lm = lmScores(t(s, dir, "documents"), riders = Seq("source"))
+        .localCheckpoint(eager = true)
+      val cut = lm
+        .filter(md5(concat(lit("ppl:"), col("doc_id").cast("string"))) < "4")
+        .groupBy(col("source"))
+        .agg(round(expr("percentile(lm_score, cast(1 as double)/3)"), 6).as("q13"),
+          round(expr("percentile(lm_score, cast(2 as double)/3)"), 6).as("q23"))
+      lm.join(broadcast(cut), "source")
+        .select(col("doc_id"), col("source"), col("lm_score"),
+          when(col("lm_score") >= col("q23"), "head")
+            .when(col("lm_score") >= col("q13"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc TF-IDF keyword extraction — the topic-tagging primitive
     // (domain labeling, cluster naming, dedup-cluster summaries). Two
     // counts-only hash-aggregates: the (doc, term) tf frame and the
@@ -1194,6 +1224,36 @@ object TextQueries extends QuerySet {
         |WINDOW win AS (PARTITION BY q_id ORDER BY score DESC, doc_id)
         |QUALIFY row_number() OVER win <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // The tx_ppl_buckets LM replayed, cutoffs from the md5 hash-sample
+    // via quantile_cont (R-7 — Spark's exact `percentile` uses the same
+    // p·(n−1) linear interpolation), assignment by threshold compare.
+    "tx_ppl_buckets_approx" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        |lm AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(log2(CAST(c2.c2 AS DOUBLE) / c1.c1)), 4) AS lm_score
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id, source),
+        |cut AS (
+        |  SELECT source,
+        |    round(quantile_cont(lm_score, CAST(1 AS DOUBLE)/3), 6) AS q13,
+        |    round(quantile_cont(lm_score, CAST(2 AS DOUBLE)/3), 6) AS q23
+        |  FROM lm WHERE md5('ppl:' || CAST(doc_id AS VARCHAR)) < '4'
+        |  GROUP BY source)
+        |SELECT doc_id, source, lm_score,
+        |  CASE WHEN lm_score >= q23 THEN 'head'
+        |       WHEN lm_score >= q13 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM lm JOIN cut USING (source)
+        |ORDER BY doc_id""".stripMargin,
 
     // Per-doc TF-IDF keywords: the (doc, term) counts and the
     // vocabulary df in two hash-aggregates, tf·ln(N/df) rounded at

@@ -140,6 +140,18 @@ class PostingsIndexSpec extends SparkSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("sampled-cutoff ppl buckets agree with the exact terciles on the bulk") {
+    val exact = SparkEntry.queries("tx_ppl_buckets")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val approx = SparkEntry.queries("tx_ppl_buckets_approx")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // inner cutoff join may only drop docs of unsampled sources — none here
+    assert(approx.keySet == exact.keySet)
+    assert(approx.values.toSet.subsetOf(Set("head", "middle", "tail")))
+    val agree = exact.keysIterator.count(k => exact(k) == approx(k)).toDouble / exact.size
+    assert(agree >= 0.5, s"bucket agreement $agree")
+  }
+
   test("ppl buckets: per-source terciles are balanced and score-ordered") {
     val rows = SparkEntry.queries("tx_ppl_buckets")(spark, sfDir).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
