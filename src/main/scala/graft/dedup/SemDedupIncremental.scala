@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.SrpBands
 import graft.similarity.{Kmeans, Vectors}
 
 /** Incremental SemDeDup — the streaming-ingest sibling of
@@ -20,17 +21,50 @@ import graft.similarity.{Kmeans, Vectors}
   * vector still dominates later arrivals. Under id-ascending batches the
   * union of per-batch survivor outputs is BY CONSTRUCTION the global
   * [[SemDedup.survivors]] result (pinned in SelectionSpec), so the
-  * dd_semdedup oracle checks this path too.
+  * dd_semdedup oracle checks this path too. Id-ascending ingest is
+  * ENFORCED, not assumed: each batch commits its max ingested id to a
+  * `_maxids/batch=<id>` sidecar and a batch whose min id is not above
+  * every previously committed max FAILS LOUDLY — a lower-id late arrival
+  * could never retract an already-emitted higher-id survivor, so
+  * out-of-order ingest would silently diverge from the global result.
+  * (A retry of the CURRENT batch is exempt: its own sidecar is excluded,
+  * the [[SignatureIndex.read]] idempotence contract.)
   *
-  * Scale shape: the batch×index compare joins ON CELL ONLY — both sides
-  * hash-partition on `cell`, work is |batch|·cellSize, never
-  * index-quadratic; the index side grows without bound but is read
-  * cell-co-partitioned per batch. Commits land in `batch=<id>`
-  * partitions with overwrite and the read excludes the current batch,
-  * so foreachBatch retries are idempotent ([[SignatureIndex]] contract);
-  * `_graft_params` pins (τ, k, centroid digest) and rejects a batch
-  * assigned against different centroids — a silent centroid swap would
-  * corrupt every cell.
+  * Scale shape — the within-cell compare is CANDIDATES-sized, never
+  * cell-population-sized: every vector carries `srpBands` signed-random-
+  * projection band signatures ([[SrpBands]], computed once at ingest and
+  * STORED in the index), and both domination joins key on
+  * (cell, band position, signature) — a pair is compared exactly when it
+  * shares a band inside its cell. τ-similar vectors collide in some band
+  * with probability 1−(1−p^bits)^bands (p = 1−acos(τ)/π ≈ 0.92 at
+  * τ = 0.97 → miss ≈ 6·10⁻⁵ per pair at the 12×16 default), while
+  * typical same-cell non-duplicates (cosine ≈ 0.1–0.4 on the measured
+  * corpus) collide at ≈ 10⁻²; the exact rounded-cosine ≥ τ verify then
+  * runs on that small candidate set only, so the batch×index join is
+  * O(candidates), linear in ingest for a bounded cell size. Candidate ⊇
+  * τ-pair coverage is pinned per-corpus in SelectionSpec (the prefilter
+  * is deterministic given the seed, so the pin is a property of the
+  * corpus, not a per-run coin flip); the verify itself is unchanged, so
+  * the shared dd_semdedup oracle is checked bit-for-bit through this
+  * path.
+  *
+  * Cell-growth policy: frozen centroids mean per-cell population grows
+  * linearly with ingest. The prefilter keeps the COMPARE linear anyway,
+  * but recall tuning and cell skew both degrade with unbounded cells, so
+  * the index tracks per-cell counts in the `_stats` sidecar (pre-
+  * aggregated at commit, never re-scanned) and [[needsRefit]] reports
+  * when any cell exceeds `targetCellSize` — the signal to re-fit
+  * k ≈ n/targetCellSize centroids on a sample and re-index (one linear
+  * pass over the corpus, the `adaptiveSrpParams` re-signature-epoch
+  * discipline; [[compactIndex]] first folds the batch partitions so the
+  * rebuild reads one consolidated input). The `_graft_params` sidecar
+  * pins (τ, k, centroid digest, SRP params) and rejects a batch assigned
+  * against different centroids — a silent centroid swap would corrupt
+  * every cell.
+  *
+  * Commits land in `batch=<id>` partitions with overwrite and the read
+  * excludes the current batch, so foreachBatch retries are idempotent
+  * ([[SignatureIndex]] contract).
   */
 object SemDedupIncremental {
 
@@ -38,6 +72,12 @@ object SemDedupIncremental {
     StructField("id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
     StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("batch", LongType, nullable = false)))
+
+  private val statsSchema = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
     StructField("batch", LongType, nullable = false)))
 
   /** Stable digest of the centroid table for the params sidecar: md5 of
@@ -52,15 +92,54 @@ object SemDedupIncremental {
   }
 
   /** Fold settled batch partitions into one consolidated partition —
-    * the [[SignatureIndex.compact]] crash/retry contract (no stats
-    * table in this index; an empty stats root is a no-op there). */
-  def compactIndex(spark: SparkSession, indexDir: String): Int = {
-    val statsSchema = StructType(Seq(
-      StructField("cell", IntegerType, nullable = false),
-      StructField("n", LongType, nullable = false),
-      StructField("batch", LongType, nullable = false)))
+    * the [[SignatureIndex.compact]] crash/retry contract. Per-cell
+    * stats fold by sum (counts), exactly what compact does. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int =
     SignatureIndex.compact(spark, indexDir, indexSchema, statsSchema,
       Seq("cell"))
+
+  /** Cells whose accumulated population exceeds `targetCellSize`, from
+    * the per-batch stats sidecar alone (tiny pre-aggregates — nothing
+    * re-scans the index). Non-empty = time to re-fit the quantizer at
+    * k ≈ n/targetCellSize and re-index: with frozen centroids the
+    * within-cell candidate rate (and SemDeDup's own cluster quality)
+    * degrades as cells grow. Returns (cell, n) rows. */
+  def needsRefit(spark: SparkSession, indexDir: String,
+                 targetCellSize: Long): DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(s"$indexDir/_stats")
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(sp)
+    spark.read.schema(statsSchema).parquet(s"$indexDir/_stats")
+      .groupBy(col("cell")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > targetCellSize)
+  }
+
+  /** Max id committed by any batch other than `excludeBatch`, from the
+    * `_maxids` sidecar (one tiny text file per batch — the
+    * `_graft_params` discipline; a directory listing plus ≤ one small
+    * read per batch ever committed, never an index scan). -1 if none. */
+  private def priorMaxId(spark: SparkSession, indexDir: String,
+                         excludeBatch: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/_maxids")
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(dir)) return -1L
+    hfs.listStatus(dir).toIndexedSeq
+      .flatMap(_.getPath.getName.stripPrefix("batch=").toLongOption)
+      .filter(_ != excludeBatch)
+      .map { b =>
+        val in = hfs.open(new org.apache.hadoop.fs.Path(dir, s"batch=$b"))
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def writeMaxId(spark: SparkSession, indexDir: String,
+                         batchId: Long, maxId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_maxids/batch=$batchId")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(p.getParent)
+    val out = hfs.create(p, true)
+    try out.write(maxId.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Process one arriving batch of (idCol, vecCol array<double>) rows.
@@ -68,36 +147,66 @@ object SemDedupIncremental {
     * [[SemDedup.survivors]] output shape. */
   def addBatch(vecs: DataFrame, centroids: Seq[Seq[Double]], tau: Double,
                indexDir: String, batchId: Long,
-               idCol: String = "vec_id", vecCol: String = "c_vec"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "c_vec",
+               srpBits: Int = 12, srpBands: Int = 16): DataFrame = {
     val spark = vecs.sparkSession
     SignatureIndex.checkParams(spark, indexDir,
-      s"tau=$tau,k=${centroids.length},cent=${centroidDigest(centroids)}")
+      s"tau=$tau,k=${centroids.length},cent=${centroidDigest(centroids)}," +
+        s"srp=${srpBits}x$srpBands")
 
-    // pure-map assignment against the frozen literal centroids; eagerly
-    // checkpointed — three consumers (two domination joins + the commit)
+    // pure-map assignment against the frozen literal centroids (native
+    // NearestCell kernel — O(k·d) primitive arithmetic per row) + the
+    // SRP band signatures in one more codegen'd pass; eagerly
+    // checkpointed — four consumers (two domination joins, the commit,
+    // the min/max guard)
     val batch = Kmeans.assign(
         vecs.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")),
         centroids)
       .select(col("vec_id").as("id"), col("cell"), col("c_vec").as("v"))
+      .withColumn("bands", SrpBands(col("v"), srpBits, srpBands, seed = 42L))
       .localCheckpoint(eager = true)
+
+    // out-of-order ingest fails loudly (see scaladoc): one tiny agg over
+    // the checkpointed batch vs the sidecar max
+    val prior = priorMaxId(spark, indexDir, excludeBatch = batchId)
+    val mm = batch.agg(min(col("id")), max(col("id"))).head()
+    val (batchMin, batchMax) = (mm.getLong(0), mm.getLong(1))
+    require(batchMin > prior,
+      s"out-of-order ingest into $indexDir: batch $batchId min id $batchMin " +
+        s"is not above the prior committed max id $prior — a late lower-id " +
+        "arrival cannot retract an already-emitted survivor, so the result " +
+        "would silently diverge from the global SemDedup pass")
 
     val index = SignatureIndex.read(spark, indexDir, indexSchema,
       excludeBatch = batchId)
 
-    // domination by the indexed past: cell-co-partitioned join, rounded
-    // cosine at the engine-parity scale — idx_id < id guards replays of
-    // out-of-order ids (under ascending batches it is always true)
-    val domIndex = batch.join(
-        index.select(col("cell"), col("id").as("idx_id"), col("v").as("idx_v")),
-        Seq("cell"))
+    // Candidate pairs share (cell, band position, signature); the exact
+    // rounded-cosine verify at the engine-parity scale runs on candidates
+    // only. distinct() before the vector join — a pair colliding in
+    // several bands must fetch its vectors once. idx_id < id guards
+    // replays of out-of-order ids (always true under the enforced
+    // ascending ingest).
+    val bBands = batch.select(col("id"), col("cell"), posexplode(col("bands")))
+      .select(col("id"), col("cell"), col("pos"), col("col").as("sig"))
+    val iBands = index.select(col("id").as("idx_id"), col("cell"),
+        posexplode(col("bands")))
+      .select(col("idx_id"), col("cell"), col("pos"), col("col").as("sig"))
+    val domIndex = bBands.join(iBands, Seq("cell", "pos", "sig"))
       .filter(col("idx_id") < col("id"))
+      .select(col("id"), col("idx_id")).distinct()
+      .join(batch.select(col("id"), col("v")), "id")
+      .join(index.select(col("id").as("idx_id"), col("v").as("idx_v")), "idx_id")
       .filter(round(Vectors.cosine(col("v"), col("idx_v")), 6) >= tau)
       .select(col("id"))
-    // domination within the batch: the global pass's within-cell rule
-    val domWithin = batch.select(col("cell"), col("id").as("__id_a"), col("v").as("__va"))
-      .join(batch.select(col("cell"), col("id").as("__id_b"), col("v").as("__vb")),
-        Seq("cell"))
-      .filter(col("__id_a") < col("__id_b"))
+    // domination within the batch: the global pass's within-cell rule,
+    // through the same banded candidate prefilter
+    val domWithin = bBands
+      .join(bBands.select(col("id").as("__id_b"), col("cell"), col("pos"),
+        col("sig")), Seq("cell", "pos", "sig"))
+      .filter(col("id") < col("__id_b"))
+      .select(col("id").as("__id_a"), col("__id_b")).distinct()
+      .join(batch.select(col("id").as("__id_a"), col("v").as("__va")), "__id_a")
+      .join(batch.select(col("id").as("__id_b"), col("v").as("__vb")), "__id_b")
       .filter(round(Vectors.cosine(col("__va"), col("__vb")), 6) >= tau)
       .select(col("__id_b").as("id"))
     val dominated = domIndex.unionByName(domWithin).distinct()
@@ -108,8 +217,14 @@ object SemDedupIncremental {
       .localCheckpoint(eager = true) // computed BEFORE the index write
 
     // EVERY batch row commits — dominated vectors still dominate later
-    // arrivals under the global rule; overwrite keeps retries idempotent
+    // arrivals under the global rule; overwrite keeps retries idempotent.
+    // Per-cell counts land next to it for the growth policy, and the max
+    // id last — the guard only admits the NEXT batch once this one's
+    // signature data is durable.
     batch.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    SignatureIndex.writeStats(batch.select(col("cell")), indexDir,
+      Seq("cell"), batchId)
+    writeMaxId(spark, indexDir, batchId, batchMax)
     surv
   }
 }

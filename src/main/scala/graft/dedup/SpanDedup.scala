@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Cross-document exact-substring spans (Lee et al. 2107.06499,
+  * "Deduplicating Training Data Makes Language Models Better" — the
+  * ExactSubstr pass: remove a span everywhere it repeats verbatim across
+  * documents). The paper builds a corpus suffix array; the Spark-native
+  * equivalent rides fixed-length token-gram postings: any verbatim
+  * repeat of ≥ L tokens contains a repeated L-gram at every offset, so
+  * the union of positions whose L-gram occurs in ≥ 2 DISTINCT documents
+  * is exactly the cross-doc-repeated region, and merging contiguous
+  * covered positions recovers the maximal spans (span_len ≥ L by
+  * construction; a span reported at length exactly L is the minimal
+  * unit, longer repeats merge into one interval).
+  *
+  * This is the cross-document sibling of the dd_repeated_spans coverage
+  * row (which counts within- OR cross-doc window repeats and reports
+  * per-doc fractions): here the df is DISTINCT-doc, and the output is
+  * the removal list itself — (doc, span_start, span_len) intervals.
+  *
+  * Scale shape: no pair enumeration anywhere — unlike doc-level near-dup
+  * (candidates = bucket pairs), span dedup needs only "does this gram
+  * occur in another doc", so the plan is one (gram → distinct-doc df)
+  * hash aggregate and one linear semi-join back onto the gram stream;
+  * work is O(total tokens) regardless of how hot a gram is (a
+  * boilerplate gram shared by every doc widens covered intervals, it
+  * never multiplies rows — the reason dd_containment's df-cap is not
+  * needed here). Grams travel as xxhash64 of the US-separator-joined window
+  * (8 bytes, not L tokens); the interval merge is a per-doc window over
+  * COVERED positions only, bounded by document length.
+  */
+object SpanDedup {
+
+  /** Maximal cross-document repeated spans: every interval of `docs`
+    * whose L-token windows all occur in at least 2 distinct documents.
+    * Returns (doc_id, span_start 1-based, span_len tokens, n_grams)
+    * ordered by (doc_id, span_start). */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                    L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.wsTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= L)
+    // one pure-map pass: all n-L+1 window hashes per doc (the
+    // dd_repeated_spans shape — the \u001F join is boundary-unambiguous and
+    // matches the oracle's chr(31))
+    val wins = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
+          i => xxhash64(concat_ws("\u001F",
+            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val rep = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+    val covered = wins.join(rep, "h").select(col("doc_id"), col("p"))
+    // gaps-and-islands over covered positions: gram at p covers
+    // [p, p+L-1], so intervals merge while p ≤ prev + L (touching or
+    // overlapping) and a new island starts past that
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    covered
+      .withColumn("brk",
+        when(col("p") > lag(col("p"), 1).over(w) + L, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + L).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+}

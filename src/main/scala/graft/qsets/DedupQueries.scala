@@ -426,10 +426,65 @@ object DedupQueries extends QuerySet {
           round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
             col("n_toks"), 4).as("repeated_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document exact-substring spans (Lee et al. 2107.06499's
+    // ExactSubstr pass — graft.dedup.SpanDedup): the REMOVAL LIST of
+    // maximal intervals whose 8-token windows repeat verbatim in ≥ 2
+    // distinct documents. Planted spans guarantee positives: each
+    // doc_id < 5 contributes a +1000000 copy holding exactly its tokens
+    // 3..14, so the original carries a cross-doc span starting at
+    // position 3 and the plant is covered end to end (plus whatever the
+    // corpus's natural near-dup shards repeat). No pair join anywhere —
+    // a distinct-doc-df aggregate and a linear semi-join (see SpanDedup
+    // scaladoc for why no df-cap is needed); full hash oracle replaying
+    // windows → cross-doc df → gaps-and-islands interval merge.
+    "dd_crossdoc_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(graft.text.TextFunctions.wsTokens(col("text")),
+            3, 12)).as("text"))
+      graft.dedup.SpanDedup.crossDocSpans(docs.unionByName(planted),
+        "doc_id", "text", L = 8)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // windows → distinct-doc df ≥ 2 → covered positions →
+    // gaps-and-islands merge (two window levels: lag, then running sum)
+    "dd_crossdoc_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[3:14], ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id < 5),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         array_to_string(t[i:i+7], chr(31)) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |rep AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        |  FROM wins JOIN rep USING (g)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(CASE WHEN prev_p IS NOT NULL AND p > prev_p + 8
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM cov)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |  CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS span_len,
+        |  COUNT(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dd_exact" ->
       """WITH batch AS (
         |  SELECT doc_id, text FROM documents

@@ -609,6 +609,31 @@ object TextQueries extends QuerySet {
         terms = Seq("spark", "vector", "stream", "window", "hash"))
     }),
 
+    // The index LIFECYCLE row: ingest three batches, COMPACT the settled
+    // ones (daily-ingest small-files control — batches 0,1 fold into one
+    // consolidated batch=-1 partition, per-batch stats re-aggregated,
+    // the live batch untouched), then answer from the compacted index.
+    // Shares the scan oracle bit for bit: compaction unions postings and
+    // sums stats, both order-independent, so df/N/avgdl and every score
+    // are unchanged — and the consolidated write re-partitions by tb, so
+    // query-time partition pruning survives (layout + answer pinned in
+    // PostingsIndexSpec; the plan-level PartitionFilters pin runs against
+    // THIS row's compacted directory).
+    "tx_bm25_compacted" -> ((s, dir) => {
+      import graft.text.PostingsIndex
+      val idx = "/tmp/graft_export/postings_compact_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, dir, "documents")
+      for (b <- 0L to 2L)
+        PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", idx, batchId = b)
+      PostingsIndex.compactIndex(s, idx)
+      PostingsIndex.query(s, idx,
+        terms = Seq("spark", "vector", "stream", "window", "hash"))
+    }),
+
     // Batched multi-query retrieval against the session-cached index —
     // the production shape (thousands of queries per pass): per-(doc,
     // term) BM25 weights computed ONCE over the union of all query
@@ -1162,6 +1187,7 @@ object TextQueries extends QuerySet {
     // lives in exactly one batch so df/N/avgdl are exact over the union
     // and the scoring tail is shared — the scan oracle IS its oracle.
     "tx_bm25_incremental" -> bm25Sql,
+    "tx_bm25_compacted" -> bm25Sql,
 
     // Mirrors Dsir.importanceWeights: chr(31)-joined bigrams, md5 15-hex
     // bucket hash mod 512, add-1 smoothing over both LMs, per-gram

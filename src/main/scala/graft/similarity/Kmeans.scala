@@ -48,9 +48,25 @@ object Kmeans {
       .select(col("c_vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
 
   /** Map-side assignment against literal centroids: (vec_id, c_vec,
-    * cell, d2). Tie on rounded distance goes to the lowest cell
-    * (array_position finds the FIRST minimum). */
-  def assign(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    * cell, d2). Tie on rounded distance goes to the lowest cell (first
+    * minimum). One native codegen'd pass per row
+    * ([[graft.functions.NearestCellExpr]]) — bit-identical to
+    * [[assignHof]], the composable reference form (pinned in
+    * CodegenSpec), but O(k·d) primitive arithmetic instead of k
+    * interpreted lambda folds per row: at SemDeDup's k = ⌈√n⌉ the HOF
+    * machinery, not the distance math, dominated the whole assignment. */
+  def assign(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .withColumn("__nc", graft.functions.NearestCellExpr(col("c_vec"), centroids))
+      .withColumn("cell", col("__nc.cell"))
+      .withColumn("d2", col("__nc.d2"))
+      .drop("__nc")
+
+  /** The composable HOF reference form of [[assign]] — kept as the
+    * cross-check for the native kernel (the [[Vectors.cosineHof]]
+    * discipline): per-centroid rounded-9 squared L2, argmin via
+    * array_position on the first minimum. */
+  def assignHof(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val cent = typedLit(centroids)
     corpus
       .withColumn("__ds", transform(sequence(lit(0), lit(centroids.length - 1)),

@@ -272,15 +272,6 @@ object EventStreams {
     runToDir(counters, s"/tmp/graft_export/stream/$table", OutputMode.Complete)
   }
 
-  /** Streaming maintenance of the PERSISTENT HLL index: each
-    * micro-batch's registers land in the index's `batch=<batchId>`
-    * partition via [[graft.sketch.Sketches.hllIndexAddBatch]] — the
-    * foreachBatch (batchDf, batchId) signature IS the index's
-    * idempotent commit contract, so a batch retry overwrites its own
-    * partition and the serving read never double-counts. This is the
-    * streaming ingest path of the sk_hll_incremental pattern: a
-    * dashboard's all-time distinct counts stay bytes-sized and
-    * oracle-exact while the stream runs. */
   /** Streaming ingest into the persistent postings index
     * ([[graft.text.PostingsIndex]]): each micro-batch of documents
     * tokenizes ONCE into term-bucketed postings and commits to its own
@@ -303,6 +294,15 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming maintenance of the PERSISTENT HLL index: each
+    * micro-batch's registers land in the index's `batch=<batchId>`
+    * partition via [[graft.sketch.Sketches.hllIndexAddBatch]] — the
+    * foreachBatch (batchDf, batchId) signature IS the index's
+    * idempotent commit contract, so a batch retry overwrites its own
+    * partition and the serving read never double-counts. This is the
+    * streaming ingest path of the sk_hll_incremental pattern: a
+    * dashboard's all-time distinct counts stay bytes-sized and
+    * oracle-exact while the stream runs. */
   def streamingHllIndex(spark: SparkSession, dir: String, indexPath: String,
                         groupCols: Seq[String], value: Column): Unit = {
     import graft.sketch.Sketches

@@ -27,8 +27,16 @@ import graft.dedup.SignatureIndex
   * the per-batch rows. Commits are `batch=<id>` overwrites → retry
   * idempotent; `_graft_params` pins (tokenizer, bucket count) — a batch
   * tokenized differently would silently split postings, so it fails
-  * loudly instead. [[SignatureIndex.compact]] folds settled batches
-  * (partition columns preserved via its `partitionCols` parameter).
+  * loudly instead. A batch is VISIBLE only once its `_graft_commit`
+  * marker lands (created after both the postings and the stats writes,
+  * the same marker [[SignatureIndex.compact]] leaves in consolidated
+  * partitions): the stats here are load-bearing for scores (n_docs and
+  * avgdl feed idf and length normalization), so a crash between the two
+  * writes must leave the batch fully invisible, never postings-without-
+  * stats silently skewing every later query until the retry. Both read
+  * paths ([[prunedPostings]], [[corpusStats]]) filter to marked batches.
+  * [[SignatureIndex.compact]] folds settled batches (partition columns
+  * preserved via its `partitionCols` parameter).
   *
   * Reference: qcfractal has no retrieval index; this is the persistent
   * sibling of the SURVEY §2.11 curation surface's tx_bm25_topk, shaped
@@ -96,6 +104,27 @@ object PostingsIndex {
         lit("n_docs"), col("n_docs"),
         lit("sum_dl"), col("sum_dl"))).as(Seq("stat", "n")))
       .write.mode("overwrite").parquet(s"$indexDir/_stats/batch=$batchId")
+    // both writes durable → the batch becomes visible (see scaladoc);
+    // a retry's overwrite deleted any stale marker with the directory
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/batch=$batchId", "_graft_commit")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+  }
+
+  /** Batch ids whose `_graft_commit` marker landed — the only batches
+    * any read path may see. One directory listing; consolidated
+    * partitions qualify via the marker [[SignatureIndex.compact]]
+    * writes. */
+  private def committedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return Seq.empty
+    hfs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => s.getPath.getName.stripPrefix("batch=").toLongOption)
+      .filter(b => hfs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/batch=$b", "_graft_commit")))
   }
 
   /** BM25 top-k from the index alone — bit-identical to
@@ -193,18 +222,25 @@ object PostingsIndex {
     val tbs = terms.toDS().select(
         pmod(xxhash64(col("value")), lit(TermBuckets)).cast("int"))
       .as[Int].collect().distinct.toIndexedSeq.sorted
+    val committed = committedBatches(spark, indexDir)
     spark.read.schema(postingsSchema).parquet(indexDir)
+      .filter(col("batch").isin(committed.map(Long.box): _*))
       .filter(col("tb").isin(tbs.map(Int.box): _*))
       .filter(col("term").isin(terms: _*))
   }
 
-  /** One-row (n_docs, avgdl) from the per-batch stats sidecar. */
-  private def corpusStats(spark: SparkSession, indexDir: String): DataFrame =
+  /** One-row (n_docs, avgdl) from the per-batch stats sidecar —
+    * committed batches only, the same visibility set as the postings
+    * (a half-committed batch must skew neither side). */
+  private def corpusStats(spark: SparkSession, indexDir: String): DataFrame = {
+    val committed = committedBatches(spark, indexDir)
     spark.read.schema(statsSchema)
       .parquet(s"$indexDir/_stats")
+      .filter(col("batch").isin(committed.map(Long.box): _*))
       .agg(sum(when(col("stat") === "n_docs", col("n"))).as("n_docs"),
         (sum(when(col("stat") === "sum_dl", col("n"))).cast("double") /
           sum(when(col("stat") === "n_docs", col("n")))).as("avgdl"))
+  }
 
   /** Fold settled batch partitions into one consolidated partition,
     * preserving the `tb` bucket layout (and thus query-time pruning). */

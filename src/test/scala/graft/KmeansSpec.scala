@@ -74,4 +74,34 @@ class KmeansSpec extends SparkSuite {
     val asg = Kmeans.assign(rows, Seq(Seq(4.0), Seq(6.0))).collect()
     assert(asg.head.getAs[Int]("cell") === 0)
   }
+
+  test("native assign ≡ the composable HOF reference form, cell and d2") {
+    // the corpus-wide parity pin for NearestCellExpr: identical cells
+    // AND identical rounded distances against an awkward k (ties, empty
+    // cells possible) — the oracle replays assume the HOF arithmetic
+    val cent = Kmeans.pivotInit(corpus, 7)
+    val a = Kmeans.assign(corpus, cent)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val b = Kmeans.assignHof(corpus, cent)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(a === b)
+  }
+
+  test("native assign parity holds on float input and throws on bad dim") {
+    val floats = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("c_vec")).limit(20)
+    val cent = Kmeans.pivotInit(corpus, 3)
+    val a = Kmeans.assign(floats, cent)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val b = Kmeans.assignHof(floats, cent)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(a === b)
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "c_vec")
+    val e = intercept[Exception] { Kmeans.assign(bad, cent).collect() }
+    assert(e.getMessage != null)
+  }
 }

@@ -61,6 +61,30 @@ class PostingsIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("tok=bpe"))
   }
 
+  test("a batch without its commit marker is invisible to queries AND stats") {
+    val idx = freshIdx("marker")
+    ingest3(idx)
+    val before = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    // simulate a crash between the batch's data writes and its commit
+    // marker: the half-committed batch must vanish from BOTH the
+    // postings and the stats sides (a one-sided read would silently
+    // skew idf/avgdl for every query until the retry)
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$idx/batch=1/_graft_commit"), false)
+    val degraded = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    val idx02 = freshIdx("marker_ref")
+    for (b <- Seq(0L, 2L))
+      PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", idx02, batchId = b)
+    assert(degraded == PostingsIndex.query(spark, idx02, terms).collect().toSeq,
+      "an unmarked batch must read exactly as if it were never ingested")
+    // the retry completes the commit and restores full visibility
+    PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", idx, batchId = 1L)
+    assert(PostingsIndex.query(spark, idx, terms).collect().toSeq == before)
+  }
+
   test("query scan prunes to the terms' tb partitions") {
     val idx = freshIdx("prune")
     ingest3(idx)
@@ -90,6 +114,15 @@ class PostingsIndexSpec extends SparkSuite {
     assert(consolidated.nonEmpty)
     val after = PostingsIndex.query(spark, idx, terms).collect().toSeq
     assert(after == before)
+  }
+
+  test("the compacted driver row still partition-prunes on tb") {
+    val df = SparkEntry.queries("tx_bm25_compacted")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["))
+    assert(plan.split("PartitionFilters").exists(s => s.take(200).contains("tb")),
+      "consolidated layout must keep directory-level bucket pruning")
   }
 
   test("BM25 query plan prunes the positions column (ReadSchema excludes it)") {

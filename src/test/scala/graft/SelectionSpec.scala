@@ -89,6 +89,86 @@ class SelectionSpec extends SparkSuite {
     assert(e.getMessage.contains("was built with"))
   }
 
+  test("incremental semdedup rejects out-of-order ingest") {
+    import graft.dedup.SemDedupIncremental
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val (_, cent) = Kmeans.fitAnchor(base, k = 4, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_ooo").toString
+    SemDedupIncremental.addBatch(base.filter(col("vec_id") >= 10), cent,
+      tau = 0.97, idx, batchId = 1L)
+    // a later batch whose ids sit BELOW the committed max must fail
+    // loudly — it could never retract an already-emitted survivor
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIncremental.addBatch(base.filter(col("vec_id") < 10), cent,
+        tau = 0.97, idx, batchId = 2L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // a retry of the CURRENT batch is exempt (its own sidecar is excluded)
+    SemDedupIncremental.addBatch(base.filter(col("vec_id") >= 10), cent,
+      tau = 0.97, idx, batchId = 1L)
+  }
+
+  test("semdedup SRP prefilter: banded candidates cover every tau-pair, prune the rest") {
+    import graft.functions.SrpBands
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(col("c_vec"), i) + lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+    val all = base.unionByName(planted).localCheckpoint(eager = true)
+    val (_, cent) = Kmeans.fitAnchor(all, k = 6, iters = 1)
+    val asg = Kmeans.assign(all, cent)
+      .select(col("vec_id"), col("cell"), col("c_vec"))
+      .localCheckpoint(eager = true)
+    // ground truth: the FULL quadratic within-cell tau-pair set
+    val a = asg.select(col("cell"), col("vec_id").as("ia"), col("c_vec").as("va"))
+    val b = asg.select(col("cell"), col("vec_id").as("ib"), col("c_vec").as("vb"))
+    val tauPairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+      .filter(round(graft.similarity.Vectors.cosine(col("va"), col("vb")), 6) >= 0.97)
+      .select(col("ia"), col("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tauPairs.nonEmpty, "fixture must contain within-cell tau-pairs")
+    // the prefilter's candidate set at the shipped (12, 16, seed 42)
+    val sig = asg.withColumn("bands", SrpBands(col("c_vec"), 12, 16, 42L))
+      .select(col("vec_id"), col("cell"), posexplode(col("bands")))
+      .select(col("vec_id"), col("cell"), col("pos"), col("col").as("sig"))
+    val cand = sig.join(
+        sig.select(col("vec_id").as("ib"), col("cell"), col("pos"), col("sig")),
+        Seq("cell", "pos", "sig"))
+      .filter(col("vec_id") < col("ib"))
+      .select(col("vec_id"), col("ib")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tauPairs.subsetOf(cand),
+      s"prefilter missed tau-pairs: ${tauPairs.diff(cand)}")
+    // and it genuinely prunes: candidates are a strict subset of the
+    // within-cell pair space the old full-cell join compared
+    val cellPairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib")).count()
+    assert(cand.size < cellPairs,
+      s"prefilter pruned nothing: ${cand.size} candidates of $cellPairs cell-pairs")
+  }
+
+  test("semdedup index tracks per-cell growth for the re-fit policy") {
+    import graft.dedup.SemDedupIncremental
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val (_, cent) = Kmeans.fitAnchor(base, k = 4, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_grow").toString
+    SemDedupIncremental.addBatch(base.filter(col("vec_id") < 25), cent,
+      tau = 0.97, idx, batchId = 1L)
+    SemDedupIncremental.addBatch(base.filter(col("vec_id") >= 25), cent,
+      tau = 0.97, idx, batchId = 2L)
+    val n = base.count()
+    // per-cell counts accumulate across batches: total matches the corpus
+    val total = SemDedupIncremental.needsRefit(spark, idx, targetCellSize = 0)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total === n)
+    // a generous target reports nothing; a tiny one reports the big cells
+    assert(SemDedupIncremental.needsRefit(spark, idx, n).count() === 0)
+    assert(SemDedupIncremental.needsRefit(spark, idx, 1).count() > 0)
+  }
+
   test("bm25 ranks the saturating term-hit doc first; scores replay by hand") {
     val docs = Seq(
       (1L, "spark spark spark spark"),       // tf 4, short
@@ -105,6 +185,34 @@ class SelectionSpec extends SparkSuite {
       BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     assert(got.toMap === Map(1L -> s(4, 4), 2L -> s(1, 5)))
+  }
+
+  test("cross-doc spans: maximal merged interval; within-doc-only repeats excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),            // shares a..j with doc 2
+      (2L, "x a b c d e f g h i j y"),
+      (3L, "p q r s t u v w p q r s t u v w")     // repeats only within itself
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.SpanDedup.crossDocSpans(docs, "doc_id", "text", L = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the 10-token common run yields 3 consecutive 8-gram hits per doc,
+    // merged into ONE maximal interval covering exactly the shared span;
+    // doc 3's verbatim self-repeat must NOT surface (distinct-doc df = 1)
+    assert(got.toSeq === Seq((1L, 1L, 10L, 3L), (2L, 2L, 10L, 3L)))
+  }
+
+  test("cross-doc spans: disjoint repeats in one doc stay separate islands") {
+    val mid = (1 to 9).map(i => s"m$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c d e f g h $mid r s t u v w x y"),
+      (2L, "a b c d e f g h"),
+      (3L, "r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.SpanDedup.crossDocSpans(docs, "doc_id", "text", L = 8)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // two 8-token spans separated by a 9-token unique middle → two islands
+    assert(got.toSeq === Seq((1L, 8L), (18L, 8L)))
   }
 
   test("containment flags the embedded doc asymmetrically; jaccard would miss it") {

@@ -70,14 +70,24 @@ def compare(cur, old, label):
             f"{tc / to / drift:.2f}") if drift else " (no sentinel in both)"
     print(f"\n== {label}: {len(common)} common, "
           f"sum {to:.1f}s -> {tc:.1f}s (ratio {tc / to:.2f}{dtxt}) ==")
+    # the sentinel runs through the same engine/session as everything
+    # else, so a change that slows the WHOLE suite (sentinel included)
+    # would normalize away — flag sentinel drift itself, and keep a
+    # looser RAW gate so suite-wide regressions can't be misclassified
+    # as host noise
+    if drift and drift > 2.0:
+        print(f"  WARN sentinel itself drifted x{drift:.2f} — if other "
+              "runs on this host don't show it, suspect a suite-wide "
+              "code/config regression, not host noise")
     regs = sorted(common, key=lambda k: -(cur[k] / old[k]))
     for k in regs:
         r = cur[k] / old[k]
         rn = r / drift if drift else r
-        # flag on the drift-adjusted ratio when a sentinel exists — raw
-        # regressions that normalize away are host noise, not code
-        if rn < 1.5:
-            break
+        # flag on the drift-adjusted ratio when a sentinel exists (raw
+        # regressions that normalize away are host noise, not code) —
+        # but ALWAYS flag raw ratios past the looser 3x gate
+        if rn < 1.5 and r < 3.0:
+            continue
         print(f"  REG {k:28s} {old[k]:7.2f} -> {cur[k]:7.2f}  "
               f"x{r:.2f}" + (f"  (norm x{rn:.2f})" if drift else ""))
 
