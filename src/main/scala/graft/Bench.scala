@@ -137,6 +137,13 @@ object Bench {
       val ts = times(name).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
+    // an unfiltered run must time the WHOLE registered surface — the
+    // cross-artifact half of this invariant (tracked artifact keys ==
+    // the keys of the binary at HEAD) is BenchArtifactSpec, which keeps
+    // sbt test red until a surface change is followed by a bench re-run
+    if (only.isEmpty)
+      require(results.map(_._1).toSet == SparkEntry.queries.keySet,
+        "bench result rows must equal SparkEntry.queries keys")
     // per-query rep spread — written into the tracked full artifact only
     // (not the driver's stdout line) so a noisy median is visible in the
     // round audit trail rather than silently trusted

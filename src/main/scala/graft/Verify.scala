@@ -191,8 +191,11 @@ object Verify {
       ("dd_embcos_incremental",
         () => copyDrop("dd_embcos_incremental", vecIds.length.toLong), 0.95),
       ("dd_minhash_capped", () => cappedDedupRate(), 0.95),
-      ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.75),
-      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.75),
+      // operating points promoted along the recorded recall-cost curves
+      // (round 14): LSH 8 tables ≈ 0.84 recall at ~300 candidates/query,
+      // IVF nprobe 8 ≈ 0.90 at ~294 — floors track the shipped points
+      ("sim_knn_lsh", () => recallAtK("sim_knn_lsh"), 0.80),
+      ("sim_knn_ivf", () => recallAtK("sim_knn_ivf"), 0.85),
       // PQ and IVF-PQ are oracle-anchored (hash-exact), but their RECALL
       // vs brute is a quality property of the quantizers, measured like
       // the others (IVF-PQ compounds both stages' losses — the floor

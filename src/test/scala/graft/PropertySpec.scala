@@ -231,4 +231,28 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("nearest-cell kernel ≡ HOF assign on generated vectors, incl. argmin ties") {
+    import graft.similarity.Kmeans
+    // small dims + coarse values make exact-distance TIES likely — the
+    // case where first-minimum semantics (not just the math) must agree
+    val cases = samples(
+      for {
+        d <- Gen.chooseNum(1, 5)
+        k <- Gen.chooseNum(1, 6)
+        vecs <- Gen.listOfN(12, Gen.listOfN(d, Gen.chooseNum(-2, 2).map(_.toDouble)))
+        cent <- Gen.listOfN(k, Gen.listOfN(d, Gen.chooseNum(-2, 2).map(_.toDouble)))
+      } yield (vecs, cent), 12)
+    cases.zipWithIndex.foreach { case ((vecs, cent), ci) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "c_vec")
+      val a = Kmeans.assign(df, cent)
+        .select(col("vec_id"), col("cell"), col("d2"))
+        .orderBy(col("vec_id")).collect().toSeq
+      val b = Kmeans.assignHof(df, cent)
+        .select(col("vec_id"), col("cell"), col("d2"))
+        .orderBy(col("vec_id")).collect().toSeq
+      assert(a === b, s"case $ci (d=${cent.head.length}, k=${cent.length})")
+    }
+  }
 }
