@@ -23,8 +23,10 @@ class BenchArtifactSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return None
     val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val m = """"queries":\{(.*?)\}""".r.findFirstMatchIn(body)
-    m.map(g => """"([a-z0-9_]+)":""".r.findAllMatchIn(g.group(1))
+    // (?s): compare_bench --annotate re-indents the artifact multi-line
+    val m = """(?s)"queries":\s*\{(.*?)\}""".r.findFirstMatchIn(body)
+      .getOrElse(fail(s"$path exists but has no parseable queries map"))
+    Some(""""([a-z0-9_]+)":""".r.findAllMatchIn(m.group(1))
       .map(_.group(1)).toSet)
   }
 
