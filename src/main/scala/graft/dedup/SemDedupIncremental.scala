@@ -93,10 +93,36 @@ object SemDedupIncremental {
 
   /** Fold settled batch partitions into one consolidated partition —
     * the [[SignatureIndex.compact]] crash/retry contract. Per-cell
-    * stats fold by sum (counts), exactly what compact does. */
-  def compactIndex(spark: SparkSession, indexDir: String): Int =
-    SignatureIndex.compact(spark, indexDir, indexSchema, statsSchema,
+    * stats fold by sum (counts), exactly what compact does. The
+    * `_maxids` sidecar files fold too (their aggregate is MAX, which
+    * sum-folding compact cannot express, so they are consolidated here:
+    * write the folded max under the consolidated id first, then delete
+    * the originals — a crash in between leaves duplicates, harmless
+    * under max), so the per-batch listing the ingest guard pays stays
+    * bounded by live batches, not batches-ever. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val n = SignatureIndex.compact(spark, indexDir, indexSchema, statsSchema,
       Seq("cell"))
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/_maxids")
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (n > 0 && hfs.exists(dir)) {
+      val ids = hfs.listStatus(dir).toIndexedSeq
+        .flatMap(_.getPath.getName.stripPrefix("batch=").toLongOption)
+      val live = ids.filter(_ >= 0).maxOption.getOrElse(0L)
+      val fold = ids.filter(_ != live)
+      if (fold.nonEmpty) {
+        val folded = fold.map { b =>
+          val in = hfs.open(new org.apache.hadoop.fs.Path(dir, s"batch=$b"))
+          try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          finally in.close()
+        }.max
+        writeMaxId(spark, indexDir, -live, folded)
+        fold.filter(_ != -live).foreach(b =>
+          hfs.delete(new org.apache.hadoop.fs.Path(dir, s"batch=$b"), false))
+      }
+    }
+    n
+  }
 
   /** Cells whose accumulated population exceeds `targetCellSize`, from
     * the per-batch stats sidecar alone (tiny pre-aggregates — nothing
@@ -170,6 +196,10 @@ object SemDedupIncremental {
     // the checkpointed batch vs the sidecar max
     val prior = priorMaxId(spark, indexDir, excludeBatch = batchId)
     val mm = batch.agg(min(col("id")), max(col("id"))).head()
+    if (mm.isNullAt(0))
+      // empty micro-batch (a streaming caller's quiet interval): nothing
+      // to dominate, nothing to commit — return the empty survivor shape
+      return batch.select(col("id").as(idCol), col("cell"))
     val (batchMin, batchMax) = (mm.getLong(0), mm.getLong(1))
     require(batchMin > prior,
       s"out-of-order ingest into $indexDir: batch $batchId min id $batchMin " +

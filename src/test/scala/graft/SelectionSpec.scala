@@ -149,6 +149,44 @@ class SelectionSpec extends SparkSuite {
       s"prefilter pruned nothing: ${cand.size} candidates of $cellPairs cell-pairs")
   }
 
+  test("incremental semdedup: empty batch is a no-op; compaction folds the maxid sidecar") {
+    import graft.dedup.SemDedupIncremental
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val (_, cent) = Kmeans.fitAnchor(base, k = 4, iters = 1)
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_cmp").toString
+    // an empty micro-batch (streaming quiet interval) must not throw,
+    // commit, or advance the ingest guard
+    val empty = SemDedupIncremental.addBatch(base.filter(col("vec_id") < 0),
+      cent, tau = 0.97, idx, batchId = 1L)
+    assert(empty.count() === 0)
+    val surv = (2L to 4L).flatMap { b =>
+      SemDedupIncremental.addBatch(
+        base.filter(col("vec_id") >= (b - 2) * 15 && col("vec_id") < (b - 1) * 15),
+        cent, tau = 0.97, idx, batchId = b)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(SemDedupIncremental.compactIndex(spark, idx) >= 2)
+    // the per-batch maxid files folded into one consolidated file + live
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxids = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/_maxids"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(maxids.length === 2 && maxids.exists(_.startsWith("batch=-")),
+      s"maxids not folded: $maxids")
+    // the guard still works off the folded sidecar: ingest continues
+    // above the max, rejects below it
+    val next = SemDedupIncremental.addBatch(
+      base.filter(col("vec_id") >= 45), cent, tau = 0.97, idx, batchId = 5L)
+    assert(next.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIncremental.addBatch(base.filter(col("vec_id") < 15),
+        cent, tau = 0.97, idx, batchId = 6L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    assert(surv.nonEmpty)
+  }
+
   test("semdedup index tracks per-cell growth for the re-fit policy") {
     import graft.dedup.SemDedupIncremental
     val base = Tables.load(spark, sfDir, "embeddings")
