@@ -255,6 +255,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), "LM counts must combine map-side")
   }
 
+  test("cross-doc spans: linear shape — no pair join, windows only over covered positions") {
+    val p = finalPlan("dd_crossdoc_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never enumerate document pairs")
+    // the gaps-and-islands windows partition by doc — never a single
+    // corpus-wide partition
+    assert(p.contains("hashpartitioning(doc_id"),
+      "interval merge must window per doc")
+  }
+
   test("semdedup: cell equi-join, no cartesian, anti-join survivors") {
     val p = finalPlan("dd_semdedup")
     assert(!p.contains("CartesianProduct"),
