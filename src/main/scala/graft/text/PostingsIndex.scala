@@ -243,8 +243,33 @@ object PostingsIndex {
   }
 
   /** Fold settled batch partitions into one consolidated partition,
-    * preserving the `tb` bucket layout (and thus query-time pruning). */
-  def compactIndex(spark: SparkSession, indexDir: String): Int =
+    * preserving the `tb` bucket layout (and thus query-time pruning).
+    *
+    * Unmarked settled batches are SWEPT first: the generic compact folds
+    * every batch directory it finds, and a batch that crashed between
+    * its data writes and its `_graft_commit` marker — invisible to every
+    * query — would otherwise be folded into the consolidated partition
+    * (which carries compact's own marker) and silently become visible,
+    * possibly with postings and no stats. Deleting it is safe: an
+    * unmarked batch is by definition not yet acknowledged, and a later
+    * retry of that batchId rewrites the partition from scratch anyway.
+    * The LIVE batch (max non-negative id) is exempt, mirroring the
+    * generic compact's single-writer contract. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(root)) {
+      val ids = hfs.listStatus(root).toIndexedSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap(_.getPath.getName.stripPrefix("batch=").toLongOption)
+      val live = ids.filter(_ >= 0).maxOption.getOrElse(Long.MinValue)
+      val committed = committedBatches(spark, indexDir).toSet
+      ids.filter(b => b != live && !committed.contains(b)).foreach { b =>
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$b"), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/_stats/batch=$b"), true)
+      }
+    }
     SignatureIndex.compact(spark, indexDir, postingsSchema, statsSchema,
       Seq("stat"), partitionCols = Seq("tb"))
+  }
 }

@@ -116,6 +116,31 @@ class PostingsIndexSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("compaction sweeps an unmarked (crashed) batch instead of folding it visible") {
+    val idx = freshIdx("sweep")
+    ingest3(idx)
+    // crash simulation: batch 0 committed data but never its marker —
+    // invisible to queries; the generic fold must not resurrect it
+    // inside the consolidated partition (which carries compact's own
+    // marker)
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$idx/batch=0/_graft_commit"), false)
+    val before = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    PostingsIndex.compactIndex(spark, idx)
+    val after = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    assert(after == before,
+      "an unmarked batch must stay invisible across compaction")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$idx/batch=0")),
+      "the crashed batch directory should be swept")
+    // the batch can still be re-ingested afterwards (retry semantics)
+    PostingsIndex.addBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", idx, batchId = 0L)
+    val full = PostingsIndex.query(spark, idx, terms).collect().toSeq
+    val ref = Retrieval.bm25TopK(docs, "doc_id", "text", terms).collect().toSeq
+    assert(full == ref)
+  }
+
   test("the compacted driver row still partition-prunes on tb") {
     val df = SparkEntry.queries("tx_bm25_compacted")(spark, sfDir)
     df.collect()
