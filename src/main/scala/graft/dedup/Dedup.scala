@@ -555,9 +555,13 @@ object Dedup {
 
   /** Near-dup survivors: one representative (min id) per component;
     * docs in no pair survive untouched. The standard last step of a
-    * training-data dedup pass. */
-  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = components(pairs)
+    * training-data dedup pass. `driverEdgeBound` passes through to
+    * [[components]] — 0 forces the distributed min-label propagation
+    * loop, the path a 100 TB pair graph takes (dd_survivors_dist pins
+    * it against the same exact oracle the driver path answers). */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                driverEdgeBound: Long = ComponentsDriverEdgeBound): DataFrame = {
+    val comp = components(pairs, driverEdgeBound = driverEdgeBound)
     val dropped = comp.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")

@@ -168,6 +168,59 @@ object SemDedupIncremental {
     try out.write(maxId.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The re-fit/re-index EPOCH the growth policy calls for when
+    * [[needsRefit]] fires: frozen centroids keep per-batch ingest a pure
+    * map, but cells grow linearly with ingest, so periodically the
+    * quantizer is re-fit at k ≈ n / targetCellSize and the corpus
+    * re-indexed — one linear pass, exactly the `adaptiveSrpParams`
+    * re-signature-epoch discipline applied to cells.
+    *
+    * Mechanics: compact the old index (the rebuild reads one
+    * consolidated input, not batches-ever directories), read every
+    * ingested vector back out of it, fit fresh centroids over them with
+    * the decimal-exact [[Kmeans.fitAnchor]] (engine-replayable — a
+    * production deployment would fit MLlib on a sample instead, same
+    * downstream shape), then re-ingest the whole corpus into
+    * `newIndexDir` as ONE batch through [[addBatch]] — which both
+    * populates the new epoch's index (vectors, SRP bands, cell stats,
+    * max-id sidecar, params pinned to the NEW centroid digest) and
+    * returns the epoch's survivor set. Because the corpus arrives as a
+    * single id-ascending batch, that survivor set IS the global
+    * [[SemDedup.survivors]] result under the new fit (the within-batch
+    * domination path is the global rule through the banded prefilter),
+    * so the dd_semdedup oracle form checks the rebuilt epoch end to end
+    * at the new k. The caller swaps `newIndexDir` in for subsequent
+    * [[addBatch]] ingest and retires the old directory — epochs are
+    * whole directories, never in-place mutations, so a crashed refit
+    * leaves the old epoch fully serviceable.
+    *
+    * Scale shape: fit assignment is O(n·k·d) in one native pass per
+    * Lloyd step, the re-ingest's domination join is candidates-sized
+    * (the banded prefilter), and nothing is pairwise in the corpus —
+    * the epoch costs a small constant number of linear passes.
+    *
+    * Returns (survivors under the new fit, the new centroids). */
+  def refit(spark: SparkSession, indexDir: String, newIndexDir: String,
+            tau: Double, targetCellSize: Long,
+            idCol: String = "vec_id", vecCol: String = "c_vec",
+            srpBits: Int = 12, srpBands: Int = 16): (DataFrame, Seq[Seq[Double]]) = {
+    compactIndex(spark, indexDir)
+    // Long.MinValue excludes nothing: batch ids are foreachBatch ids
+    // (>= 0) or compaction's negated live ids (> Long.MinValue)
+    val corpus = SignatureIndex.read(spark, indexDir, indexSchema,
+        excludeBatch = Long.MinValue)
+      .select(col("id").as(idCol), col("v").as(vecCol))
+      .localCheckpoint(eager = true) // read once: k jobs of the fit + the re-ingest
+    val n = corpus.count()
+    require(n > 0, s"refit of $indexDir: index is empty — nothing to re-fit")
+    val k = math.max(8, math.ceil(n.toDouble / targetCellSize).toInt)
+    val (_, cent) = Kmeans.fitAnchor(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec")), k, iters = 2)
+    val surv = addBatch(corpus, cent, tau, newIndexDir, batchId = 1L,
+      idCol = idCol, vecCol = vecCol, srpBits = srpBits, srpBands = srpBands)
+    (surv, cent)
+  }
+
   /** Process one arriving batch of (idCol, vecCol array<double>) rows.
     * Returns the batch's survivors as (idCol, cell), the
     * [[SemDedup.survivors]] output shape. */

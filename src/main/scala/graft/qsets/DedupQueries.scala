@@ -325,6 +325,30 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // The DISTRIBUTED components path under the driver gate: identical
+    // pair construction and oracle to dd_survivors_exact, but
+    // driverEdgeBound = 0 forces the iterative min-label propagation
+    // loop — the path any pair graph past the 4M-edge driver bound takes
+    // at 100 TB, which the gate otherwise never executes (sf-scale pair
+    // sets are always under the bound, so dd_survivors_exact exercises
+    // only the collect+union-find fast path). Same exact-dup pairs, same
+    // SQL oracle: the two physical strategies behind components() must
+    // answer bit-identically (the J14 bucketed-join precedent — pin the
+    // scale plan's RESULT, not just its unit equivalence on random
+    // graphs).
+    "dd_survivors_dist" -> ((s, dir) => {
+      val docs = doubled(s, dir)
+      val hashed = docs.withColumn("content_hash", Hashing.md5Hash(col("text")))
+      val grouped = hashed.groupBy(col("content_hash"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val pairs = grouped.filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.survivors(docs, "doc_id", pairs, driverEdgeBound = 0L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // HOT-BUCKET CAP exercised for real: 30% of the corpus gets one
     // shared ~120-token boilerplate body with a unique per-doc tail, so
     // every planted doc is DISTINCT (exact-dup pre-collapse cannot absorb
@@ -496,6 +520,17 @@ object DedupQueries extends QuerySet {
         |ORDER BY doc_id""".stripMargin,
 
     "dd_survivors_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT doc_id
+        |FROM batch
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same answer through the forced distributed-components path
+    "dd_survivors_dist" ->
       """WITH batch AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -453,6 +453,48 @@ object SimilarityQueries extends QuerySet {
       s1.unionByName(s2).orderBy(col("vec_id"))
     }),
 
+    // The RE-FIT EPOCH the incremental index's growth policy calls for:
+    // frozen centroids keep ingest a pure map but cells grow linearly,
+    // so when needsRefit fires (per-cell stats past targetCellSize —
+    // asserted live here: mean cell is ~n/√n ≈ 25 vectors against the
+    // 16 target) the quantizer is re-fit at k = ⌈n/targetCellSize⌉ over
+    // the index's own vectors and the corpus re-indexed into a NEW epoch
+    // directory — old epoch untouched, the crash-safe swap. The epoch's
+    // survivor set is BY CONSTRUCTION the global SemDeDup result at the
+    // new k (the corpus re-ingests as one id-ascending batch), so the
+    // dd_semdedup oracle form — with its k CTE at the n/16 policy
+    // formula instead of √n — replays fit → assign → prune end to end
+    // against the rebuilt epoch. This is the operational row the r13
+    // verdict's growth-policy ask left implicit: the signal
+    // (needsRefit), the action (refit), and the rebuilt index all under
+    // the driver gate.
+    "dd_semdedup_refit" -> ((s, dir) => {
+      import graft.dedup.SemDedupIncremental
+      val (all, _, cent) = plantedFit(s, dir)
+      val base = "/tmp/graft_export/semdedup_refit_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      for (d <- Seq(s"$base/epoch1", s"$base/epoch2")) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      // epoch 1: the same two-batch ingest as dd_semdedup_incremental
+      SemDedupIncremental.addBatch(
+        all.filter(col("vec_id") < 100000L), cent, tau = 0.97,
+        s"$base/epoch1", batchId = 1L)
+      SemDedupIncremental.addBatch(
+        all.filter(col("vec_id") >= 100000L), cent, tau = 0.97,
+        s"$base/epoch1", batchId = 2L)
+      // the growth-policy signal must actually fire before the epoch
+      // turns over — a refit on a healthy index would be wasted work
+      require(SemDedupIncremental.needsRefit(s, s"$base/epoch1",
+          targetCellSize = 16L).limit(1).count() > 0,
+        "dd_semdedup_refit: needsRefit(16) fired on no cell — the planted " +
+          "corpus should overfill the √n-fit cells at target 16")
+      val (surv, _) = SemDedupIncremental.refit(s, s"$base/epoch1",
+        s"$base/epoch2", tau = 0.97, targetCellSize = 16L)
+      surv.orderBy(col("vec_id"))
+    }),
+
     // Clustering quality audit: per-cell size, majority label and purity
     // of the anchor fit against the planted embedding labels — the
     // "is my quantizer/semdedup clustering meaningful" eval every
@@ -600,7 +642,14 @@ object SimilarityQueries extends QuerySet {
     * — see SemDedupIncremental), so one replay checks both plans,
     * the dd_decontaminate_bloom precedent. */
   private val semdedupSql: String =
-  """WITH base AS (
+    semdedupSqlK("greatest(8, CAST(ceil(sqrt(count(*))) AS INT))")
+
+  /** [[semdedupSql]] with the k CTE parameterized: the batch/incremental
+    * rows fit at k = ⌈√n⌉ (balances assign vs within-cell compare), the
+    * refit epoch at the growth policy's k = ⌈n/targetCellSize⌉ — same
+    * replay otherwise, so the two oracle forms cannot drift apart. */
+  private def semdedupSqlK(kExpr: String): String =
+  s"""WITH base AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |v AS (
         |  SELECT vec_id, e FROM base
@@ -608,7 +657,7 @@ object SimilarityQueries extends QuerySet {
         |  SELECT vec_id + 100000 AS vec_id,
         |    [e[i] + 0.02*(i%3) for i in range(1,65)] AS e
         |  FROM base WHERE vec_id < 100),
-        |kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM v),
+        |kk AS (SELECT $kExpr AS k FROM v),
         |piv AS (
         |  SELECT vec_id AS pivot_id, e FROM v
         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -1142,6 +1191,10 @@ object SimilarityQueries extends QuerySet {
     // stores the full domination set — see SemDedupIncremental), so the
     // replay above checks the persistent-index path byte-for-byte.
     "dd_semdedup_incremental" -> semdedupSql,
+
+    // the rebuilt epoch must equal the global pass at the POLICY k
+    "dd_semdedup_refit" ->
+      semdedupSqlK("greatest(8, CAST(ceil(count(*) / 16.0) AS INT))"),
 
     // Mirrors sim_kmeans_purity: the sim_kmeans_anchor Lloyd replay,
     // then per-cell label counts, majority by (count desc, label), and

@@ -169,6 +169,34 @@ object TextQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Multinomial Naive Bayes classifier, fit AND scored in-plan — the
+    // trainable sibling of tx_langid's fixed marker heuristic (the
+    // fastText-style "train a cheap classifier on labeled docs, score
+    // the rest" step real curation pipelines run for language/quality/
+    // domain gates). Fit is pure aggregation: per-(label, token)
+    // occurrence counts, per-label token totals, vocabulary size and
+    // document priors over the doc_id%5≠0 training split. Scoring the
+    // held-out split is explode → ×|labels| expand (bounded: labels is
+    // a broadcast handful) → one shuffle join against the count table
+    // on (label, token) → per-(doc, label) sum of Laplace-smoothed
+    // rounded log-likelihoods as DECIMAL(18,6) (order-independent, the
+    // engine-parity discipline) + log prior, argmax by a per-doc window
+    // over |labels| rows. Everything is counts and logs, so DuckDB
+    // replays fit → score → argmax end to end: FULL hash oracle. (On
+    // this synthetic corpus the 31-word vocab carries little real lang
+    // signal — predictions mostly follow the prior; the row pins the
+    // fit/score machinery, not model quality.) At scale: the count
+    // table is (vocab×labels) rows — the only shuffle the score side
+    // pays; nothing is per-pair and no state is driver-side.
+    "tx_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.NaiveBayes.fitScore(
+          train = docs.filter(col("doc_id") % 5 =!= 0),
+          test = docs.filter(col("doc_id") % 5 === 0),
+          labelCol = "lang", idCol = "doc_id", textCol = "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition quality signals (Gopher-style): duplicate-sentence
     // fraction and most-frequent-token fraction.
     // All four repetition counters from one native pass (RepetitionStats
@@ -831,6 +859,44 @@ object TextQueries extends QuerySet {
         |       WHEN score_es >= score_de THEN 'es'
         |       ELSE 'de' END AS predicted
         |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    // NB fit (counts/priors over the train split) + Laplace-smoothed
+    // log-likelihood scoring + per-doc argmax, replayed exactly; the
+    // DECIMAL(18,6) sum of rounded log terms is the order-independence
+    // discipline every decimal-exact row here uses
+    "tx_nb_classify" ->
+      """WITH train AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |tt AS (SELECT lang AS label, unnest(t) AS tok FROM train),
+        |counts AS (SELECT label, tok, COUNT(*) AS c FROM tt GROUP BY label, tok),
+        |totals AS (SELECT label, COUNT(*) AS n_l FROM tt GROUP BY label),
+        |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tt),
+        |priors AS (
+        |  SELECT lang AS label,
+        |    round(ln(CAST(COUNT(*) AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM train)), 6) AS log_prior
+        |  FROM train GROUP BY lang),
+        |test AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ll AS (
+        |  SELECT doc_id, label,
+        |    CAST(SUM(CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+        |      / (n_l + v)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS ll
+        |  FROM (SELECT doc_id, tok, label FROM test
+        |        CROSS JOIN (SELECT label FROM priors))
+        |  LEFT JOIN counts USING (label, tok)
+        |  JOIN totals USING (label)
+        |  CROSS JOIN vocab
+        |  GROUP BY doc_id, label),
+        |sc AS (
+        |  SELECT doc_id, label, round(ll + log_prior, 6) AS score
+        |  FROM ll JOIN priors USING (label))
+        |SELECT doc_id, label AS pred_lang, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) = 1
         |ORDER BY doc_id""".stripMargin,
 
     "tx_cdc_chunks" ->

@@ -207,6 +207,29 @@ class CurationSpec extends SparkSuite {
     assert(bySource("wiki") === ((5L, 7L)))  // ids 1,2,4,5,7
   }
 
+  test("naive bayes fit/score replays by hand: smoothing, priors, argmax") {
+    import graft.text.NaiveBayes
+    val train = Seq(
+      (1L, "a", "cat cat dog"),
+      (2L, "a", "cat fish"),
+      (3L, "b", "dog dog")
+    ).toDF("doc_id", "lang", "text")
+    // counts: a→{cat:3, dog:1, fish:1} n_a=5; b→{dog:2} n_b=2; V=3
+    // priors: ln(2/3), ln(1/3)
+    val test_ = Seq(
+      (10L, "cat dog"),  // a: r6(ln 4/8)+r6(ln 2/8)+r6(ln 2/3) = -2.484906
+                         // b: r6(ln 1/5)+r6(ln 3/5)+r6(ln 1/3) = -3.218876
+      (11L, "bird bird") // unseen token: Laplace floor only — the smaller
+                         // denominator (n_b+V=5 < n_a+V=8) wins despite
+                         // the smaller prior: b at -4.317488 vs a at -4.564349
+    ).toDF("doc_id", "text")
+    val got = NaiveBayes.fitScore(train, test_, "lang", "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      (10L, "a", -2.484906),
+      (11L, "b", -4.317488)))
+  }
+
   test("bounded quota mix equals the window form, including null domains") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"))

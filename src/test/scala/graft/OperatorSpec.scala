@@ -132,6 +132,11 @@ class OperatorSpec extends SparkSuite {
     val kept = Dedup.survivors(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 7L))
+    // the driverEdgeBound passthrough: forcing the distributed components
+    // path (the dd_survivors_dist gate row) answers identically
+    val keptDist = Dedup.survivors(docs, "doc_id", pairs, driverEdgeBound = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptDist === kept)
   }
 
   test("components matches driver-side union-find on seeded random graphs") {

@@ -207,6 +207,53 @@ class SelectionSpec extends SparkSuite {
     assert(SemDedupIncremental.needsRefit(spark, idx, 1).count() > 0)
   }
 
+  test("refit epoch: survivors equal the global pass at the policy k; new index serviceable") {
+    import graft.dedup.SemDedupIncremental
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.similarity.Vectors.toDouble(col("embedding")).as("c_vec"))
+    val planted = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(col("c_vec"), i) + lit(0.02) * (i % 3).cast("double")).as("c_vec"))
+    val all = base.unionByName(planted).localCheckpoint(eager = true)
+    val (_, cent) = Kmeans.fitAnchor(all, k = 4, iters = 1)
+    val old = java.nio.file.Files.createTempDirectory("semdedup_refit_old").toString
+    val neu = java.nio.file.Files.createTempDirectory("semdedup_refit_new").toString + "/epoch"
+    SemDedupIncremental.addBatch(all.filter(col("vec_id") < 100000L), cent,
+      tau = 0.97, old, batchId = 1L)
+    SemDedupIncremental.addBatch(all.filter(col("vec_id") >= 100000L), cent,
+      tau = 0.97, old, batchId = 2L)
+
+    val n = all.count()
+    val target = 10L
+    val (surv, newCent) = SemDedupIncremental.refit(spark, old, neu,
+      tau = 0.97, targetCellSize = target)
+    // the policy k was honored
+    assert(newCent.length === math.max(8, math.ceil(n.toDouble / target).toInt))
+    // ground truth: the EXACT quadratic within-cell prune at the new fit
+    // (SemDedup.survivors — no prefilter), over the vectors the index held
+    val asgNew = Kmeans.assign(all, newCent).select(col("vec_id"), col("cell"))
+    val want = SemDedup.survivors(all, asgNew, tau = 0.97)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(surv.collect().map(r => (r.getLong(0), r.getInt(1))).toSet === want)
+
+    // the new epoch is pinned to the NEW centroids: the old ones reject
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIncremental.addBatch(all.limit(1), cent, tau = 0.97, neu, batchId = 2L)
+    }
+    assert(e.getMessage.contains("was built with"))
+    // and continues serving ingest above the epoch's max id
+    val more = all.filter(col("vec_id") >= 100000L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("c_vec"))
+    assert(SemDedupIncremental.addBatch(more, newCent, tau = 0.97, neu,
+      batchId = 2L).count() >= 0)
+    // the OLD epoch was never mutated beyond compaction: still readable,
+    // still carrying every ingested vector (the crash-safe swap contract)
+    val oldTotal = SemDedupIncremental.needsRefit(spark, old, targetCellSize = 0)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(oldTotal === n)
+  }
+
   test("bm25 ranks the saturating term-hit doc first; scores replay by hand") {
     val docs = Seq(
       (1L, "spark spark spark spark"),       // tf 4, short
