@@ -75,4 +75,57 @@ object SpanDedup {
         col("n_grams"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  /** The ACTION half of ExactSubstr dedup: remove every cross-document
+    * repeated span from every document (Lee et al. §3.2 remove ALL
+    * occurrences — simpler than keep-one and measured slightly better in
+    * the paper). Returns (doc_id, text_scrubbed, n_toks, n_removed):
+    * the whitespace-normalized text with covered tokens dropped, plus
+    * the removal accounting a curation report needs.
+    *
+    * Same no-pair-join scale shape as [[crossDocSpans]], then: covered
+    * token INDICES come from one bounded explode of each covered window
+    * (≤ L rows per covered gram, linear), kept tokens are a left-anti
+    * join of the (doc, position, token) stream against them, and
+    * reassembly is a per-document sort-free aggregate (array_sort over
+    * the doc's own bounded (pos, tok) list — documents are the parallel
+    * unit, nothing corpus-wide ever sorts). Documents shorter than L
+    * tokens, or with no repeats, pass through with n_removed = 0; a
+    * fully-repeated document scrubs to the empty string. */
+  def scrubCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                         L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.wsTokens(col(textCol)).as("t"))
+    val wins = toks.filter(size(col("t")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
+          i => xxhash64(concat_ws("\u001F",
+            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val rep = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+    val covTok = wins.join(rep, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (L - 1))).as("i"))
+      .distinct()
+    val tokpos = toks.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("tok"))
+    val kept = tokpos.join(covTok, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_scrubbed"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
 }

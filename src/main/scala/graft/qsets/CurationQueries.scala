@@ -159,6 +159,39 @@ object CurationQueries extends QuerySet {
         .orderBy(col("rank"))
     }),
 
+    // Training-shard export — the pipeline's LAST MILE: the seeded
+    // epoch permutation (samp_epoch_order's md5 key), token-balanced
+    // into K = 8 CONTIGUOUS shards by the distributed running token sum
+    // (Layout.sequentialBins: range partition + counts-only shard
+    // offsets + in-shard window — never a single-partition window),
+    // physically written partitioned by shard, and verified off the
+    // READ-BACK: per shard, doc count, token total, epoch-key range and
+    // an md5 membership digest all hash-compare against the oracle's
+    // window replay. Shards are contiguous ranges of the epoch order,
+    // so a training loader reading shard files in order replays the
+    // epoch — the artifact every curation pipeline ultimately ships.
+    "samp_shard_export" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        md5(concat(lit("ep1:"), col("doc_id").cast("string"))).as("ek"))
+      val total = sized.agg(sum(col("n_tok"))).head().getLong(0)
+      val k = 8L
+      val out = "/tmp/graft_export/shards_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Layout.sequentialBins(sized,
+          Seq(col("ek"), col("doc_id")), col("n_tok"),
+          targetBytes = (total + k - 1) / k)
+        .select(col("doc_id"), col("ek"), col("n_tok"), col("bin").as("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .withColumn("shard", col("shard").cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("ek")).as("min_ek"), max(col("ek")).as("max_ek"),
+          md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("members_md5"))
+        .orderBy(col("shard"))
+    }),
+
     // Domain mixing: per-source quotas (first-N by doc_id), the
     // deterministic form of "mix sources at fixed proportions".
     "samp_mix" -> ((s, dir) => {
@@ -525,6 +558,26 @@ object CurationQueries extends QuerySet {
         |  md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS h
         |FROM documents
         |ORDER BY rank""".stripMargin,
+
+    // shard = running-token-sum-before // ceil(total/8) over the epoch
+    // order — the window replay of the engine's distributed assignment
+    "samp_shard_export" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ek
+        |  FROM documents),
+        |tot AS (SELECT SUM(n_tok) AS total FROM sized),
+        |binned AS (
+        |  SELECT doc_id, n_tok, ek,
+        |    CAST((SUM(n_tok) OVER (ORDER BY ek, doc_id) - n_tok)
+        |      // ((total + 7) // 8) AS BIGINT) AS shard
+        |  FROM sized CROSS JOIN tot)
+        |SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        |  MIN(ek) AS min_ek, MAX(ek) AS max_ek,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS members_md5
+        |FROM binned GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     "samp_mix" ->
       """WITH ranked AS (

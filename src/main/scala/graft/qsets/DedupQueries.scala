@@ -471,6 +471,25 @@ object DedupQueries extends QuerySet {
             3, 12)).as("text"))
       graft.dedup.SpanDedup.crossDocSpans(docs.unionByName(planted),
         "doc_id", "text", L = 8)
+    }),
+
+    // The ACTION half of ExactSubstr (Lee et al. §3.2 remove ALL
+    // occurrences): the same planted corpus as dd_crossdoc_spans, but the
+    // output is the SCRUBBED corpus — covered tokens dropped everywhere,
+    // with per-doc removal accounting. Each plant (an exact 12-token
+    // slice of its original) scrubs to the empty string and carves the
+    // matching span out of the original. Same linear no-pair-join shape;
+    // reassembly is a per-document bounded aggregate (docs are the
+    // parallel unit). Full hash oracle: windows → cross-doc df →
+    // covered-index anti-join → string_agg reassembly.
+    "dd_crossdoc_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(graft.text.TextFunctions.wsTokens(col("text")),
+            3, 12)).as("text"))
+      graft.dedup.SpanDedup.scrubCrossDocSpans(docs.unionByName(planted),
+        "doc_id", "text", L = 8)
     })
   )
 
@@ -509,6 +528,48 @@ object DedupQueries extends QuerySet {
         |  COUNT(*) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the scrub: covered token indices -> anti-join -> ordered reassembly
+    "dd_crossdoc_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[3:14], ' ')
+        |      AS text
+        |  FROM documents WHERE doc_id < 5),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |         array_to_string(t[i:i+7], chr(31)) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |rep AS (SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |covp AS (
+        |  SELECT DISTINCT doc_id, CAST(ci AS BIGINT) AS ci
+        |  FROM (SELECT doc_id, unnest(generate_series(p, p + 7)) AS ci
+        |        FROM wins JOIN rep USING (g))),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM toks)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok
+        |  FROM tokpos tp LEFT JOIN covp c
+        |    ON tp.doc_id = c.doc_id AND tp.i = c.ci
+        |  WHERE c.doc_id IS NULL),
+        |ka AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY i) AS text_scrubbed
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(ka.text_scrubbed, '') AS text_scrubbed,
+        |  CAST(len(t.t) AS BIGINT) AS n_toks,
+        |  CAST(len(t.t) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN ka ON t.doc_id = ka.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dd_exact" ->
       """WITH batch AS (
         |  SELECT doc_id, text FROM documents

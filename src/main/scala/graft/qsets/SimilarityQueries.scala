@@ -490,8 +490,16 @@ object SimilarityQueries extends QuerySet {
           targetCellSize = 16L).limit(1).count() > 0,
         "dd_semdedup_refit: needsRefit(16) fired on no cell — the planted " +
           "corpus should overfill the √n-fit cells at target 16")
+      // the refit TARGET grows with the corpus: max(16, ⌈√n⌉/2) keeps the
+      // new k ≈ 2√n, so the epoch's fit stays O(n^1.5·d)-bounded at any
+      // scale (a FIXED target of 16 would put k ≈ n/16 — 12.5k centroids
+      // at the sf10 rehearsal, an assignment-cost scale-killer). At the
+      // sf0.01 gate the two coincide (√n/2 < 16), so the oracle replays
+      // the same general formula.
+      val nAll = all.count()
+      val target = math.max(16L, math.ceil(math.sqrt(nAll.toDouble)).toLong / 2)
       val (surv, _) = SemDedupIncremental.refit(s, s"$base/epoch1",
-        s"$base/epoch2", tau = 0.97, targetCellSize = 16L)
+        s"$base/epoch2", tau = 0.97, targetCellSize = target)
       surv.orderBy(col("vec_id"))
     }),
 
@@ -1192,9 +1200,11 @@ object SimilarityQueries extends QuerySet {
     // replay above checks the persistent-index path byte-for-byte.
     "dd_semdedup_incremental" -> semdedupSql,
 
-    // the rebuilt epoch must equal the global pass at the POLICY k
+    // the rebuilt epoch must equal the global pass at the POLICY k:
+    // target = max(16, ceil(sqrt(n)) // 2), k = ceil(n / target)
     "dd_semdedup_refit" ->
-      semdedupSqlK("greatest(8, CAST(ceil(count(*) / 16.0) AS INT))"),
+      semdedupSqlK("greatest(8, CAST(ceil(count(*) / greatest(16, " +
+        "CAST(ceil(sqrt(count(*))) AS BIGINT) // 2)) AS INT))"),
 
     // Mirrors sim_kmeans_purity: the sim_kmeans_anchor Lloyd replay,
     // then per-cell label counts, majority by (count desc, label), and

@@ -300,6 +300,25 @@ class SelectionSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 8L), (18L, 8L)))
   }
 
+  test("cross-doc scrub removes every occurrence; short/no-repeat docs pass through") {
+    import graft.dedup.SpanDedup
+    val docs = Seq(
+      (1L, "a b c d e f"),   // "c d e" repeats in 2 and 5 → scrub pos 3-5
+      (2L, "q r c d e s"),   // same gram at pos 3 → scrub pos 3-5
+      (3L, "u v w"),         // no cross-doc repeat → untouched
+      (4L, "p q"),           // shorter than L → untouched by construction
+      (5L, "c d e")          // fully repeated → scrubs to the empty string
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.scrubCrossDocSpans(docs, "doc_id", "text", L = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a b f", 6L, 3L),
+      (2L, "q r s", 6L, 3L),
+      (3L, "u v w", 3L, 0L),
+      (4L, "p q", 2L, 0L),
+      (5L, "", 3L, 3L)))
+  }
+
   test("containment flags the embedded doc asymmetrically; jaccard would miss it") {
     val big = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(
