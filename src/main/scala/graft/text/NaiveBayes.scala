@@ -40,8 +40,11 @@ object NaiveBayes {
       explode(wsTokens(col(textCol))).as("tok"))
     val counts = trainToks.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    val tokTotals = trainToks.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
-    val vocab = trainToks.select(col("tok")).distinct()
+    // totals and vocabulary DERIVE from the count table (vocab×labels
+    // rows) — the corpus-sized explode aggregates exactly once (the
+    // tx_lm_score discipline: one big pass, bounded second aggregates)
+    val tokTotals = counts.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
+    val vocab = counts.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
     val priors = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_total"))))
