@@ -196,8 +196,16 @@ def gen(out, factor):
             }
     write(out, "events", batches_events())
 
+    # Vocabulary GROWS with the corpus (Heaps' law): at a fixed 31-word
+    # vocab, 100x the documents makes natural near-dup candidate pairs
+    # grow ~quadratically (the 2-gram shingle space is only 31^2), which
+    # blows the minhash verify join's shuffle past the disk at sf10 —
+    # observed: 304 capped buckets / 184M suppressed candidates / >200 GB
+    # of spill. sqrt(factor) growth keeps the near-dup family structure
+    # proportional to sf0.1 (factor 1 reproduces the sf0.1 vocab exactly).
     def batches_documents():
-        voc = np.array(VOCAB)
+        extra = len(VOCAB) * (int(np.ceil(np.sqrt(f))) - 1)
+        voc = np.array(VOCAB + [f"w{i}" for i in range(extra)])
         for off, m in chunked(n_doc, chunk=200_000):
             r = np.random.default_rng((7, off))
             lens = r.integers(10, 101, m)
