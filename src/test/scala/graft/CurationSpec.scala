@@ -207,6 +207,33 @@ class CurationSpec extends SparkSuite {
     assert(bySource("wiki") === ((5L, 7L)))  // ids 1,2,4,5,7
   }
 
+  test("shard packing: contiguous in order, balanced within one max-item overshoot") {
+    // the streaming-concat bound sequentialBins guarantees: a shard's
+    // token total never exceeds target + (max item - 1), because a row
+    // is assigned by where its cumulative START falls — the property
+    // samp_shard_export's balance claim rests on
+    val rng = new scala.util.Random(7L)
+    val rows = (0L until 500L).map(i => (i, 1L + rng.nextInt(100).toLong))
+    val df = rows.toDF("doc_id", "n_tok")
+      .withColumn("ek", md5(concat(lit("ep1:"), col("doc_id").cast("string"))))
+    val total = rows.map(_._2).sum
+    val k = 8L
+    val target = (total + k - 1) / k
+    val binned = graft.operators.Layout.sequentialBins(df,
+        Seq(col("ek"), col("doc_id")), col("n_tok"), target)
+      .select(col("ek"), col("n_tok"), col("bin")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxItem = rows.map(_._2).max
+    val perShard = binned.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(binned.map(_._3).max < k)
+    perShard.foreach { case (b, t) =>
+      assert(t <= target + maxItem - 1, s"shard $b overshoots: $t > $target+$maxItem")
+    }
+    // contiguity: sorting by the epoch key yields non-decreasing shards
+    val byOrder = binned.sortBy(_._1).map(_._3)
+    assert(byOrder.zip(byOrder.tail).forall { case (a, b) => a <= b })
+  }
+
   test("naive bayes fit/score replays by hand: smoothing, priors, argmax") {
     import graft.text.NaiveBayes
     val train = Seq(

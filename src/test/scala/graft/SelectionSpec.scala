@@ -252,6 +252,20 @@ class SelectionSpec extends SparkSuite {
     val oldTotal = SemDedupIncremental.needsRefit(spark, old, targetCellSize = 0)
       .agg(sum(col("n"))).head().getLong(0)
     assert(oldTotal === n)
+
+    // crash-retry convergence: a refit that died after writing the new
+    // epoch's params but before (or mid-way through) its batch commit
+    // leaves a partial directory; re-running refit must converge to the
+    // same epoch (the fit is deterministic over the same index, so the
+    // params sidecar re-validates and batch=1 overwrites itself)
+    val hfs = new org.apache.hadoop.fs.Path(neu)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("batch=1", "batch=2", "_stats", "_maxids"))
+      hfs.delete(new org.apache.hadoop.fs.Path(neu, sub), true)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(neu, "_graft_params")))
+    val (surv2, _) = SemDedupIncremental.refit(spark, old, neu,
+      tau = 0.97, targetCellSize = target)
+    assert(surv2.collect().map(r => (r.getLong(0), r.getInt(1))).toSet === want)
   }
 
   test("bm25 ranks the saturating term-hit doc first; scores replay by hand") {
