@@ -38,11 +38,17 @@ object NaiveBayes {
                idCol: String, textCol: String): DataFrame = {
     val trainToks = train.select(col(labelCol).as("label"),
       explode(wsTokens(col(textCol))).as("tok"))
+    // the MODEL is the (label, token) count table — vocab×labels rows,
+    // bounded — and it is MATERIALIZED (eager checkpoint): totals and
+    // vocabulary derive from it, and without the barrier the optimizer
+    // column-prunes the vocabulary's distinct PAST the aggregate and
+    // re-explodes the training corpus (a second full pass, observed in
+    // the executed plan); with it the corpus tokenizes exactly once and
+    // every consumer reads the artifact (the ivfIndex billing shape —
+    // a fitted model IS an index artifact)
     val counts = trainToks.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    // totals and vocabulary DERIVE from the count table (vocab×labels
-    // rows) — the corpus-sized explode aggregates exactly once (the
-    // tx_lm_score discipline: one big pass, bounded second aggregates)
+      .localCheckpoint(eager = true)
     val tokTotals = counts.groupBy(col("label")).agg(sum(col("c")).as("n_l"))
     val vocab = counts.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))

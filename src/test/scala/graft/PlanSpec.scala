@@ -281,4 +281,48 @@ class PlanSpec extends SparkSuite {
       "the window exchange must shard by user_id")
     assert(p.contains("Window"), "frame aggregates must run as window functions")
   }
+
+  test("cross-doc scrub: no pair join, one token explode per corpus role") {
+    val p = finalPlan("dd_crossdoc_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the scrub must never enumerate document pairs")
+    assert(p.toLowerCase.contains("leftanti"),
+      "kept tokens must come from an anti-join against covered indices")
+    // reassembly windows per doc (the sort is inside each doc's bounded
+    // array) — the only partition keys are doc-scoped
+    assert(p.contains("hashpartitioning(doc_id"),
+      "reassembly must aggregate per doc, never corpus-wide")
+  }
+
+  test("naive bayes: scoring never re-tokenizes the train corpus; per-doc argmax") {
+    val p = finalPlan("tx_nb_classify")
+    assert(!p.contains("CartesianProduct"),
+      "label expansion must stay a broadcast, not a cartesian")
+    // the model is a MATERIALIZED checkpoint: the only explode left in
+    // the scoring plan is the TEST tokens'. A Generate whose input
+    // carries the label column means the optimizer re-derived something
+    // from the training corpus (the column-pruned-past-the-aggregate
+    // regression this pin exists for).
+    assert(!"Generate explode[^\\n]*\\[lang".r.findFirstIn(p).isDefined,
+      "scoring plan re-tokenizes the training corpus — the model must " +
+        "be read from the materialized count table")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "the argmax window must partition per doc")
+  }
+
+  test("shard export: read-back audit scans the shard-partitioned layout") {
+    // the assignment's distributed running sum is sequentialBins, whose
+    // ≡-single-window equivalence is pinned in LayoutSpec and whose plan
+    // shape is recorded in PLANS.md (lay_compaction) — here we pin what
+    // the emitted row's plan CAN show: the audit reads the physically
+    // shard-partitioned directory back and aggregates per shard, with
+    // no cartesian anywhere
+    val p = finalPlan("samp_shard_export")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("hashpartitioning(shard"),
+      "the audit must aggregate per shard")
+    assert(p.contains("PartitionFilters"),
+      "the read-back must scan the shard-partitioned layout " +
+        "(partition pruning available to downstream readers)")
+  }
 }
