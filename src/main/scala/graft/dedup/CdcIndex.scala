@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -14,14 +14,27 @@ import graft.text.TextFunctions
   * see [[TextFunctions.cdcChunkFingerprints]]) where fixed-offset
   * chunking would miss every shifted copy.
   *
-  * The index stores DISTINCT chunk fingerprints (md5 strings, ~32 bytes
-  * per unique passage — not the text), one `batch=<id>` partition per
-  * ingest batch: the same idempotent commit contract as the other
-  * persistent indexes (a retry overwrites its own partition; the index
-  * read excludes the current batch, so scoring never sees a partial
-  * earlier attempt of itself). Scoring is one hashed left-anti join of
-  * the batch's chunk relation against the index — fingerprints shuffle,
-  * text never does.
+  * The index is a metastore table of DISTINCT-per-batch chunk
+  * fingerprints (md5 strings, ~32 bytes per unique passage — not the
+  * text), one `batch=<id>` partition per ingest batch, BUCKETED AND
+  * SORTED BY `fp` — the [[BucketedIncrementalDedup]] storage
+  * discipline. Scoring is one left-anti join of the batch's chunk
+  * relation against the index on the bucket column, so the PER-BATCH
+  * cost is one shuffle of the (small) batch side; the accumulated index
+  * is read bucket-aligned with NO exchange, ever (plan-pinned in
+  * `BucketedIndexSpec`), and per-ingest cost tracks the BATCH size, not
+  * the corpus. No global `distinct()` is taken over the index: a
+  * left-anti join is insensitive to right-side duplicates (a probe row
+  * is dropped iff ANY match exists), so cross-batch repeats of a
+  * fingerprint are harmless — re-deduplicating them per ingest was a
+  * full-index shuffle per batch, the exact shape that does not survive
+  * a growing corpus.
+  *
+  * Idempotency mirrors the other persistent indexes: reads exclude the
+  * current batchId's partition (partition-pruned off disk) and the
+  * commit replaces exactly that partition via `INSERT OVERWRITE` under
+  * dynamic partitionOverwriteMode, so a foreachBatch retry converges
+  * and scoring never sees a partial earlier attempt of itself.
   */
 object CdcIndex {
 
@@ -30,36 +43,35 @@ object CdcIndex {
       .select(col("__id"),
         explode(TextFunctions.cdcChunkFingerprints(col("__t"))).as("fp"))
 
-  /** All fingerprints committed by OTHER batches (empty on first use). */
-  private def knownFps(spark: SparkSession, indexPath: String,
-                       excludeBatch: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) spark.emptyDataFrame.select(lit("").as("fp")).limit(0)
-    else spark.read.option("basePath", indexPath).parquet(s"$indexPath/batch=*")
-      .filter(col("batch") =!= excludeBatch)
-      .select(col("fp"))
-  }
-
   /** Score one ingest batch against the accumulated index and commit its
-    * distinct fingerprints. Returns per-doc (idCol, n_chunks, n_novel):
-    * `n_novel` counts chunks the index had NOT seen before this batch —
-    * a full-copy document scores 0 novel even when its ids/offsets
-    * differ from the indexed original. */
+    * distinct fingerprints to its own `batch=<id>` partition of table
+    * `base` (created bucketed-by-fp on first use). Returns per-doc
+    * (idCol, n_chunks, n_novel): `n_novel` counts chunks the index had
+    * NOT seen before this batch — a full-copy document scores 0 novel
+    * even when its ids/offsets differ from the indexed original. */
   def addBatch(docs: DataFrame, idCol: String, textCol: String,
-               indexPath: String, batchId: Long): DataFrame = {
+               base: String, batchId: Long, buckets: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val ch = chunks(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val known = knownFps(spark, indexPath, batchId)
-      val novel = ch.join(known.distinct(), Seq("fp"), "left_anti")
+      if (!spark.catalog.tableExists(base))
+        ch.limit(0).select(col("fp"), lit(batchId).as("batch"))
+          .write.partitionBy("batch").bucketBy(buckets, "fp").sortBy("fp")
+          .saveAsTable(base)
+      // index read excludes this batch's partition (retry idempotency);
+      // duplicates across batches stay — left_anti does not care
+      val known = spark.table(base).filter(col("batch") =!= batchId)
+        .select(col("fp"))
+      val novel = ch.join(known, Seq("fp"), "left_anti")
         .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
       val all = ch.groupBy(col("__id")).agg(count(lit(1)).as("n_chunks"))
-      // commit AFTER scoring reads: the batch's own fps must not count
-      // against itself; overwrite makes a retry idempotent
+      // commit replaces exactly batch=<id>; the scoring join below reads
+      // around it, so the batch's own fps never count against itself
       ch.select(col("fp")).distinct()
-        .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").insertInto(base)
       all.join(novel, Seq("__id"), "left")
         .select(col("__id").as(idCol), col("n_chunks"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))

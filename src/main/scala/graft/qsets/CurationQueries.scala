@@ -176,7 +176,7 @@ object CurationQueries extends QuerySet {
         md5(concat(lit("ep1:"), col("doc_id").cast("string"))).as("ek"))
       val total = sized.agg(sum(col("n_tok"))).head().getLong(0)
       val k = 8L
-      val out = "/tmp/graft_export/shards_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = runScratch(s, dir, "shards")
       graft.operators.Layout.sequentialBins(sized,
           Seq(col("ek"), col("doc_id")), col("n_tok"),
           targetBytes = (total + k - 1) / k)
@@ -573,7 +573,7 @@ object CurationQueries extends QuerySet {
         |    CAST((SUM(n_tok) OVER (ORDER BY ek, doc_id) - n_tok)
         |      // ((total + 7) // 8) AS BIGINT) AS shard
         |  FROM sized CROSS JOIN tot)
-        |SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(ek) AS min_ek, MAX(ek) AS max_ek,
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS members_md5
         |FROM binned GROUP BY shard

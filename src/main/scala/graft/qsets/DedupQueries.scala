@@ -232,10 +232,15 @@ object DedupQueries extends QuerySet {
     // engine-portable end to end.
     "dd_cdc_incremental" -> ((s, dir) => {
       import graft.dedup.CdcIndex
-      val idx = "/tmp/graft_export/cdcidx_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
-      val p = new org.apache.hadoop.fs.Path(idx)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // per-sf table namespace, dropped before each run. DROP alone is
+      // not enough: the warehouse directory persists across JVMs and a
+      // leftover location fails saveAsTable with LOCATION_ALREADY_EXISTS
+      // (the dd_bucketed_incremental cleanup contract).
+      val idx = "cdcidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $idx")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whp = new org.apache.hadoop.fs.Path(s"$wh/$idx")
+      whp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whp, true)
       val docs = doubled(s, dir)
       val b1 = CdcIndex.addBatch(docs.filter(col("doc_id") < COPY_OFFSET),
         "doc_id", "text", idx, batchId = 1L)
@@ -255,9 +260,7 @@ object DedupQueries extends QuerySet {
     // documents.
     "dd_incremental" -> ((s, dir) => {
       import graft.dedup.IncrementalDedup
-      // deterministic per-sf path, cleaned before each run (no /tmp leak)
-      val idx = "/tmp/graft_export/incdedup_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val idx = runScratch(s, dir, "incdedup") + "/index"
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val docs = doubled(s, dir)

@@ -220,8 +220,8 @@ object MoleculeQueries extends QuerySet {
         |       + (p_partkey % 2 + 1) + (p_partkey % 3) AS INT) AS n_atoms
         |  FROM part)
         |SELECT molecule_id, n_atoms,
-        |  2 * 0.5 + molecule_id AS first_y,
-        |  (3 * n_atoms) * 0.5 + molecule_id AS last_z,
+        |  CAST(2 * 0.5 + molecule_id AS DOUBLE) AS first_y,
+        |  CAST((3 * n_atoms) * 0.5 + molecule_id AS DOUBLE) AS last_z,
         |  TRUE AS roundtrip_ok
         |FROM m
         |ORDER BY molecule_id""".stripMargin

@@ -250,8 +250,7 @@ object SimilarityQueries extends QuerySet {
     // epochs (a full index rebuild, like this query performs).
     "dd_embcos_incremental" -> ((s, dir) => {
       import graft.similarity.IncrementalVectors
-      val idx = "/tmp/graft_export/incvec_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val idx = runScratch(s, dir, "incvec") + "/index"
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val base = t(s, dir, "embeddings")
@@ -441,8 +440,7 @@ object SimilarityQueries extends QuerySet {
     "dd_semdedup_incremental" -> ((s, dir) => {
       import graft.dedup.SemDedupIncremental
       val (all, _, cent) = plantedFit(s, dir)
-      val idx = "/tmp/graft_export/semdedup_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/index"
+      val idx = runScratch(s, dir, "semdedup") + "/index"
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       // id-ascending batches: naturals first, then the planted copies
@@ -471,8 +469,7 @@ object SimilarityQueries extends QuerySet {
     "dd_semdedup_refit" -> ((s, dir) => {
       import graft.dedup.SemDedupIncremental
       val (all, _, cent) = plantedFit(s, dir)
-      val base = "/tmp/graft_export/semdedup_refit_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = runScratch(s, dir, "semdedup_refit")
       for (d <- Seq(s"$base/epoch1", s"$base/epoch2")) {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

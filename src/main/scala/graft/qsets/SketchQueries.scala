@@ -84,7 +84,7 @@ object SketchQueries extends QuerySet {
     // hash oracle. Index size: groups × ≤256 rows per batch, bytes at
     // any data scale.
     "sk_hll_incremental" -> ((s, dir) => {
-      val idx = "/tmp/graft_export/hllidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = runScratch(s, dir, "hllidx")
       val p = new org.apache.hadoop.fs.Path(idx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val orders = t(s, dir, "orders")

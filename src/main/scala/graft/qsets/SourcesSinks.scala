@@ -13,8 +13,8 @@ import graft.sources.{BucketedTables, DatasetExport, JsonTables, Msgpack}
   * lossy codec/serializer cannot pass. */
 object SourcesSinks extends QuerySet {
 
-  private def scratch(dir: String, tag: String): String =
-    "/tmp/graft_export/" + tag + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def scratch(s: SparkSession, dir: String, tag: String): String =
+    runScratch(s, dir, tag)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -23,7 +23,7 @@ object SourcesSinks extends QuerySet {
     // round-trip rendering, so the aggregate must match parquet exactly.
     "s3_json_roundtrip" -> ((s, dir) => {
       val events = t(s, dir, "events")
-      val path = scratch(dir, "s3_events")
+      val path = scratch(s, dir, "s3_events")
       JsonTables.writeJson(events, path)
       JsonTables.readJson(s, path, events.schema)
         .groupBy(col("event_type"))
@@ -40,7 +40,7 @@ object SourcesSinks extends QuerySet {
     // decimal, double) cannot pass.
     "s8_orc_roundtrip" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val path = scratch(dir, "s8_lineitem_orc")
+      val path = scratch(s, dir, "s8_lineitem_orc")
       li.write.mode("overwrite").orc(path)
       s.read.orc(path)
         .filter(col("l_quantity") >= 25.0)
@@ -60,7 +60,7 @@ object SourcesSinks extends QuerySet {
     // fractional digits (a truncating format would shift max_ts_s).
     "s9_csv_roundtrip" -> ((s, dir) => {
       val events = t(s, dir, "events")
-      val path = scratch(dir, "s9_events_csv")
+      val path = scratch(s, dir, "s9_events_csv")
       val opts = Map(
         "header" -> "true",
         "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
@@ -89,7 +89,7 @@ object SourcesSinks extends QuerySet {
     // v1-row count and v2-only score sum must match the oracle exactly.
     "s10_schema_evolution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = scratch(dir, "s10_docs_evo")
+      val path = scratch(s, dir, "s10_docs_evo")
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$path/v=1")
@@ -108,7 +108,7 @@ object SourcesSinks extends QuerySet {
     // S4 — records exported partitioned by record_type, read back with a
     // type filter (pruned to one partition directory at listing time).
     "s4_dataset_export" -> ((s, dir) => {
-      val path = scratch(dir, "s4_records")
+      val path = scratch(s, dir, "s4_records")
       DatasetExport.exportRecords(RecordsShaped.records(s, dir), path)
       DatasetExport.readRecords(s, path)
         .filter(col("record_type") === "type1")
@@ -194,7 +194,7 @@ object SourcesSinks extends QuerySet {
     // (FileSystem.get(new Path(store).toUri, hadoopConf)) — the
     // binaryFile READ side already ports as-is.
     "s7_external_read" -> ((s, dir) => {
-      val store = scratch(dir, "s7store") + "/v1"
+      val store = scratch(s, dir, "s7store") + "/v1"
       val objects = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(sha2(col("text"), 256).as("sha"), col("text"))
         .dropDuplicates("sha")
@@ -227,7 +227,7 @@ object SourcesSinks extends QuerySet {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // layout-versioned path: ensureBucketed trusts existing bytes, so
       // any change to the projected columns/bucketing MUST bump v1
-      val base = scratch(dir, "bucketed") + "/v1"
+      val base = scratch(s, dir, "bucketed") + "/v1"
       BucketedTables.ensureBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         s"orders_b_$tag", s"$base/orders", "o_orderkey", buckets = 8)

@@ -128,4 +128,37 @@ class BucketedIndexSpec extends SparkSuite {
         "batch 1 content still deduped through the -3 to -5 to -6 chain")
     } finally dropTables(base)
   }
+
+  test("cdc fp index: anti-join reads bucket-aligned, no exchange on the index side") {
+    import graft.dedup.CdcIndex
+    val base = s"cdcidx_plan_${System.nanoTime()}"
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val text = (1 to 200).map(i => s"tok${(i * 17) % 151}").mkString(" ")
+    try {
+      CdcIndex.addBatch(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", base, 1L).collect()
+      // force the sort-merge path (at test scale AQE would broadcast the
+      // tiny index; at the design scale the index side is the big one)
+      spark.conf.set(key, "-1")
+      val probe = Seq((10L, text), (11L, "zzz " + text)).toDF("doc_id", "text")
+      val j = probe
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.cdcChunkFingerprints(
+            graft.text.TextFunctions.wsTokens(col("text")))).as("fp"))
+        .join(spark.table(base).filter(col("batch") =!= 2L).select(col("fp")),
+          Seq("fp"), "left_anti")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      def c(n: String) = p.sliding(n.length).count(_ == n)
+      assert(p.contains("Bucketed: true"), "index scan must be bucket-aware")
+      assert(c("Exchange hashpartitioning") === 1,
+        s"only the probe side may shuffle, plan:\n$p")
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+        s"expected a sort-merge left-anti, plan:\n$p")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql(s"DROP TABLE IF EXISTS $base")
+    }
+  }
 }

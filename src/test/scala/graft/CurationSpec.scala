@@ -79,24 +79,26 @@ class CurationSpec extends SparkSuite {
 
   test("cdc index: copies score zero novel, shifted copies near-zero, retry idempotent") {
     import graft.dedup.CdcIndex
-    val idx = java.nio.file.Files.createTempDirectory("cdcidx").toString + "/idx"
+    val idx = s"cdcidx_spec_${System.nanoTime()}"
     val base = (1 to 120).map(i => s"w${(i * 13) % 101}").mkString(" ")
     val other = (1 to 120).map(i => s"x${(i * 7) % 89}").mkString(" ")
     val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     // batch 2: an exact copy, a SHIFTED copy (one token prepended), a novel doc
     val b2 = Seq((10L, base), (11L, "zzz " + base),
       (12L, (1 to 120).map(i => s"q${i}").mkString(" "))).toDF("doc_id", "text")
-    CdcIndex.addBatch(b1, "doc_id", "text", idx, 1L).collect()
-    val r2 = CdcIndex.addBatch(b2, "doc_id", "text", idx, 2L)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(r2(10L)._2 == 0, "an exact copy has zero novel chunks")
-    assert(r2(11L)._2 <= 2,
-      s"a shifted copy re-synchronizes: at most the head chunks are novel, got ${r2(11L)}")
-    assert(r2(12L)._2 == r2(12L)._1, "a genuinely novel doc is all-novel")
-    // retry of batch 2 overwrites its own partition → identical result
-    val retry = CdcIndex.addBatch(b2, "doc_id", "text", idx, 2L)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(retry == r2, "a batch retry must be idempotent")
+    try {
+      CdcIndex.addBatch(b1, "doc_id", "text", idx, 1L).collect()
+      val r2 = CdcIndex.addBatch(b2, "doc_id", "text", idx, 2L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(r2(10L)._2 == 0, "an exact copy has zero novel chunks")
+      assert(r2(11L)._2 <= 2,
+        s"a shifted copy re-synchronizes: at most the head chunks are novel, got ${r2(11L)}")
+      assert(r2(12L)._2 == r2(12L)._1, "a genuinely novel doc is all-novel")
+      // retry of batch 2 overwrites its own partition → identical result
+      val retry = CdcIndex.addBatch(b2, "doc_id", "text", idx, 2L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(retry == r2, "a batch retry must be idempotent")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $idx")
   }
 
   test("decontamination counts distinct grams once per doc") {
