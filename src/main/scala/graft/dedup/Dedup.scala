@@ -91,16 +91,21 @@ object Dedup {
     * occurred (see the WARN from this class's logger).
     */
   def boundedBucketPairs(items: DataFrame, bucketCols: Seq[Column],
-                         payload: Column, cap: Int = 1024): DataFrame = {
+                         payload: Column, cap: Int = 1024,
+                         inputCheap: Boolean = false): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
     // `it` has two consumers (the size pass and the salted probe side) and
-    // in every caller the bucket key is the expensive projection of the
-    // whole pipeline (minhash/SRP signature, simhash) — persist so it
-    // computes ONCE; exchange reuse would not cover the two distinct
-    // consumers. The persisted rows are only (bucket, payload) — the
-    // narrow candidate shape, never the documents.
-    val it = items.select(struct(bucketCols: _*).as("__bkt"), payload.as("e"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // in most callers the bucket key is the expensive projection of the
+    // whole pipeline (minhash/SRP signature) — persist so it computes
+    // ONCE; exchange reuse would not cover the two distinct consumers.
+    // The persisted rows are only (bucket, payload) — the narrow
+    // candidate shape, never the documents. `inputCheap` callers (the
+    // simhash family: chunks are a shift+mask over an already-persisted
+    // collapse) skip the persist — recomputing twice inside the one
+    // checkpoint job is cheaper than a cache materialization plus a
+    // blocking unpersist barrier, which at bench scale dominated the row.
+    val itRaw = items.select(struct(bucketCols: _*).as("__bkt"), payload.as("e"))
+    val it = if (inputCheap) itRaw else itRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val oversized = it.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
     val salted = it.join(oversized, Seq("__bkt"), "left_outer")
@@ -120,7 +125,7 @@ object Dedup {
         .agg(collect_list(col("e")).as("es"), min(col("e")).as("rep"),
           first(col("__g")).as("__g"))
         .localCheckpoint(eager = true)
-      finally it.unpersist(blocking = true)
+      finally if (!inputCheap) it.unpersist(blocking = true)
     // hot-bucket degradation is observable: one cheap scan of the
     // checkpointed groups reports how many buckets were capped and how
     // many all-pairs candidates the cap suppressed (replaced by bridges)
@@ -412,7 +417,7 @@ object Dedup {
           shiftrightunsigned(col("sh"), i * bandBits).bitwiseAND(lit(mask)).as("bh"))): _*)).as("c"))
       .select(col("rep"), col("sh"), col("c.band"), col("c.bh"))
     val repPairs = boundedBucketPairs(chunks, Seq(col("band"), col("bh")),
-        struct(col("rep"), col("sh")), bucketCap)
+        struct(col("rep"), col("sh")), bucketCap, inputCheap = true)
       .select(col("a.rep").as("rep_a"), col("a.sh").as("sh_a"),
         col("b.rep").as("rep_b"), col("b.sh").as("sh_b"))
       .distinct()
@@ -465,8 +470,15 @@ object Dedup {
     *    JoinOps.closure). The convergence check rides the SAME action
     *    that materializes the lazy checkpoint (changed-count over the
     *    self-carried previous label), so each iteration costs exactly
-    *    one scheduler barrier. Iterations needed = graph diameter,
-    *    which for near-dup clusters is small (dense cliques-ish). */
+    *    one scheduler barrier. Each iteration ALSO pointer-jumps (every
+    *    node adopts its label's own label), so effective reach doubles
+    *    per round and convergence is O(log diameter), not O(diameter) —
+    *    a 2^20-diameter chain (no real pair graph comes close) fits in
+    *    the default maxIter. Non-convergence within maxIter is therefore
+    *    a genuine anomaly and FAILS LOUDLY: a silent non-minimal
+    *    labelling would split clusters that should merge, and every
+    *    caller of this function feeds an oracle-checked or
+    *    survivor-producing path. */
   def components(pairs: DataFrame, maxIter: Int = 20,
                  driverEdgeBound: Long = ComponentsDriverEdgeBound): DataFrame = {
     import org.apache.spark.sql.types.LongType
@@ -537,19 +549,29 @@ object Dedup {
       // truncates lineage, and returns the changed count in one pass)
       val viaNeighbor = e.join(labels, e("dst") === labels("id"))
         .select(e("src").as("id"), col("label"), lit(false).as("self"))
-      val next = labels.withColumn("self", lit(true)).union(viaNeighbor)
+      val agg = labels.withColumn("self", lit(true)).union(viaNeighbor)
         .groupBy(col("id")).agg(
           min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
+      // pointer jump: adopt the label's OWN label. Labels are always
+      // node ids, a node's label is monotonically non-increasing, and
+      // the jump composes two hops into one — distance to the component
+      // minimum halves each round on top of the one-hop propagation, so
+      // a k-iteration loop reaches minima ~2^k away instead of k.
+      val jmp = agg.select(col("id").as("__jid"), col("label").as("__jlabel"))
+      val next = agg.join(jmp, agg("label") === jmp("__jid"), "left")
+        .select(agg("id"),
+          coalesce(col("__jlabel"), agg("label")).as("label"), col("prev"))
         .localCheckpoint(eager = false)
       converged = next.filter(col("label") < col("prev")).count() == 0L
       labels = next.select(col("id"), col("label"))
       i += 1
     }
-    if (!converged)
-      log.warn(s"components did not converge within maxIter=$maxIter — " +
-        s"labels may be non-minimal for components with diameter > $maxIter " +
-        "(clusters can split where they should merge); raise maxIter")
+    require(converged,
+      s"components did not converge within maxIter=$maxIter iterations — " +
+        "with pointer jumping that means component diameter beyond ~2^" +
+        s"$maxIter or a propagation bug; a silent non-minimal labelling " +
+        "would split clusters, so this path fails rather than warns")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -91,7 +91,16 @@ object SpanDedup {
     * the doc's own bounded (pos, tok) list — documents are the parallel
     * unit, nothing corpus-wide ever sorts). Documents shorter than L
     * tokens, or with no repeats, pass through with n_removed = 0; a
-    * fully-repeated document scrubs to the empty string. */
+    * fully-repeated document scrubs to the empty string.
+    *
+    * COLLISION BUDGET: repeated grams are keyed on xxhash64 of the
+    * joined window, so two DISTINCT grams colliding in 64 bits would
+    * over-scrub (a destructive edit, not just a reported span). With
+    * ~n windows the collision probability is ~n²/2⁶⁵ — negligible at
+    * current corpus sizes, but at a 100 TB run (~10¹² windows ⇒
+    * expected collisions ≈ 10⁴) widen the key to a pair of independent
+    * hashes (xxhash64 with two seeds), or re-verify covered windows
+    * against the raw tokens before dropping them. */
   def scrubCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
                          L: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

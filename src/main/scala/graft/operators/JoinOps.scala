@@ -46,6 +46,47 @@ object JoinOps {
     (toInsert, matched)
   }
 
+  /** Chunked delete with per-id metadata (`db_socket/helpers.py:576-641`
+    * `delete_general` + the reference's DeleteMetadata): given a table
+    * and an ORDERED id list, returns
+    *
+    *  - `remaining`: the table minus the listed ids (one anti-join —
+    *    the ids are a request-sized literal relation, broadcast under
+    *    AQE against the streamed table), and
+    *  - `meta`: one row PER REQUESTED id IN REQUEST ORDER —
+    *    (idx, id, status) with status `deleted` when the id existed and
+    *    `missing` when it did not — the O5 input-order contract applied
+    *    to deletes (the reference reports deleted_idx/missing positions
+    *    against the caller's list). Duplicate requested ids each get
+    *    their own row; only the first can observe `deleted` semantics in
+    *    a real store, but a single batch delete removes all, so every
+    *    occurrence of an existing id reports `deleted` (matching the
+    *    reference's chunked `IN`-delete, where the whole chunk succeeds
+    *    together).
+    */
+  def deleteWithMetadata(table: DataFrame, idCol: String,
+                         ids: Seq[Long]): (DataFrame, DataFrame) = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val req = ids.zipWithIndex.map { case (id, i) => (i.toLong, id) }
+      .toDF("idx", "__del_id")
+    val remaining = table.join(
+      broadcast(req.select(col("__del_id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+    // existence check: semi-join the TABLE down to the request first —
+    // `present` is bounded by the request size, never by the table's
+    // distinct-id count (which is not broadcastable at scale)
+    val present = table.select(col(idCol).as("__del_id"))
+      .join(broadcast(req.select(col("__del_id")).distinct()),
+        Seq("__del_id"), "left_semi")
+      .distinct()
+    val meta = req.join(broadcast(present.withColumn("__hit", lit(true))),
+        Seq("__del_id"), "left")
+      .select(col("idx"), col("__del_id").as(idCol),
+        when(col("__hit"), "deleted").otherwise("missing").as("status"))
+    (remaining, meta)
+  }
+
   /** Skew-safe equi join: the big side is salted into `salts` sub-keys by
     * hashing `spreadCol` (any well-distributed column of the big side);
     * the small side is replicated once per salt, and the join key becomes

@@ -28,6 +28,27 @@ object DedupQueries extends QuerySet {
     d.union(d.withColumn("doc_id", col("doc_id") + COPY_OFFSET))
   }
 
+  /** Session tuning for the simhash pair subtree. After exact-dup
+    * collapse the relation is (rep, 64-bit fingerprint) — a few dozen
+    * bytes per DISTINCT document, orders of magnitude below the corpus —
+    * so its shuffles want few, full partitions. AQE would coalesce to
+    * the same shape but pays a stage-job barrier per shuffle, and this
+    * pipeline has ~10 of them (collapse, size pass, salted collect,
+    * candidate distinct, two member joins, final sort): at bench scale
+    * the barriers WERE the row (measured 19 jobs ≈ 3.4 s vs 9 ≈ 1.9 s
+    * for identical results — r15). A child session encodes the same
+    * sizing decision statically; results are partition-count-invariant
+    * (set-valued pairs, sorted output — the md5 twin hash-pins it) and
+    * the caller's session is never mutated (Verify runs queries
+    * concurrently). */
+  private def simhashSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      math.max(8, s.sparkContext.defaultParallelism / 4).toString)
+    s2
+  }
+
   /** Shared minhash pair set for dd_minhash / dd_survivors, computed ONCE
     * per (session, dir) at the WEAKEST threshold either consumer uses and
     * checkpointed (minhashPairsFromShingles returns an eager
@@ -352,6 +373,23 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // The distributed components loop on a MAXIMUM-diameter pair graph:
+    // consecutive doc_ids chained into one long path (diameter ≈ corpus
+    // size, ~500 at the sf0.01 gate — 25× the iteration budget), forced
+    // through the propagation loop. Converges only because each round
+    // pointer-jumps (O(log diameter)); a one-hop-per-round loop would
+    // blow maxIter and fail loudly. Survivors = exactly the run-starts
+    // (doc_id whose predecessor is absent) — the diameter-1 cliques of
+    // dd_survivors_dist never exercised this regime (the r14 advice).
+    "dd_survivors_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_a") + 1 === col("id_b"))
+      Dedup.survivors(docs, "doc_id", pairs, driverEdgeBound = 0L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // HOT-BUCKET CAP exercised for real: 30% of the corpus gets one
     // shared ~120-token boilerplate body with a unique per-doc tail, so
     // every planted doc is DISTINCT (exact-dup pre-collapse cannot absorb
@@ -383,7 +421,7 @@ object DedupQueries extends QuerySet {
     // exact-dup collapse + bucket-collect (see Dedup.simhashPairs).
     // No SQL oracle (FNV/simhash is engine-specific).
     "dd_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(doubled(s, dir), "doc_id", "text",
+      Dedup.simhashPairs(doubled(simhashSession(s), dir), "doc_id", "text",
           bands = 4, maxHamming = 4L)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -399,7 +437,8 @@ object DedupQueries extends QuerySet {
     // planted +1000000 exact copy → guaranteed hamming-0 pairs in both
     // engines on top of any natural near-dups.
     "dd_simhash_md5" -> ((s, dir) => {
-      val docs = doubled(s, dir).filter(col("doc_id") % COPY_OFFSET < 300)
+      val docs = doubled(simhashSession(s), dir)
+        .filter(col("doc_id") % COPY_OFFSET < 300)
       Dedup.simhashPairsPortable(docs, "doc_id", "text",
           bands = 4, maxHamming = 4L)
         .orderBy(col("id_a"), col("id_b"))
@@ -602,6 +641,14 @@ object DedupQueries extends QuerySet {
         |SELECT doc_id
         |FROM batch
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // chain components: a doc survives iff it starts a run of
+    // consecutive ids (its component minimum)
+    "dd_survivors_chain" ->
+      """SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents p WHERE p.doc_id = d.doc_id - 1)
         |ORDER BY doc_id""".stripMargin,
 
     // Same md5 pipeline as dd_minhash_md5 at threshold 0.9, then

@@ -417,6 +417,105 @@ object RecordsShaped extends QuerySet {
         .orderBy(col("parent"), col("status"))
     }),
 
+    // J18 — dataset copy/clone (`base_dataset_socket.py:1652-1872`):
+    // copy_from(src=1, dst=2, copy_records) = specs + entries + record
+    // links. Dataset 2 already holds specs s0/s1 under the SAME
+    // specification_id (the benign re-copy case — skipped by the
+    // (name, id) anti-join) plus its own s5 and f-entries, so the row
+    // checks all three copy semantics at once: spec skip-on-same-id,
+    // entry copy, and record-link rewrite WITHOUT record duplication
+    // (both datasets point at the same record ids afterwards). Output
+    // is the full post-copy state of all three tables tagged by kind.
+    "j18_dataset_clone" -> ((s, dir) => {
+      import graft.records.DatasetOps
+      val part = t(s, dir, "part")
+      val region = t(s, dir, "region")
+      val entries = part.filter(col("p_partkey") < 100)
+        .select(lit(1L).as("dataset_id"),
+          concat(lit("e"), col("p_partkey")).as("name"),
+          col("p_partkey").cast("long").as("molecule_id"))
+        .unionByName(part.filter(col("p_partkey") < 20)
+          .select(lit(2L).as("dataset_id"),
+            concat(lit("f"), col("p_partkey")).as("name"),
+            col("p_partkey").cast("long").as("molecule_id")))
+      val specs = region
+        .select(lit(1L).as("dataset_id"),
+          concat(lit("s"), col("r_regionkey")).as("name"),
+          (col("r_regionkey") + 10).cast("long").as("specification_id"))
+        .unionByName(region.filter(col("r_regionkey") < 2)
+          .select(lit(2L).as("dataset_id"),
+            concat(lit("s"), col("r_regionkey")).as("name"),
+            (col("r_regionkey") + 10).cast("long").as("specification_id")))
+        .unionByName(region.filter(col("r_regionkey") === 0)
+          .select(lit(2L).as("dataset_id"), lit("s5").as("name"),
+            lit(15L).as("specification_id")))
+      val items = part.filter(col("p_partkey") < 100).crossJoin(region)
+        .filter((col("p_partkey") + col("r_regionkey")) % 3 === 0)
+        .select(lit(1L).as("dataset_id"),
+          concat(lit("e"), col("p_partkey")).as("entry_name"),
+          concat(lit("s"), col("r_regionkey")).as("specification_name"),
+          (col("r_regionkey") * 1000 + col("p_partkey")).cast("long").as("record_id"))
+        .unionByName(part.filter(col("p_partkey") < 20)
+          .select(lit(2L).as("dataset_id"),
+            concat(lit("f"), col("p_partkey")).as("entry_name"),
+            lit("s5").as("specification_name"),
+            (col("p_partkey") + 5000).cast("long").as("record_id")))
+      val (e2, s2, i2) = DatasetOps.copyFrom(entries, specs, items,
+        srcId = 1L, dstId = 2L, copyRecords = true)
+      e2.select(lit("entry").as("kind"), col("dataset_id"), col("name"),
+          col("molecule_id").as("ref_id"))
+        .unionByName(s2.select(lit("spec").as("kind"), col("dataset_id"),
+          col("name"), col("specification_id").as("ref_id")))
+        .unionByName(i2.select(lit("item").as("kind"), col("dataset_id"),
+          concat(col("entry_name"), lit("/"), col("specification_name")).as("name"),
+          col("record_id").as("ref_id")))
+        .orderBy(col("kind"), col("dataset_id"), col("name"), col("ref_id"))
+    }),
+
+    // J19 — access-log geo enrichment (`serverinfo/socket.py:215-280`):
+    // the maxmind-style [ip_lo, ip_hi] → (country, subdivision) lookup
+    // as a broadcast HASH join on prefix buckets (AccessGeo.splitByPrefix
+    // — never a nested-loop range join), then the reference's
+    // country/subdivision access summary over the enriched rows. The
+    // 25-nation range table tiles the full ip space, so every access
+    // resolves (the uncovered-ip NULL path is unit-tested instead:
+    // Spark and DuckDB disagree on NULL sort order).
+    "j19_geo_enrich" -> ((s, dir) => {
+      import graft.records.AccessGeo
+      val RANGE = 171798691L // ceil(2^32 / 25)
+      val geo = t(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * RANGE).as("ip_lo"),
+        when(col("n_nationkey") === 24, lit(4294967295L))
+          .otherwise(col("n_nationkey").cast("long") * RANGE + (RANGE - 1))
+          .as("ip_hi"),
+        col("n_name").as("country_code"),
+        concat(lit("r"), col("n_regionkey")).as("subdivision"))
+      val enriched = AccessGeo.geoEnrich(t(s, dir, "events"),
+        pmod(col("user_id") * 2654435761L, lit(4294967296L)),
+        AccessGeo.splitByPrefix(geo, prefixBits = 12), prefixBits = 12)
+      enriched.groupBy(col("country_code"), col("subdivision"))
+        .agg(count(lit(1)).as("n_accesses"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("country_code"), col("subdivision"))
+    }),
+
+    // O6 — chunked delete with per-id metadata (`db_socket/helpers.py:576`
+    // delete_general): request-ordered (idx, id, deleted|missing) rows —
+    // the O5 input-order contract applied to deletes — with the
+    // post-delete row count carried on every row so one hash gate pins
+    // both the metadata and the delete itself. The request list mixes
+    // present ids, absent ids, and a duplicate.
+    "o6_delete_meta" -> ((s, dir) => {
+      import graft.operators.JoinOps
+      val ids = Seq(1L, 7L, 999999999L, 32L, 7L, 5L, 4L)
+      val (remaining, meta) = JoinOps.deleteWithMetadata(
+        t(s, dir, "orders").select(col("o_orderkey").as("record_id")),
+        "record_id", ids)
+      meta.crossJoin(remaining.agg(count(lit(1)).as("n_remaining")))
+        .orderBy(col("idx"))
+    }),
+
     // ST2 — service-iteration decision per service over dependency statuses.
     "st2_service_decision" -> ((s, dir) => {
       val deps = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
@@ -429,6 +528,99 @@ object RecordsShaped extends QuerySet {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // independent replay of copy_from: the spec copy's (name, id)
+    // anti-join via NOT EXISTS, entries and record links as plain
+    // insert-selects re-keyed to dataset 2
+    "j18_dataset_clone" ->
+      """WITH entries AS (
+        |  SELECT 1 AS dataset_id, 'e' || CAST(p_partkey AS VARCHAR) AS name,
+        |         p_partkey AS molecule_id
+        |  FROM part WHERE p_partkey < 100
+        |  UNION ALL
+        |  SELECT 2, 'f' || CAST(p_partkey AS VARCHAR), p_partkey
+        |  FROM part WHERE p_partkey < 20),
+        |specs AS (
+        |  SELECT 1 AS dataset_id, 's' || CAST(r_regionkey AS VARCHAR) AS name,
+        |         r_regionkey + 10 AS specification_id
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 2, 's' || CAST(r_regionkey AS VARCHAR), r_regionkey + 10
+        |  FROM region WHERE r_regionkey < 2
+        |  UNION ALL
+        |  SELECT 2, 's5', 15 FROM region WHERE r_regionkey = 0),
+        |items AS (
+        |  SELECT 1 AS dataset_id, 'e' || CAST(p_partkey AS VARCHAR) AS entry_name,
+        |         's' || CAST(r_regionkey AS VARCHAR) AS specification_name,
+        |         r_regionkey * 1000 + p_partkey AS record_id
+        |  FROM part, region
+        |  WHERE p_partkey < 100 AND (p_partkey + r_regionkey) % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'f' || CAST(p_partkey AS VARCHAR), 's5', p_partkey + 5000
+        |  FROM part WHERE p_partkey < 20),
+        |alle AS (
+        |  SELECT * FROM entries
+        |  UNION ALL
+        |  SELECT 2, name, molecule_id FROM entries WHERE dataset_id = 1),
+        |alls AS (
+        |  SELECT * FROM specs
+        |  UNION ALL
+        |  SELECT 2, s.name, s.specification_id FROM specs s
+        |  WHERE s.dataset_id = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM specs d
+        |    WHERE d.dataset_id = 2 AND d.name = s.name
+        |      AND d.specification_id = s.specification_id)),
+        |alli AS (
+        |  SELECT * FROM items
+        |  UNION ALL
+        |  SELECT 2, entry_name, specification_name, record_id
+        |  FROM items WHERE dataset_id = 1)
+        |SELECT kind, CAST(dataset_id AS BIGINT) AS dataset_id, name,
+        |       CAST(ref_id AS BIGINT) AS ref_id
+        |FROM (
+        |  SELECT 'entry' AS kind, dataset_id, name, molecule_id AS ref_id FROM alle
+        |  UNION ALL
+        |  SELECT 'spec', dataset_id, name, specification_id FROM alls
+        |  UNION ALL
+        |  SELECT 'item', dataset_id,
+        |         entry_name || '/' || specification_name, record_id FROM alli)
+        |ORDER BY kind, dataset_id, name, ref_id""".stripMargin,
+
+    "j19_geo_enrich" ->
+      """WITH geo AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) * 171798691 AS ip_lo,
+        |    CASE WHEN n_nationkey = 24 THEN 4294967295
+        |         ELSE CAST(n_nationkey AS BIGINT) * 171798691 + 171798690
+        |    END AS ip_hi,
+        |    n_name AS country_code,
+        |    'r' || CAST(n_regionkey AS VARCHAR) AS subdivision
+        |  FROM nation),
+        |acc AS (
+        |  SELECT user_id, value,
+        |    (user_id * 2654435761) % 4294967296 AS ip
+        |  FROM events)
+        |SELECT g.country_code, g.subdivision,
+        |  CAST(COUNT(*) AS BIGINT) AS n_accesses,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(a.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM acc a JOIN geo g ON a.ip BETWEEN g.ip_lo AND g.ip_hi
+        |GROUP BY g.country_code, g.subdivision
+        |ORDER BY country_code, subdivision""".stripMargin,
+
+    "o6_delete_meta" ->
+      """WITH req(idx, record_id) AS (VALUES
+        |    (0, 1), (1, 7), (2, 999999999), (3, 32), (4, 7), (5, 5), (6, 4)),
+        |present AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderkey IN (SELECT record_id FROM req))
+        |SELECT CAST(r.idx AS BIGINT) AS idx,
+        |  CAST(r.record_id AS BIGINT) AS record_id,
+        |  CASE WHEN p.o_orderkey IS NOT NULL
+        |    THEN 'deleted' ELSE 'missing' END AS status,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT IN (SELECT record_id FROM req)) AS n_remaining
+        |FROM req r LEFT JOIN present p ON p.o_orderkey = r.record_id
+        |ORDER BY idx""".stripMargin,
+
     "a5_type_status_matrix" ->
       """SELECT 'type' || CAST(o_orderkey % 3 AS VARCHAR) AS record_type,
         |  CASE o_orderstatus WHEN 'F' THEN 'complete'

@@ -325,4 +325,12 @@ class PlanSpec extends SparkSuite {
       "the read-back must scan the shard-partitioned layout " +
         "(partition pruning available to downstream readers)")
   }
+
+  test("geo enrichment: broadcast HASH join on prefix buckets, never a nested loop") {
+    val p = plan("j19_geo_enrich")
+    assert(p.contains("BroadcastHashJoin"),
+      "prefix-split geo lookup must probe as a broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a raw range join would nested-loop every access row over every range")
+  }
 }

@@ -115,9 +115,52 @@ def annotate(cur_path, prev_path):
           f"{med and round(med, 3)}")
 
 
+def gate(cur_path, base_path):
+    """Regression GATE against a recorded baseline (exit 1 on breach).
+
+    Sentinel-normalized like everything else here. Thresholds are
+    deliberately loose — the gate exists to catch structural
+    regressions at scale (a shuffle shape change, a lost index path),
+    not host drift: a row breaches only when its normalized ratio
+    exceeds 3x AND it got at least 1 s slower; the suite breaches when
+    the normalized common-row total exceeds 1.5x. Rows added after the
+    baseline was recorded are reported but never gate (re-record the
+    baseline to cover them)."""
+    cur, base = load_queries(cur_path), load_queries(base_path)
+    common = [k for k in set(base) & set(cur) if base[k] > 0 and cur[k] > 0]
+    if not common:
+        print(f"GATE FAIL: no common queries between {cur_path} and {base_path}")
+        sys.exit(1)
+    drift = sentinel_drift(cur, base) or 1.0
+    bad = []
+    for k in sorted(common):
+        rn = cur[k] / base[k] / drift
+        if rn > 3.0 and cur[k] - base[k] > 1.0:
+            bad.append(f"  GATE REG {k}: {base[k]:.2f}s -> {cur[k]:.2f}s "
+                       f"(norm x{rn:.2f})")
+    tb, tc = sum(base[k] for k in common), sum(cur[k] for k in common)
+    total_rn = tc / tb / drift
+    if total_rn > 1.5:
+        bad.append(f"  GATE REG total: {tb:.1f}s -> {tc:.1f}s (norm x{total_rn:.2f})")
+    uncovered = sorted(set(cur) - set(base))
+    if uncovered:
+        print(f"gate note: {len(uncovered)} row(s) not in baseline "
+              f"(re-record to cover): {', '.join(uncovered[:8])}"
+              + (" ..." if len(uncovered) > 8 else ""))
+    print(f"gate: {len(common)} common rows vs {base_path}, sentinel drift "
+          f"x{drift:.2f}, normalized total x{total_rn:.2f}, "
+          f"{len(bad)} breach(es)")
+    for b in bad:
+        print(b)
+    sys.exit(1 if bad else 0)
+
+
 def main():
     if sys.argv[1:2] == ["--annotate"]:
         annotate(sys.argv[2], sys.argv[3])
+        return
+    if sys.argv[1:2] == ["--gate"]:
+        gate(sys.argv[2], sys.argv[3])
         return
     cur = json.load(open("bench_full.json"))["queries"]
     others = sys.argv[1:] or sorted(glob.glob("BENCH_r0*.json"))

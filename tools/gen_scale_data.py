@@ -182,11 +182,21 @@ def gen(out, factor):
     write(out, "lineitem", batches_lineitem())
 
     def batches_events():
+        # each chunk owns a DISJOINT proportional slice of the 30-day
+        # span (sorted within the chunk), so the table is GLOBALLY
+        # time-ordered at any factor — sf0.1 is one chunk and therefore
+        # globally sorted, and a faithful scale-up must keep the natural
+        # time clustering (row-group min/max pruning, sessionization
+        # shuffle shapes) rather than interleave 2M-row windows that
+        # each span the whole month. factor 1 reproduces the old bytes
+        # exactly (single chunk -> slice == full span).
         for off, m in chunked(n_ev):
             r = np.random.default_rng((6, off))
+            lo = int(EV_SPAN_US) * off // n_ev
+            hi = int(EV_SPAN_US) * (off + m) // n_ev
             yield {
                 "event_id": np.arange(off, off + m, dtype=np.int64),
-                "ts": (EV_T0_US + np.sort(r.integers(0, EV_SPAN_US, m))
+                "ts": (EV_T0_US + lo + np.sort(r.integers(0, hi - lo, m))
                        ).astype("datetime64[us]"),
                 "user_id": r.integers(0, n_user, m),
                 "event_type": np.array(ETYPES)[r.integers(0, 5, m)],
