@@ -88,29 +88,57 @@ object NearestCellExpr {
     java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** round9(x) can undershoot x by at most half an ulp of 1e-9 (HALF_UP)
+    * plus the decimal-representation slop of BigDecimal.valueOf (< one
+    * binary ulp, ~1e-13 at these magnitudes). Any raw distance more than
+    * this above the current best ROUNDED distance therefore cannot round
+    * below it — 1e-8 is 20x the true bound. */
+  private final val RoundSlack = 1e-8
+
   /** Static helper invoked from both interpreted eval and generated
     * code. Left-to-right accumulation per centroid, argmin on the
-    * ROUNDED distance with strict < (first minimum wins). */
+    * ROUNDED distance with strict < (first minimum wins).
+    *
+    * Two monotonicity-exact prunes keep BigDecimal out of the hot loop
+    * (round9 per (row, centroid) was 90M BigDecimal scalings per assign
+    * pass at the sf10 rehearsal — the whole fit cost):
+    *  - partial-distance break: squares only add, so once the partial
+    *    sum exceeds bestD + slack the centroid cannot win;
+    *  - round-only-contenders: round9 is monotone and undershoots by
+    *    < slack, so a full distance above bestD + slack cannot round
+    *    below bestD. Both leave the chosen cell and the emitted rounded
+    *    d2 BIT-IDENTICAL to the unpruned scan (HOF parity pinned in
+    *    CodegenSpec; the Lloyd-replay oracles hash-pin it end to end). */
   def compute(arr: ArrayData, cent: Array[Double], k: Int, d: Int,
               isFloat: Boolean): InternalRow = {
     if (arr.numElements() != d)
       throw new IllegalArgumentException(
         s"nearest_cell: vector length ${arr.numElements()} != centroid dim $d")
+    // pull the vector out of ArrayData once: getDouble/getFloat per
+    // (centroid, dim) re-dispatches through the ArrayData vtable k times
+    val v = new Array[Double](d)
+    var p = 0
+    while (p < d) {
+      v(p) = if (isFloat) arr.getFloat(p).toDouble else arr.getDouble(p)
+      p += 1
+    }
     var bestD = Double.MaxValue
     var bestJ = -1
     var j = 0
     while (j < k) {
       val base = j * d
+      val cut = if (bestJ < 0) Double.MaxValue else bestD + RoundSlack
       var acc = 0.0
       var i = 0
-      while (i < d) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val diff = x - cent(base + i)
+      while (i < d && acc <= cut) {
+        val diff = v(i) - cent(base + i)
         acc += diff * diff
         i += 1
       }
-      val r = round9(acc)
-      if (r < bestD) { bestD = r; bestJ = j }
+      if (i == d && acc <= cut) {
+        val r = round9(acc)
+        if (r < bestD) { bestD = r; bestJ = j }
+      }
       j += 1
     }
     new GenericInternalRow(Array[Any](bestJ, bestD))

@@ -113,10 +113,20 @@ object PqKernels {
     java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** round9 can undershoot its argument by at most half an ulp of 1e-9
+    * (HALF_UP) plus BigDecimal.valueOf's shortest-decimal slop — 1e-8 is
+    * 20x that bound (the [[NearestCellExpr.compute]] prune). */
+  private final val RoundSlack = 1e-8
+
   /** Static helper invoked from both interpreted eval and generated
     * code. Left-to-right accumulation per (sub-space, codeword), argmin
     * on the ROUNDED distance with strict < (ties keep the lowest code —
-    * array_position-on-first-minimum semantics). */
+    * array_position-on-first-minimum semantics). Candidates whose raw
+    * distance exceeds best + RoundSlack cannot round below the best, so
+    * only contenders pay the BigDecimal round — m·ks rounds per row
+    * (512 at the shipped m=16, ks=32) collapse to ~m·log(ks). Chosen
+    * codes and emitted values are bit-identical to the unpruned scan
+    * (HOF parity pinned in PqSpec). */
   def encode(arr: ArrayData, cb: Array[Double], m: Int, ks: Int, d: Int,
              isFloat: Boolean): ArrayData = {
     val out = new Array[Int](m)
@@ -127,17 +137,20 @@ object PqKernels {
       var k = 0
       while (k < ks) {
         val base = (mi * ks + k) * d
+        val cut = if (bestK < 0) Double.MaxValue else bestD + RoundSlack
         var acc = 0.0
         var i = 0
-        while (i < d) {
+        while (i < d && acc <= cut) {
           val x = if (isFloat) arr.getFloat(mi * d + i).toDouble
                   else arr.getDouble(mi * d + i)
           val diff = x - cb(base + i)
           acc += diff * diff
           i += 1
         }
-        val r = round9(acc)
-        if (r < bestD) { bestD = r; bestK = k }
+        if (i == d && acc <= cut) {
+          val r = round9(acc)
+          if (r < bestD) { bestD = r; bestK = k }
+        }
         k += 1
       }
       out(mi) = bestK

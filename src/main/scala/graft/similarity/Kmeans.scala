@@ -77,20 +77,54 @@ object Kmeans {
       .drop("__ds")
   }
 
+  /** Catalyst round(x, 6) replicated exactly (BigDecimal.valueOf,
+    * HALF_UP) — the driver-side mean finisher of [[lloydStep]]. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** One Lloyd update: decimal-exact per-dimension means of the assigned
     * corpus; cells with no members keep their previous centroid.
     *
     * Shape: ONE hash aggregate keyed on `cell` whose buffer is `dim`
-    * decimal sums + a count — map-side partial combine reduces each
-    * input partition to ≤k rows of (k · dim) decimals before the
-    * shuffle, so the exchange moves O(k · dim · partitions) scalars
-    * regardless of corpus size. (The previous form posexploded the
-    * corpus ×dim and shuffled n·dim scalar rows per iteration — 12.8M
-    * rows at sf10.) Decimal sums are order-independent, so regrouping
-    * from (cell, pos) to (cell) leaves every mean bit-identical; the
-    * mean itself keeps the exact original arithmetic:
-    * round(sum(decimal).cast(double) / count, 6). */
+    * LONG sums + a count — map-side partial combine reduces each input
+    * partition to ≤k rows before the shuffle, so the exchange moves
+    * O(k · dim · partitions) scalars regardless of corpus size. The
+    * decimal terms ride as unscaled longs ([[graft.functions.RoundScaledLongs]]:
+    * round(x, 6)·10⁶ in one native pass per row), because fixed-scale
+    * decimal addition IS long addition — the Decimal(28,6)-buffered
+    * aggregate this replaces spent ~12 s/iteration in per-row BigDecimal
+    * adds at the 100× rehearsal, vs ~1 s for the long form. The mean
+    * finisher reproduces the original arithmetic digit for digit:
+    * BigDecimal(Σ, 6).doubleValue ≡ Decimal(28,6).cast(double), then
+    * double-divide by the count and Catalyst round(,6) — so every
+    * centroid (and every downstream Lloyd-replay oracle hash) is
+    * unchanged. Parity with the decimal-aggregate reference form is
+    * pinned in KmeansSpec ([[lloydStepDecimalRef]]). */
   def lloydStep(assigned: DataFrame, prev: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val dim = prev.head.length
+    val scaled = assigned.select(col("cell"),
+      graft.functions.RoundScaledLongs(col("c_vec"), 6).as("__rs"))
+    val sums = (0 until dim).map(j =>
+      sum(element_at(col("__rs"), j + 1)).as(s"__s$j"))
+    val means = scaled
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> (0 until dim).map { j =>
+          round6(java.math.BigDecimal.valueOf(r.getLong(2 + j), 6)
+            .doubleValue() / n)
+        }
+      }.toMap
+    prev.indices.map(j => means.getOrElse(j, prev(j)))
+  }
+
+  /** The decimal-aggregate reference form of [[lloydStep]] — kept as the
+    * cross-check (the assignHof discipline): identical means, Decimal
+    * sum buffers instead of scaled longs. */
+  private[graft] def lloydStepDecimalRef(assigned: DataFrame,
+                                         prev: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val dim = prev.head.length
     val sums = (0 until dim).map(j =>
       sum(round(element_at(col("c_vec"), j + 1), 6).cast(DecimalType(18, 6)))

@@ -147,12 +147,26 @@ object TextFunctions {
     * fixed-size chunking (see [[chunkTokens]]) fundamentally cannot do,
     * and it is why storage/dedup systems chunk this way: shared passages
     * dedup at chunk granularity even when their byte offsets differ.
-    * Mean chunk length ≈ `modulus` tokens. Everything is bounded per-doc
-    * HOFs over codegen'd built-ins; the md5-mod cut rule is replayed
-    * exactly by the SQL oracle. Returns a fingerprint array (md5 of the
-    * chunk's tokens joined on U+001F). */
+    * Mean chunk length ≈ `modulus` tokens. The md5-mod cut rule is
+    * replayed exactly by the SQL oracle. Returns a fingerprint array
+    * (md5 of the chunk's tokens joined on U+001F).
+    *
+    * Production form: ONE native pass per document
+    * ([[graft.functions.CdcChunkFp]] — a reused MessageDigest streamed
+    * per position, no per-position expression interpretation). The HOF
+    * fold below ([[cdcChunkFingerprintsHof]]) is the composable
+    * reference form, kept as the cross-check (the Kmeans.assignHof
+    * discipline): equality is pinned by a property sweep in
+    * CurationSpec and by the family's hash oracles. At the 100×
+    * rehearsal the interpreted fold WAS the `tx_cdc_chunks` row (~82 s)
+    * and both chunking passes of `dd_cdc_incremental`. */
   def cdcChunkFingerprints(toks: Column, window: Int = 3,
-                           modulus: Int = 8): Column = {
+                           modulus: Int = 8): Column =
+    graft.functions.CdcChunkFp(toks, window, modulus)
+
+  /** The HOF-fold reference form of [[cdcChunkFingerprints]]. */
+  def cdcChunkFingerprintsHof(toks: Column, window: Int = 3,
+                              modulus: Int = 8): Column = {
     val sep = "\u001F"
     // ONE left fold over token positions: append the token to the open
     // chunk, test the trailing-window cut, emit-and-reset on a cut.

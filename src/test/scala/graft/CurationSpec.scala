@@ -59,6 +59,40 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("native cdc kernel ≡ HOF reference fold on a seeded random sweep") {
+    import graft.text.TextFunctions
+    // the production CdcChunkFp expression and the composable HOF form
+    // must agree across the real input domain: wsTokens always yields
+    // >= 1 token (whitespace-only text tokenizes to [""]), so lengths
+    // sweep 1..40 straddling the window, with empty-string tokens and
+    // repeated tokens (boundary-hash collisions on purpose). The HOF's
+    // sequence(1, size) is descending on a zero-length array — an input
+    // no tokenizer produces; the native kernel returns [] there
+    // (asserted below), which is the sane extension.
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val toks = (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => ""
+          case k => s"w${rnd.nextInt(k * 7 + 1)}"
+        }
+      }
+      (i.toLong, toks)
+    }.toDF("id", "toks")
+    val both = docs.select(col("id"),
+        TextFunctions.cdcChunkFingerprints(col("toks")).as("native"),
+        TextFunctions.cdcChunkFingerprintsHof(col("toks")).as("hof"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, n, h) =>
+      assert(n == h, s"doc $id: native $n != hof $h")
+    }
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(TextFunctions.cdcChunkFingerprints(col("toks")).as("fps"))
+      .as[Seq[String]].head
+    assert(empty.isEmpty, "a zero-length token array yields zero chunks")
+  }
+
   test("cdc chunking re-synchronizes after an insertion; fixed chunking cannot") {
     import graft.text.TextFunctions
     val base = (1 to 200).map(i => s"w$i").mkString(" ")

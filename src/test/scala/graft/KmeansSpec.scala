@@ -44,6 +44,28 @@ class KmeansSpec extends SparkSuite {
     assert(i2 < i0, "two iterations should strictly improve on the pivot init")
   }
 
+  test("scaled-long lloydStep ≡ the decimal-aggregate reference form") {
+    // the production long-sum form and the Decimal(18,6)-buffered
+    // reference must produce bit-identical centroids on real vectors
+    // (fixed-scale decimal addition IS long addition; the mean finisher
+    // replays the same BigDecimal→double→round chain)
+    val cent0 = Kmeans.pivotInit(corpus, 8)
+    val asg = Kmeans.assign(corpus, cent0)
+    val fast = Kmeans.lloydStep(asg, cent0)
+    val ref = Kmeans.lloydStepDecimalRef(asg, cent0)
+    assert(fast === ref)
+    // adversarial magnitudes: values whose round6 sits on a half-up
+    // boundary in decimal but not in binary (0.0000005 is 4.99…e-7 as a
+    // double; BigDecimal.valueOf sees the decimal shortest form)
+    val tricky = Seq(
+      (1L, Seq(0.0000005, -0.0000005)), (2L, Seq(0.1234565, 2.5e-7)),
+      (3L, Seq(1e-7, 0.9999995)), (4L, Seq(-0.1234565, 123.4567894)))
+      .toDF("vec_id", "c_vec")
+    val c0 = Seq(Seq(0.0, 0.0), Seq(100.0, 100.0))
+    val asg2 = Kmeans.assign(tricky, c0)
+    assert(Kmeans.lloydStep(asg2, c0) === Kmeans.lloydStepDecimalRef(asg2, c0))
+  }
+
   test("update means are exact on a hand-computed fixture") {
     // two well-separated 2-dim groups; k=2 pivots fall one in each
     val rows = Seq(
