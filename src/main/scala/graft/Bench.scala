@@ -167,9 +167,15 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson = sentinel.map(fmt).mkString("[", ",", "]")
     val repWallJson = repWall.map(fmt).mkString("[", ",", "]")
+    // freshness stamp: the src/main digest of the binary that PRODUCED
+    // the numbers. BenchArtifactSpec compares it against the working
+    // tree so a source change makes a committed artifact loudly stale
+    // (the key-set check alone can't see value staleness).
+    val srcDigest = try SrcDigest.current catch { case _: Throwable => "unknown" }
     val fullJson = json.dropRight(1) +
       s""","reps":$reps,"failed":$failedJson""" +
       s""","sentinel":{"name":"$sentinelName","series":$sentinelJson},"rep_wall":$repWallJson""" +
+      s""","src_digest":"$srcDigest"""" +
       s""","spread":$spreadJson}"""
     // the driver's recorded stdout tail truncates around 2000 chars — far
     // less than the full per-query line — so persist the full JSON to a

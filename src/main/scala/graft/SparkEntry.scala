@@ -23,6 +23,7 @@ object SparkEntry {
     RelationalExtended,
     PivotAnalytics,
     RecordsShaped,
+    ProjectQueries,
     SourcesSinks,
     MoleculeQueries,
     SkewSafe,

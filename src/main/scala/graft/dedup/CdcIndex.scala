@@ -32,9 +32,14 @@ import graft.text.TextFunctions
   *
   * Idempotency mirrors the other persistent indexes: reads exclude the
   * current batchId's partition (partition-pruned off disk) and the
-  * commit replaces exactly that partition via `INSERT OVERWRITE` under
-  * dynamic partitionOverwriteMode, so a foreachBatch retry converges
-  * and scoring never sees a partial earlier attempt of itself.
+  * commit replaces exactly that partition via a STATIC-partition
+  * `INSERT OVERWRITE ... PARTITION (batch=<id>)`, so a foreachBatch
+  * retry converges and scoring never sees a partial earlier attempt of
+  * itself. A static partition spec overwrites only the named partition
+  * under EITHER partitionOverwriteMode, so the commit never mutates the
+  * caller's shared session conf (a dynamic-mode `conf.set` here would
+  * silently change truncate-all → dynamic semantics for any concurrent
+  * partitioned overwrite on the same session).
   */
 object CdcIndex {
 
@@ -52,7 +57,6 @@ object CdcIndex {
   def addBatch(docs: DataFrame, idCol: String, textCol: String,
                base: String, batchId: Long, buckets: Int = 8): DataFrame = {
     val spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val ch = chunks(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -67,11 +71,16 @@ object CdcIndex {
       val novel = ch.join(known, Seq("fp"), "left_anti")
         .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
       val all = ch.groupBy(col("__id")).agg(count(lit(1)).as("n_chunks"))
-      // commit replaces exactly batch=<id>; the scoring join below reads
-      // around it, so the batch's own fps never count against itself
-      ch.select(col("fp")).distinct()
-        .withColumn("batch", lit(batchId))
-        .write.mode("overwrite").insertInto(base)
+      // commit replaces exactly batch=<id> (STATIC partition spec — no
+      // session-wide overwrite-mode mutation); the scoring join above
+      // reads around it, so the batch's own fps never count against itself
+      val tmp = "cdc_commit_" +
+        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      ch.select(col("fp")).distinct().createOrReplaceTempView(tmp)
+      try spark.sql(
+        s"INSERT OVERWRITE TABLE $base PARTITION (batch=$batchId) " +
+          s"SELECT fp FROM $tmp")
+      finally spark.catalog.dropTempView(tmp)
       all.join(novel, Seq("__id"), "left")
         .select(col("__id").as(idCol), col("n_chunks"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"))

@@ -89,11 +89,18 @@ object NearestCellExpr {
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** round9(x) can undershoot x by at most half an ulp of 1e-9 (HALF_UP)
-    * plus the decimal-representation slop of BigDecimal.valueOf (< one
-    * binary ulp, ~1e-13 at these magnitudes). Any raw distance more than
-    * this above the current best ROUNDED distance therefore cannot round
-    * below it — 1e-8 is 20x the true bound. */
+    * plus the decimal-representation slop of BigDecimal.valueOf, which is
+    * bounded by the BINARY ulp of x — NOT an absolute constant, so the
+    * slack must scale with the magnitude of the best distance (at
+    * acc ≳ 4e7 the ulp alone exceeds 1e-8). The prune cut is therefore
+    * bestD + RoundSlack + 2·ulp(bestD): the fixed 1e-8 covers the decimal
+    * rounding step with 20x margin and the ulp term covers valueOf's
+    * representation slop at any magnitude. */
   private final val RoundSlack = 1e-8
+
+  /** Magnitude-aware prune cut (see [[RoundSlack]]). */
+  private def pruneCut(bestD: Double): Double =
+    bestD + RoundSlack + 2.0 * Math.ulp(bestD)
 
   /** Static helper invoked from both interpreted eval and generated
     * code. Left-to-right accumulation per centroid, argmin on the
@@ -127,7 +134,7 @@ object NearestCellExpr {
     var j = 0
     while (j < k) {
       val base = j * d
-      val cut = if (bestJ < 0) Double.MaxValue else bestD + RoundSlack
+      val cut = if (bestJ < 0) Double.MaxValue else pruneCut(bestD)
       var acc = 0.0
       var i = 0
       while (i < d && acc <= cut) {

@@ -114,9 +114,15 @@ object PqKernels {
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** round9 can undershoot its argument by at most half an ulp of 1e-9
-    * (HALF_UP) plus BigDecimal.valueOf's shortest-decimal slop — 1e-8 is
-    * 20x that bound (the [[NearestCellExpr.compute]] prune). */
+    * (HALF_UP) plus BigDecimal.valueOf's shortest-decimal slop, which is
+    * bounded by the BINARY ulp of the argument — magnitude-dependent, so
+    * the prune cut adds 2·ulp(bestD) on top of this fixed budget (same
+    * analysis as [[graft.functions.NearestCellExpr]]'s prune). */
   private final val RoundSlack = 1e-8
+
+  /** Magnitude-aware prune cut (see [[RoundSlack]]). */
+  private def pruneCut(bestD: Double): Double =
+    bestD + RoundSlack + 2.0 * Math.ulp(bestD)
 
   /** Static helper invoked from both interpreted eval and generated
     * code. Left-to-right accumulation per (sub-space, codeword), argmin
@@ -137,7 +143,7 @@ object PqKernels {
       var k = 0
       while (k < ks) {
         val base = (mi * ks + k) * d
-        val cut = if (bestK < 0) Double.MaxValue else bestD + RoundSlack
+        val cut = if (bestK < 0) Double.MaxValue else pruneCut(bestD)
         var acc = 0.0
         var i = 0
         while (i < d && acc <= cut) {

@@ -253,21 +253,32 @@ object DedupQueries extends QuerySet {
     // engine-portable end to end.
     "dd_cdc_incremental" -> ((s, dir) => {
       import graft.dedup.CdcIndex
-      // per-sf table namespace, dropped before each run. DROP alone is
+      // per-sf AND per-RUN table namespace (applicationId suffix, the
+      // runScratch discipline): the query DROPs the table and recursively
+      // deletes its warehouse dir up front, so a dataset-only name would
+      // let two concurrent harness runs clobber each other. DROP alone is
       // not enough: the warehouse directory persists across JVMs and a
       // leftover location fails saveAsTable with LOCATION_ALREADY_EXISTS
       // (the dd_bucketed_incremental cleanup contract).
-      val idx = "cdcidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      s.sql(s"DROP TABLE IF EXISTS $idx")
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val whp = new org.apache.hadoop.fs.Path(s"$wh/$idx")
-      whp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whp, true)
+      val idx = "cdcidx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      def dropIdx(): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $idx")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val whp = new org.apache.hadoop.fs.Path(s"$wh/$idx")
+        whp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whp, true)
+      }
+      dropIdx()
       val docs = doubled(s, dir)
       val b1 = CdcIndex.addBatch(docs.filter(col("doc_id") < COPY_OFFSET),
         "doc_id", "text", idx, batchId = 1L)
       val b2 = CdcIndex.addBatch(docs.filter(col("doc_id") >= COPY_OFFSET),
         "doc_id", "text", idx, batchId = 2L)
-      b1.unionByName(b2).orderBy(col("doc_id"))
+      // results are localCheckpoint-ed eagerly inside addBatch, so the
+      // per-run table can be dropped before the rows are returned
+      val out = b1.unionByName(b2).orderBy(col("doc_id"))
+      dropIdx()
+      out
     }),
 
     // Incremental (daily-ingest) near-dup dedup: originals arrive as batch

@@ -30,7 +30,14 @@ class BenchArtifactSpec extends AnyFunSuite {
       .map(_.group(1)).toSet)
   }
 
-  for (artifact <- Seq("bench_full.json", "bench_sf10.json"))
+  private def artifactDigest(path: String): Option[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return None
+    val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    """"src_digest":\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+  }
+
+  for (artifact <- Seq("bench_full.json", "bench_sf10.json")) {
     test(s"$artifact rows == SparkEntry.queries keys (re-run the bench if red)") {
       val expect = SparkEntry.queries.keySet -- declaredExclusions
       artifactKeys(artifact) match {
@@ -45,4 +52,24 @@ class BenchArtifactSpec extends AnyFunSuite {
               "re-run graft.Bench (and the sf10 pass) on this binary")
       }
     }
+
+    // VALUE freshness, not just key-set freshness: rounds 13-15 each
+    // shipped a bench artifact produced by a pre-fix binary — the keys
+    // matched, so the key-set test stayed green while the headline
+    // numbers were stale. The artifact now carries the src/main digest
+    // of the binary that produced it; any source change turns this red
+    // until the bench is re-run.
+    test(s"$artifact was produced by the CURRENT src/main tree") {
+      artifactDigest(artifact) match {
+        case None => fail(s"$artifact has no src_digest stamp — re-run " +
+          "graft.Bench on this binary (stamping landed with SrcDigest)")
+        case Some(stamp) =>
+          val now = SrcDigest.current
+          assert(stamp == now,
+            s"$artifact is STALE: produced by src tree $stamp, working " +
+              s"tree is $now — re-run graft.Bench (and the sf10 pass) " +
+              "on the current binary before committing")
+      }
+    }
+  }
 }

@@ -106,10 +106,20 @@ class BucketedIndexSpec extends SparkSuite {
       // crash mid-write: a partial batch=gen exists, marker absent — the
       // rerun must regenerate from the intact originals and converge
       assert(addBucketed(base, 5L, 400, contentKey = 5L).size === 40)
-      spark.range(1).select(lit(999999L).as("band"), lit(999999L).as("id"),
+      // simulate the partial gen under EXPLICIT dynamic mode (compact no
+      // longer leaks it into the session — a plain overwrite insertInto
+      // here would truncate every partition under the static default)
+      val om = "spark.sql.sources.partitionOverwriteMode"
+      val savedOm = spark.conf.getOption(om)
+      spark.conf.set(om, "dynamic")
+      try spark.range(1).select(lit(999999L).as("band"), lit(999999L).as("id"),
           lit(-5L).as("batch"))
         .write.mode("overwrite").insertInto(s"${base}_bands") // partial gen
-      assert(BucketedIncrementalDedup.compact(spark, base) === 2)
+      finally savedOm.fold(spark.conf.unset(om))(spark.conf.set(om, _))
+      // 3 folded, not 2: the static-partition commit registers batch=4 as
+      // an EMPTY partition (the all-dropped batch) — a processed-batch
+      // marker the dynamic path never wrote; it folds away like any other
+      assert(BucketedIncrementalDedup.compact(spark, base) === 3)
       assert(parts(s"${base}_bands") === Set("batch=-5", "batch=5"))
       assert(spark.table(s"${base}_bands")
         .filter(col("band") === 999999L).isEmpty,

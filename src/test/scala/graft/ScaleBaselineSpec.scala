@@ -11,19 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * 2x-of-r1 bar was the only binding perf gate and 100x regressions
   * lived in round narratives only.
   *
-  * Cancels when the python toolchain or either artifact is missing —
-  * the spec is only green when the gate actually ran. Re-record the
-  * baseline (copy bench_sf10.json over BASELINE_sf10.json) when rows
-  * are ADDED or an adjudicated host shift makes the old numbers
-  * incomparable; the gate prints uncovered rows so additions are
-  * visible, never silently ungated. */
+  * FAILS (not cancels) when either artifact is missing: an `assume`
+  * here made the gate inert for a whole round — the baseline was never
+  * recorded and every run silently cancelled while a 4.5x sf10
+  * regression shipped through the gap. Only the python-toolchain check
+  * stays environmental. Re-record the baseline (copy bench_sf10.json
+  * over BASELINE_sf10.json) when rows are ADDED or an adjudicated host
+  * shift makes the old numbers incomparable; the gate prints uncovered
+  * rows so additions are visible, never silently ungated. */
 class ScaleBaselineSpec extends AnyFunSuite {
 
   test("bench_sf10.json stays within the recorded scale baseline") {
-    assume(new java.io.File("BASELINE_sf10.json").exists(),
-      "BASELINE_sf10.json not recorded yet")
-    assume(new java.io.File("bench_sf10.json").exists(),
-      "bench_sf10.json not present")
+    assert(new java.io.File("BASELINE_sf10.json").exists(),
+      "BASELINE_sf10.json missing — record it (cp bench_sf10.json " +
+        "BASELINE_sf10.json after a full sf10 run); the scale gate must " +
+        "never be silently inert")
+    assert(new java.io.File("bench_sf10.json").exists(),
+      "bench_sf10.json missing — run the sf10 rehearsal bench")
     val havePy =
       try new ProcessBuilder("python3", "-c", "import json").start().waitFor() == 0
       catch { case _: java.io.IOException => false }

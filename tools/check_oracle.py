@@ -27,10 +27,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df):
     """pandas DataFrame -> column-name-sorted, row-sorted list of tuples of
-    (type-tag, value) pairs — the tag makes int/float/Decimal distinct."""
+    (type-tag, value) pairs — the tag makes int/float/Decimal distinct.
+
+    Rows sort by the UNTAGGED values (numerics as numbers, everything else
+    as str): sorting by str() of the tagged tuples ordered ('i', 3397) and
+    ('f', 3397.0) differently on each side, misaligning the zip and
+    reporting a value FAIL where the TYPE diagnostic was intended."""
     df = df[sorted(df.columns)]
     rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None)]
-    return sorted(rows, key=lambda r: tuple(str(x) for x in r)), list(df.columns)
+    return sorted(rows, key=lambda r: tuple(sort_key(x) for x in r)), list(df.columns)
+
+
+def sort_key(c):
+    """type-agnostic ordering key for one tagged cell: all numeric kinds
+    (bool/int/float/Decimal) compare as numbers (NaN after everything),
+    lists recurse, everything else as str."""
+    t, v = c
+    if t == "l":
+        return ("l", tuple(sort_key(x) for x in v))
+    if t in ("b", "i", "f", "dec"):
+        f = float(v)
+        if math.isnan(f):
+            return ("n", (2, 0.0, ""))
+        return ("n", (1, f, str(v)))
+    return ("s", str(v))
 
 
 def norm(v):
