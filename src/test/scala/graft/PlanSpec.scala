@@ -333,4 +333,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "a raw range join would nested-loop every access row over every range")
   }
+
+  test("project records lookup: IN-list pushed to the scan, project dim broadcast") {
+    val p = plan("j20_project_records")
+    assert(p.contains("In(o_orderkey, [21,42,7,7007,84,999999999])") ||
+      p.contains("In(o_orderkey"),
+      "the record-id IN-list must reach the parquet scan as a pushed filter")
+    assert(p.contains("BroadcastHashJoin"),
+      "the metadata-scale project dimension must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("project status: member-dataset ids broadcast into a semi-join, partial aggs") {
+    val p = plan("a14_project_status")
+    assert(p.contains("LeftSemi"),
+      "the item table must be filtered by a semi-join against member datasets")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (tiny) member-dataset id set must broadcast, never shuffle the items")
+    assert(p.contains("partial_count"),
+      "both status rollups must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
