@@ -59,14 +59,23 @@ object BucketedIncrementalDedup {
     * irrelevant here) table base → params string. A stream commits one
     * batch per trigger against the same index, so the SHOW TBLPROPERTIES
     * round-trip repeats with an identical answer every batch — cache it.
-    * Sound across a DROP+recreate by the same session: the re-created
-    * index is empty, so treating the same params as still-validated can
-    * never mix differently-parameterized signatures (a DIFFERENT params
-    * string misses the cache and goes to the metastore as before). */
+    * Sound across a same-session DROP+recreate because the table-creation
+    * branch of [[addBatch]] (the only place these tables are created)
+    * BOTH purges every cached entry for the base AND records
+    * `graft.params` on the fresh table — so "table exists ⇒ property
+    * recorded" is an invariant, and a cache hit always refers to the
+    * current incarnation's recorded params. A later batch with different
+    * params therefore misses the cache, reads the recorded property, and
+    * fails loudly. (A DROP+recreate by a DIFFERENT session is a
+    * cross-session metastore race, out of contract — same as the
+    * directory index's `_graft_params` sidecar.) */
   private val validatedParams =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
-  /** Validate-or-record the index parameters, `checkParams` contract. */
+  /** Validate the index parameters against the recorded `graft.params`.
+    * Tables created by [[addBatch]] always carry the property (set in the
+    * creation branch); the `None` arm only adopts a pre-existing table
+    * created by an older writer, recording the first caller's params. */
   private def checkParams(spark: SparkSession, base: String, want: String): Unit = {
     if (validatedParams.contains((base, want))) return
     getProp(spark, bandsT(base), "graft.params") match {
@@ -101,8 +110,13 @@ object BucketedIncrementalDedup {
       .withColumn("chash", struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
       .localCheckpoint(eager = true)
 
+    val params = s"shingleN=$shingleN,k=$k,bands=$bands,buckets=$buckets"
     val fresh = !tableExists(spark, bandsT(base))
     if (fresh) {
+      // a recreate after a same-session DROP must not inherit the old
+      // incarnation's validations — purge BEFORE creating, so the
+      // invariant "cache entry ⇒ recorded on the current tables" holds
+      validatedParams.removeIf(_._1 == base)
       // create the three tables empty with the bucketed layout; data
       // lands through the same INSERT path every batch takes
       val empty = sigs.limit(0)
@@ -115,8 +129,13 @@ object BucketedIncrementalDedup {
       empty.select(explode(col("bands")).as("band"), lit(0L).as("n"),
           lit(batchId).as("batch"))
         .write.partitionBy("batch").saveAsTable(statsT(base))
+      // record params AT creation — "table exists ⇒ params recorded" is
+      // what makes the checkParams session cache sound (a later batch
+      // with different params always finds a property to fail against)
+      spark.sql(s"ALTER TABLE ${bandsT(base)} " +
+        s"SET TBLPROPERTIES('graft.params'='$params')")
     }
-    checkParams(spark, base, s"shingleN=$shingleN,k=$k,bands=$bands,buckets=$buckets")
+    checkParams(spark, base, params)
 
     // fresh index ⇒ the probe below is provably a no-op (every read
     // excludes this batch's own partition and nothing else exists), so
@@ -136,8 +155,10 @@ object BucketedIncrementalDedup {
     // within-batch near-dup pass over the remainder, reusing the
     // checkpointed signatures — identical to the directory form
     val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    // carry the precomputed bands so the pair pipeline skips its
+    // per-distinct-content banding pass (pure function of sh — identical)
     val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("bands"))
     val pairs = Dedup.minhashPairsFromShingles(remainingSh,
       k, bands, minJaccard, bucketCap)
     val surv = Dedup.survivors(remaining, idCol, pairs)

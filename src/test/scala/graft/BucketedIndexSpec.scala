@@ -139,6 +139,39 @@ class BucketedIndexSpec extends SparkSuite {
     } finally dropTables(base)
   }
 
+  test("checkParams stays sound across a same-session DROP+recreate") {
+    val base = s"bidx_prm_${System.nanoTime()}"
+    def recordedParams: Option[String] = spark.sql(s"SHOW TBLPROPERTIES ${base}_bands")
+      .collect().find(_.getString(0) == "graft.params").map(_.getString(1))
+    try {
+      addBucketed(base, 1L, 0) // params A; session cache now holds (base, A)
+      assert(recordedParams.contains("shingleN=2,k=16,bands=8,buckets=8"))
+      // DROP + recreate with the SAME params: the (base, A) cache hit in
+      // checkParams must not leave the fresh table property-less — the
+      // creation branch records it regardless of the cache
+      dropTables(base)
+      addBucketed(base, 1L, 0)
+      assert(recordedParams.contains("shingleN=2,k=16,bands=8,buckets=8"),
+        "fresh table must carry graft.params even on a cache-hit recreate")
+      // so a later batch with different params fails loudly instead of
+      // silently re-recording its own params
+      val ex = intercept[IllegalArgumentException] {
+        BucketedIncrementalDedup.addBatch(docsBatch(100), "doc_id", "text",
+          base, 2L, shingleN = 2, k = 8, bands = 4, minJaccard = 0.9)
+      }
+      assert(ex.getMessage.contains("was built with"))
+      // reverse direction: recreate with DIFFERENT params while the cache
+      // still holds the old validation — creation purges (base, *), so the
+      // stale entry cannot validate a mismatched batch
+      dropTables(base)
+      BucketedIncrementalDedup.addBatch(docsBatch(0), "doc_id", "text",
+        base, 1L, shingleN = 2, k = 8, bands = 4, minJaccard = 0.9)
+      val ex2 = intercept[IllegalArgumentException] { addBucketed(base, 2L, 100) }
+      assert(ex2.getMessage.contains("was built with"),
+        "stale cached validation must not survive a recreate")
+    } finally dropTables(base)
+  }
+
   test("cdc fp index: anti-join reads bucket-aligned, no exchange on the index side") {
     import graft.dedup.CdcIndex
     val base = s"cdcidx_plan_${System.nanoTime()}"
