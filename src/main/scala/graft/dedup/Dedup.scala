@@ -204,7 +204,12 @@ object Dedup {
   /** [[minhashPairs]] from PRECOMPUTED shingle-hash sets — for callers
     * that already hold (id, sh array<long>) rows (e.g. the incremental
     * index path, which computes signatures once per batch and reuses
-    * them for both the index join and within-batch pairing). */
+    * them for both the index join and within-batch pairing). If the
+    * input ALSO carries a `bands` column it MUST be
+    * `MinHashBands(sh, k, bands)` for the same (k, bands) — bands are a
+    * pure function of `sh`, so reusing them is bit-identical — and the
+    * per-distinct-content k-hash banding pass is skipped (the
+    * incremental indexes already paid it for their index commit). */
   def minhashPairsFromShingles(sh: DataFrame, k: Int = 16, bands: Int = 4,
                                minJaccard: Double = 0.2,
                                bucketCap: Int = 1024): DataFrame = {
@@ -232,10 +237,13 @@ object Dedup {
     // checkpoints anyway.
     val keyed = sh.withColumn("chash",
       struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
-    val groups = keyed.groupBy("chash").agg(
-        min(col("id")).as("rep"),
-        sort_array(collect_list(col("id"))).as("members"),
-        first(col("sh")).as("sh")) // all identical within a chash group
+    val reuseBands = sh.columns.contains("bands")
+    val aggCols = Seq(
+      min(col("id")).as("rep"),
+      sort_array(collect_list(col("id"))).as("members"),
+      first(col("sh")).as("sh")) ++ // all identical within a chash group
+      (if (reuseBands) Seq(first(col("bands")).as("bands")) else Nil)
+    val groups = keyed.groupBy("chash").agg(aggCols.head, aggCols.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Candidates via bounded bucket-collect: the signature computes once
@@ -245,9 +253,11 @@ object Dedup {
     // self-join would compute the signature once per join side.) The
     // signature+banding itself is the one-pass codegen'd MinHashBands
     // native expression — each shingle's bytes are hashed once, not k
-    // times.
+    // times; callers that already banded (incremental indexes) skip even
+    // that via the carried `bands` column.
     val sig = groups.select(col("rep").as("id"),
-      explode(graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
+      explode(if (reuseBands) col("bands")
+              else graft.functions.MinHashBands(col("sh"), k, bands)).as("band"))
     val cand = boundedBucketPairs(sig, Seq(col("band")), col("id"), bucketCap)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()

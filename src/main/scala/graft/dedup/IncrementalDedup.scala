@@ -160,10 +160,12 @@ object IncrementalDedup {
       finally reps.unpersist(blocking = true)
 
     // remaining batch docs dedup against each other, REUSING the
-    // checkpointed signatures (no second hashing pass over the text)
+    // checkpointed signatures (no second hashing pass over the text) AND
+    // the precomputed bands (pure function of sh — the pair pipeline
+    // skips its per-distinct-content banding pass)
     val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("bands"))
     val pairs = Dedup.minhashPairsFromShingles(remainingSh,
       k, bands, minJaccard, bucketCap)
     val surv = Dedup.survivors(remaining, idCol, pairs)

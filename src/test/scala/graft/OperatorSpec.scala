@@ -59,6 +59,25 @@ class OperatorSpec extends SparkSuite {
     assert((0 until 20).forall(i => exact.contains((i.toLong, i + 100L))))
   }
 
+  test("minhash pairs: a carried bands column is bit-identical to recomputing") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"token${i % 10} alpha beta gamma delta epsilon zeta eta theta iota"))
+    val sh = docs.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.HashedShingles(col("text"), 2).as("sh"))
+    val withBands = sh.withColumn("bands",
+      graft.functions.MinHashBands(col("sh"), 16, 8))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = norm(Dedup.minhashPairsFromShingles(sh,
+      k = 16, bands = 8, minJaccard = 0.5))
+    val reused = norm(Dedup.minhashPairsFromShingles(withBands,
+      k = 16, bands = 8, minJaccard = 0.5))
+    assert(recomputed.nonEmpty, "planted 10-way dup groups must pair")
+    assert(reused === recomputed,
+      "bands reuse must not change a single pair or jaccard value")
+  }
+
   test("portable md5 minhash finds planted duplicates, agrees with xxhash verify") {
     val docs = (0 until 20).map(i =>
         (i.toLong, s"token$i alpha beta gamma delta epsilon zeta eta theta iota"))
