@@ -76,11 +76,21 @@ object RelationalExtended extends QuerySet {
     }),
 
     // J3 — many-to-many association join: distinct partner count through
-    // the association table (record↔molecule shape).
+    // the association table (record↔molecule shape). ONE exchange, not
+    // countDistinct's two: hash-partitioning on the GROUP key alone
+    // satisfies the clustered distribution of both the (supp, part)
+    // dedup aggregate and the per-supp count, so both run exchange-free
+    // on top of the single repartition. countDistinct would shuffle
+    // twice for map-side partial dedup that buys nothing here — the
+    // assoc pairs are near-distinct already (≈7 lineitems per order
+    // scatter across parts), the profile where raw-row shuffle wins.
     "j3_assoc_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"))
+        .repartition(col("l_suppkey"))
+        .distinct()
         .groupBy(col("l_suppkey"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .agg(count(lit(1)).as("n_parts"))
         .orderBy(col("l_suppkey"))
     }),
 
