@@ -60,30 +60,48 @@ object CdcIndex {
     val ch = chunks(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!spark.catalog.tableExists(base))
+      val fresh = !spark.catalog.tableExists(base)
+      if (fresh)
         ch.limit(0).select(col("fp"), lit(batchId).as("batch"))
           .write.partitionBy("batch").bucketBy(buckets, "fp").sortBy("fp")
           .saveAsTable(base)
-      // index read excludes this batch's partition (retry idempotency);
-      // duplicates across batches stay — left_anti does not care
-      val known = spark.table(base).filter(col("batch") =!= batchId)
-        .select(col("fp"))
-      val novel = ch.join(known, Seq("fp"), "left_anti")
-        .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
       val all = ch.groupBy(col("__id")).agg(count(lit(1)).as("n_chunks"))
+      // fresh index ⇒ the anti-probe is provably a no-op (reads exclude
+      // this batch's own partition and nothing else exists): every chunk
+      // is novel, so skip the join's scheduler round-trip entirely. A
+      // RETRY of batch 1 sees fresh=false and takes the (still-correct,
+      // still-empty) probe.
+      val scored =
+        if (fresh)
+          all.select(col("__id"), col("n_chunks"),
+            col("n_chunks").as("n_novel"))
+        else {
+          // index read excludes this batch's partition (retry
+          // idempotency); duplicates across batches stay — left_anti
+          // does not care
+          val known = spark.table(base).filter(col("batch") =!= batchId)
+            .select(col("fp"))
+          val novel = ch.join(known, Seq("fp"), "left_anti")
+            .groupBy(col("__id")).agg(count(lit(1)).as("n_novel"))
+          all.join(novel, Seq("__id"), "left")
+            .select(col("__id"), col("n_chunks"),
+              coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        }
       // commit replaces exactly batch=<id> (STATIC partition spec — no
       // session-wide overwrite-mode mutation); the scoring join above
-      // reads around it, so the batch's own fps never count against itself
-      val tmp = "cdc_commit_" +
-        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      // reads around it, so the batch's own fps never count against
+      // itself. The view name carries the sanitized base AND batchId:
+      // two CdcIndex streams over different base tables in one
+      // application must not clobber each other's view between
+      // createOrReplaceTempView and the INSERT.
+      val tmp = (s"cdc_commit_${base}_${batchId}_" +
+        spark.sparkContext.applicationId).replaceAll("[^A-Za-z0-9_]", "_")
       ch.select(col("fp")).distinct().createOrReplaceTempView(tmp)
       try spark.sql(
         s"INSERT OVERWRITE TABLE $base PARTITION (batch=$batchId) " +
           s"SELECT fp FROM $tmp")
       finally spark.catalog.dropTempView(tmp)
-      all.join(novel, Seq("__id"), "left")
-        .select(col("__id").as(idCol), col("n_chunks"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      scored.select(col("__id").as(idCol), col("n_chunks"), col("n_novel"))
         .localCheckpoint(eager = true)
     } finally ch.unpersist(blocking = true)
   }
