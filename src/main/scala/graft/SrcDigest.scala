@@ -14,9 +14,14 @@ import scala.jdk.CollectionConverters._
   * change keeps `sbt test` red until the benches are re-run on the new
   * binary.
   *
-  * Scope: `src/main` (everything that shapes the measured binary) plus
-  * `build.sbt`. Tests, tools and docs are excluded — they cannot change
-  * what the bench measures. */
+  * Scope: every regular file under `src/main` (sources AND resources —
+  * everything that shapes the measured binary) plus `build.sbt`. Tests,
+  * tools and docs are excluded — they cannot change what the bench
+  * measures. The stamp is computed from the SOURCE TREE at run time, so
+  * it is only trustworthy when the bench is built-and-run in one step
+  * (`sbt "runMain graft.Bench"` — sbt recompiles before running);
+  * launching a stale prebuilt jar over an edited tree would stamp the
+  * artifact with sources the binary never saw. */
 object SrcDigest {
 
   def current: String = {
@@ -25,9 +30,11 @@ object SrcDigest {
     val files: Seq[Path] = roots.flatMap { r =>
       if (!Files.exists(r)) Seq.empty
       else if (Files.isRegularFile(r)) Seq(r)
-      else Files.walk(r).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
-        .toSeq
+      else {
+        val s = Files.walk(r)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally s.close()
+      }
     }.sortBy(_.toString)
     files.foreach { p =>
       md.update(p.toString.getBytes("UTF-8"))
