@@ -313,6 +313,26 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-SQ8 — the PROBE-BOUNDED scalar-quantization path (FAISS
+    // IndexIVFScalarQuantizer): sim_knn_sq8's codes discipline behind a
+    // coarse quantizer, so per-query work is the nprobe cells' codes
+    // instead of the whole corpus (the row that retires SQ8's
+    // corpus-linear query cost at scale). Codes quantize the RESIDUAL
+    // x − centroid(cell(x)) against per-dim ranges fitted on residuals
+    // (tighter spread → lower distortion at the same 256 levels), and
+    // each query scores its per-cell residual against reconstructed
+    // residual codes. Deterministic md5-pivot cells keep the ENTIRE
+    // pipeline — cells, residuals, range fit, codes, reconstruction,
+    // distances, ranks — oracle-exact, like sim_knn_ivfpq.
+    "sim_knn_ivfsq8" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val (assigned, centroids) = Vectors.pivotFit(c, nlist = 16)
+      val (lo, hi) = Sq.fitResidualRange(assigned, centroids)
+      Sq.ivfSqKnn(queriesDf(s, dir, 10), c, assigned, centroids, lo, hi,
+          nprobe = 8, k = 5, shortlist = 128)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Product-quantization ANN, oracle-anchored end to end: corpus
     // vectors encode to 16 sub-space codes against the deterministic
     // md5-pivot codebook (16 small ints instead of 64 floats — a 16×
@@ -856,6 +876,81 @@ object SimilarityQueries extends QuerySet {
         |       for d in range(1, len(q.qe) + 1)]), 9) AS sq_d2
         |  FROM enc CROSS JOIN q CROSS JOIN rng
         |  WHERE enc.vec_id <> q.q_id),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sq_d2, vec_id) AS rn
+        |    FROM sq) WHERE rn <= 128),
+        |rer AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    round(list_cosine_similarity(q.qe, v.e), 6) AS score
+        |  FROM short s JOIN q USING (q_id) JOIN v USING (vec_id))
+        |SELECT q_id, CAST(row_number() OVER w AS BIGINT) AS rank, vec_id, score
+        |FROM rer
+        |WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors pivotFit + fitResidualRange + ivfSqKnn exactly: md5-pivot
+    // cells and rounded-9 L2 assignment/probe selection (the
+    // sim_knn_ivf_anchor CTEs), residuals by exact IEEE subtraction,
+    // per-dim min/max range over residuals, SQ8 encode/reconstruct with
+    // the same fixed parenthesization as sim_knn_sq8 — but distances
+    // computed in residual space against the query's per-cell residual,
+    // restricted to the 8 probed cells. Any slip anywhere breaks the
+    // hash match.
+    "sim_knn_ivfsq8" ->
+      """WITH v AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |piv AS (
+        |  SELECT vec_id AS pivot_id, e AS centroid
+        |  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY pivot_id) - 1 AS INT) AS cell, centroid
+        |  FROM piv),
+        |assigned AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT v.vec_id, v.e, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        round(list_sum([(v.e[i] - c.centroid[i])**2 for i in range(1, len(v.e)+1)]), 9),
+        |        c.cell) AS rn
+        |    FROM v CROSS JOIN cent c) WHERE rn = 1),
+        |res AS (
+        |  SELECT a.vec_id, a.cell,
+        |    [a.e[i] - c.centroid[i] for i in range(1, len(a.e)+1)] AS r
+        |  FROM assigned a JOIN cent c USING (cell)),
+        |dims AS (
+        |  SELECT unnest(generate_series(1, (SELECT len(e) FROM v LIMIT 1))) AS d),
+        |rngd AS (
+        |  SELECT d, MIN(r[d]) AS lo, MAX(r[d]) AS hi
+        |  FROM res CROSS JOIN dims GROUP BY d),
+        |rng AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM rngd),
+        |enc AS (
+        |  SELECT vec_id, cell,
+        |    [CAST(LEAST(CASE WHEN hi[d] = lo[d] THEN 0.0
+        |                     ELSE floor(((r[d] - lo[d]) * 255.0) / (hi[d] - lo[d])) END,
+        |                255.0) AS INT)
+        |     for d in range(1, len(r) + 1)] AS codes
+        |  FROM res CROSS JOIN rng),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qe, cell, centroid FROM (
+        |    SELECT q.q_id, q.qe, c.cell, c.centroid,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum([(q.qe[i] - c.centroid[i])**2 for i in range(1, len(q.qe)+1)]), 9),
+        |        c.cell) AS cr
+        |    FROM q CROSS JOIN cent c) WHERE cr <= 8),
+        |pqr AS (
+        |  SELECT q_id, cell,
+        |    [qe[i] - centroid[i] for i in range(1, len(qe)+1)] AS qr
+        |  FROM probes),
+        |sq AS (
+        |  SELECT p.q_id, e.vec_id,
+        |    round(list_sum(
+        |      [(p.qr[d] - (lo[d] + ((e.codes[d] + 0.5) * (hi[d] - lo[d])) / 255.0)) ** 2
+        |       for d in range(1, len(p.qr) + 1)]), 9) AS sq_d2
+        |  FROM enc e JOIN pqr p USING (cell) CROSS JOIN rng
+        |  WHERE e.vec_id <> p.q_id),
         |short AS (
         |  SELECT q_id, vec_id FROM (
         |    SELECT q_id, vec_id,

@@ -23,35 +23,65 @@ import org.apache.spark.sql.functions._
   * collected once like the PQ codebook); ENCODE IS A PURE MAP (the
   * ranges inline as plan literals — no shuffle, no join); scoring is a
   * broadcast of the ≤|Q| queries against the codes relation; only the
-  * bounded per-query shortlist heap shuffles.
+  * bounded per-query shortlist heap shuffles. [[sqKnn]] is the
+  * no-training point: its query cost is CORPUS-LINEAR (every code row
+  * scored per query). [[ivfSqKnn]] is the scale path — the same codes
+  * discipline behind an IVF coarse quantizer, so per-query work is
+  * PROBE-BOUNDED (only the nprobe cells' codes are scored), the FAISS
+  * IndexIVFScalarQuantizer composition.
   */
 object Sq {
 
-  /** Per-dimension (min, max) over the corpus — the index-build
-    * artifact. Driver-side head() is the BUILD, not a query path. */
-  def fitRange(corpus: DataFrame): (Seq[Double], Seq[Double]) = {
-    val dim = corpus.select(size(col("c_vec"))).head().getInt(0)
+  /** Per-dim min/max of an array column — shared by the raw and
+    * residual range fits. One aggregation pass; dim×2 doubles out. */
+  private def rangeOf(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val aggs = (1 to dim).flatMap(d => Seq(
-      min(element_at(col("c_vec"), d)), max(element_at(col("c_vec"), d))))
-    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+      min(element_at(col(vecCol), d)), max(element_at(col(vecCol), d))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     ((0 until dim).map(d => row.getDouble(2 * d)),
      (0 until dim).map(d => row.getDouble(2 * d + 1)))
   }
 
+  /** Per-dimension (min, max) over the corpus — the index-build
+    * artifact. Driver-side head() is the BUILD, not a query path. */
+  def fitRange(corpus: DataFrame): (Seq[Double], Seq[Double]) =
+    rangeOf(corpus, "c_vec")
+
+  /** The residual of each assigned vector against its cell centroid —
+    * `r = x − centroid(cell(x))` (exact IEEE subtraction, so any engine
+    * doing the same subtraction reproduces it bit-for-bit). */
+  private def residualsOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), "cell")
+      .withColumn("r", zip_with(col("c_vec"), col("centroid"), (x, y) => x - y))
+
+  /** Per-dimension (min, max) over the RESIDUALS of an IVF assignment —
+    * the index-build artifact for [[ivfSqKnn]]. Residuals concentrate
+    * near the origin once the coarse quantizer has soaked up the
+    * between-cell variance, so the same 256 levels cover a much tighter
+    * spread than raw vectors — the FAISS IndexIVFScalarQuantizer
+    * rationale, same reason IVFPQ encodes residuals. Still a pure
+    * selection (min/max of exact subtractions): engine-reproducible. */
+  def fitResidualRange(assigned: DataFrame,
+                       centroids: DataFrame): (Seq[Double], Seq[Double]) =
+    rangeOf(residualsOf(assigned, centroids), "r")
+
   /** code[d] = min(255, floor(((v[d] − lo[d]) · 255) / (hi[d] − lo[d])))
     * — fixed parenthesization, constant dims pinned to 0. Pure map. */
-  def encode(corpus: DataFrame, lo: Seq[Double], hi: Seq[Double]): DataFrame = {
+  private def codesExpr(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
     val loL = typedLit(lo); val hiL = typedLit(hi)
-    corpus.select(col("vec_id"),
-      transform(sequence(lit(1), lit(lo.length)), d => {
-        val v = element_at(col("c_vec"), d)
-        val l = element_at(loL, d); val h = element_at(hiL, d)
-        least(
-          when(h === l, lit(0.0))
-            .otherwise(floor(((v - l) * lit(255.0)) / (h - l))),
-          lit(255.0)).cast("int")
-      }).as("codes"))
+    transform(sequence(lit(1), lit(lo.length)), d => {
+      val v = element_at(vec, d)
+      val l = element_at(loL, d); val h = element_at(hiL, d)
+      least(
+        when(h === l, lit(0.0))
+          .otherwise(floor(((v - l) * lit(255.0)) / (h - l))),
+        lit(255.0)).cast("int")
+    })
   }
+
+  def encode(corpus: DataFrame, lo: Seq[Double], hi: Seq[Double]): DataFrame =
+    corpus.select(col("vec_id"), codesExpr(col("c_vec"), lo, hi).as("codes"))
 
   /** Reconstructed vector from codes: r[d] = lo[d] + ((code[d] + 0.5) ·
     * (hi[d] − lo[d])) / 255 — the cell midpoint, same parenthesization
@@ -64,22 +94,13 @@ object Sq {
     })
   }
 
-  /** SQ8 top-k: approximate L2 against RECONSTRUCTED vectors (codes
-    * only — raw corpus vectors untouched) → bounded per-query shortlist
-    * heap → exact-cosine re-rank. Output contract matches
+  /** Bounded per-query shortlist heap over (q_id, vec_id, sq_d2)
+    * candidates, then exact-cosine re-rank of the shortlist — the tail
+    * both SQ variants share. Output contract matches
     * [[Vectors.bruteForceKnnHeap]]: (q_id, rank, vec_id, score). */
-  def sqKnn(queries: DataFrame, corpus: DataFrame,
-            lo: Seq[Double], hi: Seq[Double], k: Int,
-            shortlist: Int = 128, roundScale: Int = 6): DataFrame = {
-    val codes = encode(corpus, lo, hi)
-    val cand = codes
-      .crossJoin(broadcast(queries.select(col("q_id"), col("q_vec"))))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sq_d2",
-        round(aggregate(
-          zip_with(col("q_vec"), reconstruct(col("codes"), lo, hi),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 9))
+  private def shortlistRerank(cand: DataFrame, queries: DataFrame,
+                              corpus: DataFrame, k: Int, shortlist: Int,
+                              roundScale: Int): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
     val short = cand.select(col("q_id"), negate(col("sq_d2")).as("score"), col("vec_id"))
@@ -100,5 +121,72 @@ object Sq {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("score"))
+  }
+
+  /** SQ8 top-k: approximate L2 against RECONSTRUCTED vectors (codes
+    * only — raw corpus vectors untouched) → bounded per-query shortlist
+    * heap → exact-cosine re-rank. Corpus-linear per query by contract
+    * (no pruning structure at all) — the no-training baseline point;
+    * [[ivfSqKnn]] is the probe-bounded sibling. */
+  def sqKnn(queries: DataFrame, corpus: DataFrame,
+            lo: Seq[Double], hi: Seq[Double], k: Int,
+            shortlist: Int = 128, roundScale: Int = 6): DataFrame = {
+    val codes = encode(corpus, lo, hi)
+    val cand = codes
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_vec"))))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sq_d2",
+        round(aggregate(
+          zip_with(col("q_vec"), reconstruct(col("codes"), lo, hi),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 9))
+    shortlistRerank(cand, queries, corpus, k, shortlist, roundScale)
+  }
+
+  /** IVF-SQ8 top-k — the FAISS IndexIVFScalarQuantizer composition, and
+    * the SCALE path for scalar quantization: coarse cells prune the
+    * scan, SQ8 codes quantize the RESIDUAL r = x − centroid(cell(x)),
+    * and each query scores only the codes of its `nprobe` nearest cells
+    * against its own per-cell residual qr = q − centroid. Distance is
+    * ||qr − reconstruct(code)||² — identical to ||q − (centroid +
+    * reconstruct(code))||² by construction, but computed entirely in
+    * residual space so the reconstruct arithmetic matches the range the
+    * codes were fitted on.
+    *
+    * Scale shape: encode is a pure map over the assigned corpus (ranges
+    * are plan literals; the centroid join is a broadcast of nlist
+    * rows); the probe set (|Q|·nprobe rows, each carrying one qr
+    * vector) broadcasts; per-query scored rows = the probed cells'
+    * codes only — probe-bounded, not corpus-linear; only the bounded
+    * shortlist heap shuffles. With a deterministic coarse quantizer
+    * ([[Vectors.pivotFit]]) every step — cells, residuals, range fit,
+    * codes, reconstruction, distances, ranks — is oracle-exact. */
+  def ivfSqKnn(queries: DataFrame, corpus: DataFrame,
+               assigned: DataFrame, centroids: DataFrame,
+               lo: Seq[Double], hi: Seq[Double],
+               nprobe: Int, k: Int, shortlist: Int = 128,
+               roundScale: Int = 6): DataFrame = {
+    val codes = residualsOf(assigned, centroids)
+      .select(col("vec_id"), col("cell"), codesExpr(col("r"), lo, hi).as("codes"))
+    // nprobe nearest cells per query — identical arithmetic to
+    // Pq.ivfPqResidualKnn (rounded-9 L2 to the broadcast centroids)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("cd2", round(aggregate(
+        zip_with(col("q_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 9))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cd2").asc, col("cell").asc)
+    val probes = qCells.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= nprobe)
+      .withColumn("qr", zip_with(col("q_vec"), col("centroid"), (x, y) => x - y))
+      .select(col("q_id"), col("cell"), col("qr"))
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sq_d2",
+        round(aggregate(
+          zip_with(col("qr"), reconstruct(col("codes"), lo, hi),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 9))
+    shortlistRerank(cand, queries, corpus, k, shortlist, roundScale)
   }
 }
