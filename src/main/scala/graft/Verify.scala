@@ -81,9 +81,18 @@ object Verify {
     // each writes to its own directory, so there is no shared state
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump — local iteration aid;
-    // the driver never sets it
+    // the driver never sets it. SPARK_GRAFT_RECALL_MODE=only is the
+    // SCALE-REHEARSAL recall pass: run just the queries the recall
+    // measurement consumes (point estimates, no sweep curves — the
+    // sweeps re-score the corpus per point, which at 100× data is a
+    // second bench) and write the tracked artifact under
+    // SPARK_GRAFT_RECALL_OUT (e.g. verify_recall_sf10.json) so the
+    // per-family recalls at the rehearsal scale sit next to
+    // bench_sf10.json instead of living in ad-hoc round notes.
+    val recallOnly = sys.env.get("SPARK_GRAFT_RECALL_MODE").contains("only")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(if (recallOnly) Some(recallQueries) else None)
     val tasks = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -99,14 +108,27 @@ object Verify {
     tasks.foreach(_.get())
     pool.shutdown()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
-    if (only.isEmpty) measureRecall(spark, sfDir, outDir)
+    if (recallOnly) measureRecall(spark, sfDir, outDir, withCurves = false)
+    else if (only.isEmpty) measureRecall(spark, sfDir, outDir)
     spark.stop()
   }
+
+  /** The queries [[measureRecall]] reads back — the working set of the
+    * recall-only scale pass. */
+  private val recallQueries: Set[String] = Set(
+    "dd_minhash", "dd_minhash_pipeline", "dd_simhash", "dd_survivors",
+    "dd_incremental", "dd_bucketed_incremental", "dd_embcos_lsh",
+    "dd_embcos_incremental", "dd_minhash_capped",
+    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
+    "sim_knn_ivfpq", "sim_knn_ivfpq_r", "sim_knn_ivfsq8",
+    "tx_distinct_ngrams", "tx_distinct_ngrams_approx",
+    "tx_ppl_buckets", "tx_ppl_buckets_approx")
 
   /** Measured quality of the approximate (no-oracle) queries, recorded as
     * a per-round artifact. Reads back the parquet this run just wrote —
     * the measurement covers the exact bytes the driver checks. */
-  private def measureRecall(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  private def measureRecall(spark: SparkSession, sfDir: String, outDir: String,
+                            withCurves: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
     val OFF = 1000000L
     def out(name: String) = spark.read.parquet(s"$outDir/$name")
@@ -219,6 +241,11 @@ object Verify {
       // residual encode trips the gate rather than hiding under a
       // loose ablation-level floor
       ("sim_knn_ivfpq_r", () => recallAtK("sim_knn_ivfpq_r"), 0.75),
+      // IVF-SQ8: same untrained md5-pivot cells as sim_knn_ivfpq (cell
+      // pruning dominates the loss), much lower code distortion than PQ
+      // — floored at the ablation level; the measured value should sit
+      // at-or-above sim_knn_ivfpq's
+      ("sim_knn_ivfsq8", () => recallAtK("sim_knn_ivfsq8"), 0.60),
       ("tx_distinct_ngrams_approx", () => approxDistinctAccuracy(), 0.95),
       // measured 0.77 at sf0.01 with 4-10-doc per-source samples; the
       // floor guards against a broken draw/cutoff, not sampling noise
@@ -248,13 +275,14 @@ object Verify {
     def fmtPoint(fields: (String, String)*): String =
       fields.map { case (k, v) => "\"" + k + "\": " + v }
         .mkString("      {", ", ", "}")
-    val lshCurve = Seq((2, 6), (4, 6), (6, 6), (8, 6), (6, 8)).map { case (t, b) =>
+    val lshCurve = (if (withCurves) Seq((2, 6), (4, 6), (6, 6), (8, 6), (6, 8)) else Nil)
+      .map { case (t, b) =>
       val (knn, cand) = graft.qsets.SimilarityQueries.lshSweepPoint(spark, sfDir, t, b)
       fmtPoint("tables" -> t.toString, "bits" -> b.toString,
         "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))),
         "avg_candidates" -> String.format(java.util.Locale.ROOT, "%.1f", Double.box(cand)))
     }
-    val ivfCurve = Seq(2, 4, 6, 8, 12).map { np =>
+    val ivfCurve = (if (withCurves) Seq(2, 4, 6, 8, 12) else Nil).map { np =>
       val (knn, cand) = graft.qsets.SimilarityQueries.ivfSweepPoint(spark, sfDir, np)
       fmtPoint("nprobe" -> np.toString, "nlist" -> "16",
         "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))),
@@ -262,7 +290,7 @@ object Verify {
     }
     // PQ: recall vs shortlist (the re-ranked candidate count IS the cost
     // axis — ADC scores the whole corpus from codes regardless)
-    val pqCurve = Seq(32, 64, 128, 256).map { sl =>
+    val pqCurve = (if (withCurves) Seq(32, 64, 128, 256) else Nil).map { sl =>
       val knn = graft.qsets.SimilarityQueries.pqSweepPoint(spark, sfDir, sl)
       fmtPoint("shortlist" -> sl.toString, "m" -> "16", "ks" -> "32",
         "recall" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(knn))))
@@ -270,7 +298,7 @@ object Verify {
     // IVF-PQ: raw-pivot vs trained-residual at the same nprobe — the
     // curve isolates what training the cells + encoding residuals buys
     // at each fixed probe cost
-    val ivfpqCurve = Seq(4, 8, 12).map { np =>
+    val ivfpqCurve = (if (withCurves) Seq(4, 8, 12) else Nil).map { np =>
       val (raw, res) = graft.qsets.SimilarityQueries.ivfpqSweepPoint(spark, sfDir, np)
       fmtPoint("nprobe" -> np.toString, "nlist" -> "16",
         "recall_raw" -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(curveRecall(raw))),
@@ -281,14 +309,18 @@ object Verify {
         "\n    ],\n    \"sim_knn_ivf\": [\n" + ivfCurve.mkString(",\n") +
         "\n    ],\n    \"sim_knn_pq\": [\n" + pqCurve.mkString(",\n") +
         "\n    ],\n    \"sim_knn_ivfpq\": [\n" + ivfpqCurve.mkString(",\n") + "\n    ]\n  }"
-    val json = (results :+ curveJson).mkString("{\n", ",\n", "\n}")
+    val json = ((if (withCurves) results :+ curveJson else results))
+      .mkString("{\n", ",\n", "\n}")
     Files.writeString(Paths.get(s"$outDir/recall.json"), json)
     // tracked copy at the repo root, same rationale as bench_full.json:
     // the driver records only a bounded stdout tail, but the repo file is
-    // part of the round's audit trail
-    try Files.writeString(Paths.get("verify_recall.json"), json)
+    // part of the round's audit trail. The scale pass redirects it
+    // (SPARK_GRAFT_RECALL_OUT=verify_recall_sf10.json) so sf0.1 and sf10
+    // recalls are separate tracked artifacts.
+    val rootName = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "verify_recall.json")
+    try Files.writeString(Paths.get(rootName), json)
     catch { case e: Throwable =>
-      System.err.println(s"[verify] could not write verify_recall.json: ${e.getMessage}")
+      System.err.println(s"[verify] could not write $rootName: ${e.getMessage}")
     }
   }
 }
