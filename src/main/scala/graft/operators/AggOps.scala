@@ -34,14 +34,22 @@ object AggOps {
   def percentileSummary(df: DataFrame, groupCols: Seq[String],
                         valueCol: String): DataFrame = {
     val v = col(valueCol)
+    // ONE percentile buffer for all four quantiles: the scalar form
+    // repeated per quantile maintains four independent value→count maps
+    // per group (exact percentile is an object-hash aggregate); the
+    // array form fills one map and interpolates all four from it —
+    // same counts, same interpolation, bit-identical values
     df.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("n"),
-      min(v).as("min_v"),
-      max(v).as("max_v"),
-      expr(s"percentile($valueCol, 0.25D)").as("p25"),
-      expr(s"percentile($valueCol, 0.5D)").as("p50"),
-      expr(s"percentile($valueCol, 0.75D)").as("p75"),
-      expr(s"percentile($valueCol, 0.95D)").as("p95"))
+        count(lit(1)).as("n"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D, 0.95D))").as("pcts"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("min_v"), col("max_v"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p75"),
+        element_at(col("pcts"), 4).as("p95")): _*)
   }
 
   /** A6 at 100 TB — approx_percentile (KLL-style sketch, mergeable,
