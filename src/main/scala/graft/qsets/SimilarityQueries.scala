@@ -327,8 +327,13 @@ object SimilarityQueries extends QuerySet {
     "sim_knn_ivfsq8" -> ((s, dir) => {
       val c = corpus(s, dir)
       val (assigned, centroids) = Vectors.pivotFit(c, nlist = 16)
-      val (lo, hi) = Sq.fitResidualRange(assigned, centroids)
-      Sq.ivfSqKnn(queriesDf(s, dir, 10), c, assigned, centroids, lo, hi,
+      // ONE coarse-assignment pass: the residual frame materializes
+      // eagerly and both index-build consumers (range fit, codes) read
+      // the checkpoint — three lazy consumers would re-run the
+      // centroid-argmin + corpus join subtree three times
+      val res = Sq.residuals(assigned, centroids).localCheckpoint(eager = true)
+      val (lo, hi) = Sq.fitResidualRange(res)
+      Sq.ivfSqKnn(queriesDf(s, dir, 10), c, res, centroids, lo, hi,
           nprobe = 8, k = 5, shortlist = 128)
         .orderBy(col("q_id"), col("rank"))
     }),

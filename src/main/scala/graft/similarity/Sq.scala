@@ -3,6 +3,8 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.SqKernels
+
 /** Scalar (per-dimension) 8-bit quantization — the SIMPLEST ANN memory
   * compression, and the one every vector store ships first: each
   * dimension is affinely mapped to 0..255 by the corpus-wide per-dim
@@ -18,17 +20,20 @@ import org.apache.spark.sql.functions._
   * the whole pipeline — ranges, codes, reconstruction, approximate
   * distances, ranks — is oracle-exact: every float step is a fixed
   * parenthesization of single-rounded IEEE ops both engines replay.
+  * Encode and distance run through the native [[SqKernels]] expressions
+  * (codegen'd primitive loops); the composable-HOF forms are kept
+  * package-private as the arithmetic REFERENCE the parity spec pins.
   *
   * Scale shape: `fitRange` is an index-build artifact (dim×2 doubles,
   * collected once like the PQ codebook); ENCODE IS A PURE MAP (the
-  * ranges inline as plan literals — no shuffle, no join); scoring is a
-  * broadcast of the ≤|Q| queries against the codes relation; only the
-  * bounded per-query shortlist heap shuffles. [[sqKnn]] is the
-  * no-training point: its query cost is CORPUS-LINEAR (every code row
-  * scored per query). [[ivfSqKnn]] is the scale path — the same codes
-  * discipline behind an IVF coarse quantizer, so per-query work is
-  * PROBE-BOUNDED (only the nprobe cells' codes are scored), the FAISS
-  * IndexIVFScalarQuantizer composition.
+  * ranges inline as kernel reference objects — no shuffle, no join);
+  * scoring is a broadcast of the ≤|Q| queries against the codes
+  * relation; only the bounded per-query shortlist heap shuffles.
+  * [[sqKnn]] is the no-training point: its query cost is CORPUS-LINEAR
+  * (every code row scored per query). [[ivfSqKnn]] is the scale path —
+  * the same codes discipline behind an IVF coarse quantizer, so
+  * per-query work is PROBE-BOUNDED (only the nprobe cells' codes are
+  * scored), the FAISS IndexIVFScalarQuantizer composition.
   */
 object Sq {
 
@@ -49,26 +54,33 @@ object Sq {
     rangeOf(corpus, "c_vec")
 
   /** The residual of each assigned vector against its cell centroid —
-    * `r = x − centroid(cell(x))` (exact IEEE subtraction, so any engine
-    * doing the same subtraction reproduces it bit-for-bit). */
-  private def residualsOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    * (vec_id, cell, r) with `r = x − centroid(cell(x))` (exact IEEE
+    * subtraction, so any engine doing the same subtraction reproduces
+    * it bit-for-bit). The IVF-SQ8 index-build intermediate: CALLERS
+    * MATERIALIZE IT ONCE (localCheckpoint) and derive the range fit AND
+    * the codes from the checkpoint — the coarse-assignment subtree
+    * (centroid argmin + corpus join) is the expensive pass, and three
+    * lazy consumers would re-run it three times. */
+  def residuals(assigned: DataFrame, centroids: DataFrame): DataFrame =
     assigned.join(broadcast(centroids), "cell")
-      .withColumn("r", zip_with(col("c_vec"), col("centroid"), (x, y) => x - y))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("c_vec"), col("centroid"), (x, y) => x - y).as("r"))
 
-  /** Per-dimension (min, max) over the RESIDUALS of an IVF assignment —
+  /** Per-dimension (min, max) over a materialized [[residuals]] frame —
     * the index-build artifact for [[ivfSqKnn]]. Residuals concentrate
     * near the origin once the coarse quantizer has soaked up the
     * between-cell variance, so the same 256 levels cover a much tighter
     * spread than raw vectors — the FAISS IndexIVFScalarQuantizer
     * rationale, same reason IVFPQ encodes residuals. Still a pure
     * selection (min/max of exact subtractions): engine-reproducible. */
-  def fitResidualRange(assigned: DataFrame,
-                       centroids: DataFrame): (Seq[Double], Seq[Double]) =
-    rangeOf(residualsOf(assigned, centroids), "r")
+  def fitResidualRange(res: DataFrame): (Seq[Double], Seq[Double]) =
+    rangeOf(res, "r")
 
   /** code[d] = min(255, floor(((v[d] − lo[d]) · 255) / (hi[d] − lo[d])))
-    * — fixed parenthesization, constant dims pinned to 0. Pure map. */
-  private def codesExpr(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+    * — fixed parenthesization, constant dims pinned to 0. Pure map.
+    * Composable-HOF REFERENCE form; production encode goes through the
+    * bit-identical native kernel (parity pinned in PqSpec). */
+  private[graft] def codesExprHof(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
     val loL = typedLit(lo); val hiL = typedLit(hi)
     transform(sequence(lit(1), lit(lo.length)), d => {
       val v = element_at(vec, d)
@@ -81,17 +93,22 @@ object Sq {
   }
 
   def encode(corpus: DataFrame, lo: Seq[Double], hi: Seq[Double]): DataFrame =
-    corpus.select(col("vec_id"), codesExpr(col("c_vec"), lo, hi).as("codes"))
+    corpus.select(col("vec_id"), SqKernels.encodeCol(col("c_vec"), lo, hi).as("codes"))
 
-  /** Reconstructed vector from codes: r[d] = lo[d] + ((code[d] + 0.5) ·
-    * (hi[d] − lo[d])) / 255 — the cell midpoint, same parenthesization
-    * engine and oracle. */
-  private def reconstruct(codes: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+  /** Reconstruct-from-codes squared L2, HOF REFERENCE form: r[d] =
+    * lo[d] + ((code[d] + 0.5) · (hi[d] − lo[d])) / 255 (the cell
+    * midpoint), Σ (q[d] − r[d])² folded in dim order, rounded 9 — the
+    * arithmetic the native [[SqKernels.distCol]] replays exactly. */
+  private[graft] def distExprHof(q: Column, codes: Column,
+                                 lo: Seq[Double], hi: Seq[Double]): Column = {
     val loL = typedLit(lo); val hiL = typedLit(hi)
-    transform(sequence(lit(1), lit(lo.length)), d => {
+    val recon = transform(sequence(lit(1), lit(lo.length)), d => {
       val l = element_at(loL, d); val h = element_at(hiL, d)
       l + ((element_at(codes, d).cast("double") + lit(0.5)) * (h - l)) / lit(255.0)
     })
+    round(aggregate(
+      zip_with(q, recon, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 9)
   }
 
   /** Bounded per-query shortlist heap over (q_id, vec_id, sq_d2)
@@ -135,11 +152,7 @@ object Sq {
     val cand = codes
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_vec"))))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sq_d2",
-        round(aggregate(
-          zip_with(col("q_vec"), reconstruct(col("codes"), lo, hi),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("sq_d2", SqKernels.distCol(col("q_vec"), col("codes"), lo, hi))
     shortlistRerank(cand, queries, corpus, k, shortlist, roundScale)
   }
 
@@ -150,24 +163,25 @@ object Sq {
     * against its own per-cell residual qr = q − centroid. Distance is
     * ||qr − reconstruct(code)||² — identical to ||q − (centroid +
     * reconstruct(code))||² by construction, but computed entirely in
-    * residual space so the reconstruct arithmetic matches the range the
-    * codes were fitted on.
+    * residual space so the arithmetic matches the range the codes were
+    * fitted on.
     *
-    * Scale shape: encode is a pure map over the assigned corpus (ranges
-    * are plan literals; the centroid join is a broadcast of nlist
-    * rows); the probe set (|Q|·nprobe rows, each carrying one qr
-    * vector) broadcasts; per-query scored rows = the probed cells'
-    * codes only — probe-bounded, not corpus-linear; only the bounded
-    * shortlist heap shuffles. With a deterministic coarse quantizer
+    * `res` is the MATERIALIZED [[residuals]] frame — the caller
+    * checkpoints it once and this function derives the codes from it
+    * as a pure kernel map (ranges are codegen reference objects). The
+    * probe set (|Q|·nprobe rows, each carrying one qr vector)
+    * broadcasts; per-query scored rows = the probed cells' codes only —
+    * probe-bounded, not corpus-linear; only the bounded shortlist heap
+    * shuffles. With a deterministic coarse quantizer
     * ([[Vectors.pivotFit]]) every step — cells, residuals, range fit,
     * codes, reconstruction, distances, ranks — is oracle-exact. */
   def ivfSqKnn(queries: DataFrame, corpus: DataFrame,
-               assigned: DataFrame, centroids: DataFrame,
+               res: DataFrame, centroids: DataFrame,
                lo: Seq[Double], hi: Seq[Double],
                nprobe: Int, k: Int, shortlist: Int = 128,
                roundScale: Int = 6): DataFrame = {
-    val codes = residualsOf(assigned, centroids)
-      .select(col("vec_id"), col("cell"), codesExpr(col("r"), lo, hi).as("codes"))
+    val codes = res.select(col("vec_id"), col("cell"),
+      SqKernels.encodeCol(col("r"), lo, hi).as("codes"))
     // nprobe nearest cells per query — identical arithmetic to
     // Pq.ivfPqResidualKnn (rounded-9 L2 to the broadcast centroids)
     val qCells = queries.crossJoin(broadcast(centroids))
@@ -182,11 +196,7 @@ object Sq {
       .select(col("q_id"), col("cell"), col("qr"))
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("sq_d2",
-        round(aggregate(
-          zip_with(col("qr"), reconstruct(col("codes"), lo, hi),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 9))
+      .withColumn("sq_d2", SqKernels.distCol(col("qr"), col("codes"), lo, hi))
     shortlistRerank(cand, queries, corpus, k, shortlist, roundScale)
   }
 }

@@ -92,6 +92,39 @@ class PqSpec extends SparkSuite {
       "re-ranking the whole corpus must reproduce brute force exactly")
   }
 
+  test("sq8 native kernels are bit-identical to the HOF reference forms") {
+    import graft.similarity.Sq
+    import graft.functions.SqKernels
+    val (lo, hi) = Sq.fitRange(corpus)
+    val both = corpus.select(col("vec_id"),
+        SqKernels.encodeCol(col("c_vec"), lo, hi).as("k"),
+        Sq.codesExprHof(col("c_vec"), lo, hi).as("h"))
+      .filter(not(col("k") === col("h")))
+    assert(both.isEmpty, "kernel encode must equal the HOF encode per vector")
+    val qv = queries.select(col("q_id"), col("q_vec"))
+    val d = Sq.encode(corpus, lo, hi).crossJoin(broadcast(qv))
+      .select(SqKernels.distCol(col("q_vec"), col("codes"), lo, hi).as("k"),
+        Sq.distExprHof(col("q_vec"), col("codes"), lo, hi).as("h"))
+      .filter(not(col("k") === col("h")))
+    assert(d.isEmpty, "kernel distance must equal the HOF distance per pair")
+  }
+
+  test("ivf-sq8: probe-bounded candidates; full probe + shortlist ≡ brute force") {
+    import graft.similarity.Sq
+    val (assigned, centroids) = Vectors.pivotFit(corpus, nlist = 4)
+    val res = Sq.residuals(assigned, centroids).localCheckpoint(eager = true)
+    val (lo, hi) = Sq.fitResidualRange(res)
+    // nprobe == nlist and an uncapped shortlist degrade to brute force
+    val n = corpus.count().toInt
+    val all = Sq.ivfSqKnn(queries, corpus, res, centroids, lo, hi,
+        nprobe = 4, k = 5, shortlist = n)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val brute = Vectors.bruteForceKnnHeap(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(all === brute,
+      "probing every cell and re-ranking everything must reproduce brute force")
+  }
+
   test("sq8 recall@5 at the shipped shortlist is near-exact on the small corpus") {
     import graft.similarity.Sq
     val (lo, hi) = Sq.fitRange(corpus)
