@@ -236,21 +236,19 @@ object Vectors {
     * bounded top-k) oracle-checkable end-to-end; only the KMeans fit
     * stays engine-specific. */
   def pivotFit(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val wp = Window.orderBy(col("pivot_id"))
-    val centroids = corpus
-      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(nlist)
-      .select(col("vec_id").as("pivot_id"), col("c_vec").as("centroid"))
-      .withColumn("cell", (row_number().over(wp) - 1).cast("int"))
-      .select(col("cell"), col("centroid"))
-    val best = corpus.crossJoin(broadcast(centroids))
-      .withColumn("d2", round(aggregate(
-        zip_with(col("c_vec"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x), 9))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"))
-    (corpus.join(best, "vec_id"), centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // pivot pick is a driver-side index-build artifact (nlist vectors,
+    // same billing as a PQ codebook); the ASSIGNMENT is a map-side
+    // native kernel against the literal centroids — rounded-9 L2 argmin
+    // with first-minimum (= lowest-cell) ties, bit-identical to the
+    // former crossJoin + min_by form but with NO corpus shuffle at all
+    // (the crossJoin+groupBy paid one exchange of the whole corpus per
+    // fit — the dominant cost of every pivot-quantizer row at scale).
+    val pivots = Kmeans.pivotInit(corpus, nlist)
+    val centroids = pivots.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+    (Kmeans.assign(corpus, pivots).drop("d2"), centroids)
   }
 
   /** Probe a fitted IVF index: score each query against the vectors in
