@@ -72,15 +72,13 @@ object Decontaminate {
     * cannot appear inside whitespace-split tokens, so token boundaries
     * stay unambiguous: ["ab","c"] never collides with ["a","bc"]). */
   private def gramHashes(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame = {
-    val toks = TextFunctions.wsTokens(col(textCol))
-    docs
-      .select(col(idCol).as("id"), toks.as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => xxhash64(array_join(slice(col("t"), i, lit(n)), "\u001F"))))).as("g"))
-  }
+                         n: Int): DataFrame =
+    // fused native window hashes (graft.functions.TokenWindowHashes) —
+    // bit-identical to the wsTokens → transform/xxhash64(array_join)
+    // chain it replaced; a doc under n tokens hashes to an empty array
+    // and the explode drops it, so no token-count pre-filter pass
+    docs.select(col(idCol).as("id"), explode(array_distinct(
+      graft.functions.TokenWindows(col(textCol), n))).as("g"))
 
   /** Corpus docs sharing at least one `n`-gram with `benchmark`.
     * Returns (id, n_hits) — the number of DISTINCT contaminated grams per

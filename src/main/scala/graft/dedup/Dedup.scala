@@ -640,13 +640,13 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, minC: Double = 0.8,
                        maxDf: Int = 64): DataFrame = {
+    // fused native window hashes — bit-identical to the wsTokens →
+    // transform/xxhash64(array_join) chain it replaced (U+001F join =
+    // the oracle's chr(31): unambiguous boundaries); short docs hash to
+    // an empty array and the explode drops them
     val grams = docs
-      .select(col(idCol).as("id"), TextFunctions.wsTokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= n)
-      .select(col("id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          // U+001F join = the oracle's chr(31): unambiguous boundaries
-          i => xxhash64(array_join(slice(col("t"), i, lit(n)), "\u001F"))))).as("g"))
+      .select(col(idCol).as("id"), explode(array_distinct(
+        graft.functions.TokenWindows(col(textCol), n))).as("g"))
     // per-doc gram-set size BEFORE df pruning: containment denominators
     // stay exact; pruning only thins the candidate/intersection side
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))

@@ -42,21 +42,22 @@ object SpanDedup {
     * ordered by (doc_id, span_start). */
   def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
                     L: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.wsTokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= L)
-    // one pure-map pass: all n-L+1 window hashes per doc (the
-    // dd_repeated_spans shape — the \u001F join is boundary-unambiguous and
-    // matches the oracle's chr(31))
-    val wins = toks.select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
-          i => xxhash64(concat_ws("\u001F",
-            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+    // one pure-map NATIVE pass: all n-L+1 window hashes per doc from the
+    // fused TokenWindowHashes kernel — bit-identical to the wsTokens →
+    // transform/xxhash64(concat_ws("\u001F", ...)) chain it replaced (the
+    // \u001F join is boundary-unambiguous and matches the oracle's
+    // chr(31)); a doc shorter than L tokens hashes to an empty array and
+    // the explode drops it, so no token-count pre-filter pass is needed
+    val wins = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TokenWindows(col(textCol), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
+    // "occurs in ≥ 2 distinct docs" ⇔ min(doc) ≠ max(doc): a plain
+    // min/max aggregate with map-side partials, where COUNT(DISTINCT)
+    // plans a second full exchange of the gram stream
     val rep = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("h"))
     val covered = wins.join(rep, "h").select(col("doc_id"), col("p"))
     // gaps-and-islands over covered positions: gram at p covers
@@ -105,16 +106,15 @@ object SpanDedup {
                          L: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.wsTokens(col(textCol)).as("t"))
-    val wins = toks.filter(size(col("t")) >= L)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
-          i => xxhash64(concat_ws("\u001F",
-            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+    // native fused window hashes; empty array for docs under L tokens
+    // (same bit-identical swap + min≠max df test as [[crossDocSpans]])
+    val wins = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TokenWindows(col(textCol), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
     val rep = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("h"))
     val covTok = wins.join(rep, "h")
       .select(col("doc_id"),

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** xxhash64 (Spark's seed-42 `xxhash64`) of every n-token window of a
+  * text, tokens joined by `sep` — bit-identical to the composable form
+  *
+  *   transform(sequence(lit(1), size(t) - (n - 1)),
+  *     i => xxhash64(array_join(slice(t, i, n), sep)))
+  *
+  * with `t = split(trim(text), "\\s+")` (TextFunctions.wsTokens), in ONE
+  * native byte pass (SURVEY §2.10: custom `Expression` over UDF/HOF).
+  *
+  * The HOF chain is the hot loop of every gram pipeline (span dedup,
+  * decontamination, boilerplate/df profiles, containment): per window it
+  * allocates a sliced array, builds the joined string, and walks three
+  * interpreted lambdas — `transform` is CodegenFallback, so the whole
+  * projection drops out of whole-stage codegen. Here the text is
+  * tokenized once into a reusable separator-normalized byte buffer
+  * (every whitespace run between tokens replaced by the single `sep`
+  * byte), after which EACH window is a contiguous byte range of that
+  * buffer — one XXH64 call per window, zero per-window allocation.
+  *
+  * Split parity is exact, including the edge cases: `trim` strips ASCII
+  * SPACE (0x20) only; `split` on Java's `\s+` with limit −1 keeps a
+  * leading empty token when the trimmed text starts with a
+  * tab/newline and a trailing empty token when it ends with one, and
+  * yields one empty token for an all-space text. Windows < 1 (fewer
+  * than n tokens) return an empty array — callers that used
+  * `filter(size(t) >= n)` purely to guard the transform can drop the
+  * token projection entirely (explode of an empty array emits nothing).
+  *
+  * Bit-equality with the HOF form is pinned in `TokenWindowSpec` over
+  * the edge-case corpus; every consuming query keeps its oracle.
+  */
+case class TokenWindowHashes(child: Expression, n: Int, sep: Byte)
+    extends UnaryExpression {
+  require(n > 0, s"window width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_window_hashes needs a string column, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenWindows.hashes(input.asInstanceOf[UTF8String], n, sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenWindows.hashes($c, $n, (byte) $sep)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}
+
+/** Whitespace-split FIELD count — bit-identical to
+  * `size(split(trim(text), "\\s+"))` (= size(TextFunctions.wsTokens)),
+  * including the empty-token edge cases above (an all-space text counts
+  * 1, a leading tab adds 1), where [[TokenCount]] counts only NON-EMPTY
+  * tokens. Callers that report `n_toks = size(t)` can compute it with
+  * this allocation-free scan instead of materializing the token array. */
+case class WsFieldCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ws_field_count needs a string column, got $other")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ws_field_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenWindows.fieldCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenWindows.fieldCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsFieldCount =
+    copy(child = newChild)
+}
+
+object TokenWindows {
+
+  /** US (0x1F) separator — the gram pipelines' boundary-unambiguous
+    * join byte (= the oracles' chr(31)). */
+  final val UnitSep: Byte = 0x1f
+
+  /** Column-API entry point, 0x1F-joined (the dominant convention). */
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(TokenWindowHashes(Bridge.expression(c), n, UnitSep))
+
+  /** Column-API entry point with an explicit join byte (e.g. ' ' for the
+    * space-joined boilerplate grams). */
+  def apply(c: Column, n: Int, sep: Byte): Column =
+    Bridge.column(TokenWindowHashes(Bridge.expression(c), n, sep))
+
+  def fieldCountCol(c: Column): Column =
+    Bridge.column(WsFieldCount(Bridge.expression(c)))
+
+  // Java \s on the ASCII range: [ \t\n\x0B\f\r] — same class wsTokens'
+  // split("\\s+") matches (tokens are ASCII-whitespace-delimited; \s
+  // without UNICODE_CHARACTER_CLASS matches no code point above 0x0D)
+  private def isWs(b: Byte): Boolean = b == ' ' || (b >= 9 && b <= 13)
+
+  /** Field boundaries of `split(trim(text), "\\s+")` with Java limit −1
+    * semantics over bytes[lo, hi): writes field start offsets into
+    * `starts` and end offsets into `ends`, returns the field count.
+    * Caller sizes the arrays to a safe upper bound ((hi−lo)/2 + 2). */
+  private def splitFields(bytes: Array[Byte], lo0: Int, hi0: Int,
+                          starts: Array[Int], ends: Array[Int]): Int = {
+    // trim: ASCII space only (Spark `trim` strips 0x20, not tabs)
+    var lo = lo0; var hi = hi0
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var t = 0
+    var prev = lo
+    var i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        starts(t) = prev; ends(t) = i; t += 1
+        i += 1
+        while (i < hi && isWs(bytes(i))) i += 1
+        prev = i
+      } else i += 1
+    }
+    starts(t) = prev; ends(t) = hi
+    t + 1
+  }
+
+  /** Static helper invoked from both interpreted eval and generated code. */
+  def hashes(s: UTF8String, n: Int, sep: Byte): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // worst case one field per 2 bytes ("a b c"), plus the edge fields
+    val starts = new Array[Int](len / 2 + 2)
+    val ends = new Array[Int](len / 2 + 2)
+    val t = splitFields(bytes, 0, len, starts, ends)
+    if (t < n) return new GenericArrayData(Array.emptyLongArray)
+    // separator-normalized buffer: fields joined by ONE sep byte, so any
+    // token window is a contiguous range — offs(k) = start of field k,
+    // window [w, w+n) spans [offs(w), offs(w+n) - 1)
+    val offs = new Array[Int](t + 1)
+    var normLen = t - 1
+    var k = 0
+    while (k < t) { normLen += ends(k) - starts(k); k += 1 }
+    val norm = new Array[Byte](normLen)
+    var p = 0
+    k = 0
+    while (k < t) {
+      if (k > 0) { norm(p) = sep; p += 1 }
+      offs(k) = p
+      val flen = ends(k) - starts(k)
+      System.arraycopy(bytes, starts(k), norm, p, flen)
+      p += flen
+      k += 1
+    }
+    offs(t) = normLen + 1
+    val w = t - n + 1
+    val out = new Array[Long](w)
+    var x = 0
+    while (x < w) {
+      val st = offs(x)
+      out(x) = XXH64.hashUnsafeBytes(norm,
+        Platform.BYTE_ARRAY_OFFSET + st, offs(x + n) - 1 - st, 42L)
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Static helper for [[WsFieldCount]]. */
+  def fieldCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var lo = 0; var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    var t = 1
+    var i = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        t += 1
+        i += 1
+        while (i < hi && isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    t
+  }
+}

@@ -60,14 +60,13 @@ object CurationQueries extends QuerySet {
       val L = 3
       val docs = t(s, dir, "documents")
       // 1-based gram/token positions on BOTH engines (DuckDB generate_series)
+      // fused native window hashes — bit-identical to the wsTokens →
+      // transform/xxhash64(concat_ws("\u001F")) chain it replaced (the
+      // separator = the oracle's chr(31)); short docs hash to an empty
+      // array, so the explode itself drops them (no pre-filter pass)
       def grams(d: DataFrame) = d
-        .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= L)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("t")) - (L - 1)),
-          // \u001F separator — boundary-unambiguous, = the oracle's chr(31)
-          i => xxhash64(concat_ws("\u001F",
-            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TokenWindows(col("text"), L)))
         .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
       val benchGrams = grams(docs.filter(col("doc_id") % BENCH_MOD === 0))
         .select(col("h")).distinct()
@@ -277,15 +276,13 @@ object CurationQueries extends QuerySet {
     // n_sources² rows per gram worst case, never corpus-quadratic.
     "dd_source_overlap" -> ((s, dir) => {
       import graft.text.TextFunctions
+      // fused native window hashes (bit-identical swap; \u001F separator
+      // = the oracle's chr(31) and the Decontaminate.gramHashes
+      // convention: token boundaries stay unambiguous — ["ab","c"] never
+      // collides with ["a","bc"]); per-doc array_distinct unchanged
       val grams = t(s, dir, "documents")
-        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
         .select(col("source"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("t")) - 2),
-            // \u001F separator = the oracle's chr(31) and the
-            // Decontaminate.gramHashes convention: token boundaries stay
-            // unambiguous (["ab","c"] never collides with ["a","bc"])
-            i => xxhash64(array_join(slice(col("t"), i, lit(3)), "\u001F"))))).as("g"))
+          graft.functions.TokenWindows(col("text"), 3))).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val inter = grams.as("x").join(grams.as("y"),
@@ -430,13 +427,11 @@ object CurationQueries extends QuerySet {
     "tx_distinct_ngrams_approx" -> ((s, dir) => {
       import graft.text.TextFunctions
       val docs = t(s, dir, "documents")
+      // fused native window hashes — bit-identical to the HOF chain, so
+      // even this row's HLL estimates are unchanged (same 64-bit inputs)
       def profile(n: Int): DataFrame = docs
-        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("source"), explode(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          i => xxhash64(array_join(slice(col("t"), i, lit(n)), "\u001F"))))
-          .as("h"))
+        .select(col("source"),
+          explode(graft.functions.TokenWindows(col("text"), n)).as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("total"),
           approx_count_distinct(col("h"), 0.01).as("n_distinct_approx"))

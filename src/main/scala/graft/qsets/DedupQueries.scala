@@ -469,16 +469,21 @@ object DedupQueries extends QuerySet {
     // persist-vs-recompute reason documented at tx_boiler_grams.
     "dd_repeated_spans" -> ((s, dir) => {
       val L = 5
+      // n_toks = size(wsTokens) via the allocation-free WsFieldCount
+      // scan (bit-identical, including the empty-token edge cases); the
+      // window hashes come from the fused native TokenWindowHashes
+      // kernel — bit-identical to the wsTokens → transform/xxhash64
+      // chain it replaced (\u001F join = the oracle's chr(31)) — so the
+      // token ARRAY is never materialized on this row at all
       val toks = t(s, dir, "documents")
-        .select(col("doc_id"), graft.text.TextFunctions.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= L)
-        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_toks"))
-      val wins = toks.select(col("doc_id"), col("n_toks"),
-        posexplode(transform(sequence(lit(1), size(col("t")) - (L - 1)),
-          // \u001F separator: boundary-unambiguous, = the oracle's chr(31)
-          i => xxhash64(concat_ws("\u001F",
-            (0 until L).map(j => element_at(col("t"), i + lit(j))): _*)))))
-        .select(col("doc_id"), col("n_toks"), col("pos").cast("long").as("p"),
+        .select(col("doc_id"),
+          graft.functions.TokenWindows.fieldCountCol(col("text"))
+            .cast("long").as("n_toks"))
+        .filter(col("n_toks") >= L)
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TokenWindows(col("text"), L)))
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
           col("col").as("h"))
       val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"))

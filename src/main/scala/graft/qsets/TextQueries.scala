@@ -424,11 +424,14 @@ object TextQueries extends QuerySet {
     // DF threshold is an absolute doc count (the production knob), not a
     // corpus fraction.
     "tx_boiler_grams" -> ((s, dir) => {
+      // fused native window hashes over the SPACE-joined 3-grams — the
+      // same xxhash64 values shinglesFromTokens → xxhash64 produced; the
+      // per-doc distinct moves from gram strings to their 64-bit hashes
+      // (equal up to intra-doc hash collisions, ~T²·2⁻⁶⁵ per doc — the
+      // HashedShingles set-semantics precedent; oracle re-verified)
       val g = t(s, dir, "documents")
-        .select(col("doc_id"), wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(shinglesFromTokens(col("t"), 3)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TokenWindows(col("text"), 3, ' '.toByte))).as("h"))
       val df = g.groupBy(col("h")).agg(count(lit(1)).as("df"))
       g.join(df, "h")
         .groupBy(col("doc_id"))
