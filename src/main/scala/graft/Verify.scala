@@ -317,7 +317,12 @@ object Verify {
     // part of the round's audit trail. The scale pass redirects it
     // (SPARK_GRAFT_RECALL_OUT=verify_recall_sf10.json) so sf0.1 and sf10
     // recalls are separate tracked artifacts.
-    val rootName = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "verify_recall.json")
+    // a recall-only run is a SCALE-REHEARSAL pass: without an explicit
+    // SPARK_GRAFT_RECALL_OUT it must never clobber the tracked sf0.01
+    // gate artifact with rehearsal-scale values, so the default root
+    // name is scale-distinct in that mode
+    val rootName = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT",
+      if (withCurves) "verify_recall.json" else "verify_recall_rehearsal.json")
     try Files.writeString(Paths.get(rootName), json)
     catch { case e: Throwable =>
       System.err.println(s"[verify] could not write $rootName: ${e.getMessage}")

@@ -398,7 +398,7 @@ object Dedup {
       .filter(size(col("toks")) >= 1)
     val hs = toks.select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix(col("tok"), 0, 15).as("h"))
     val votes = hs.select(col("id"), col("h"),
         explode(sequence(lit(0), lit(59))).as("i"))
       .groupBy(col("id"), col("i"))

@@ -39,20 +39,12 @@ object Molecules {
   def flatten3(nested: Column): Column = flatten(nested)
 
   /** F10 — Hill-order molecular formula from a symbols array. */
-  def hillFormula(symbols: Column): Column = {
-    // per distinct element: Hill sort key (C < H < others-alphabetical),
-    // the symbol, and its occurrence count
-    val counted = transform(array_distinct(symbols), s =>
-      struct(
-        when(s === "C", lit("0")).when(s === "H", lit("1"))
-          .otherwise(concat(lit("2"), s)).as("k"),
-        s.as("sym"),
-        size(filter(symbols, x => x === s)).as("n")))
-    concat_ws("", transform(sort_array(counted), p =>
-      concat(p.getField("sym"),
-        when(p.getField("n") > 1, p.getField("n").cast("string"))
-          .otherwise(lit("")))))
-  }
+  def hillFormula(symbols: Column): Column =
+    // native one-pass kernel; bit-identical to the composable
+    // array_distinct → per-symbol filter-count → sort_array(struct) →
+    // concat chain it replaced (see HillFormulaExpr scaladoc), which
+    // walked the array once per distinct symbol in interpreted lambdas
+    graft.functions.HillFormulaExpr(symbols)
 
   /** F8 — canonical molecule sha1 (fields in declared order, geometry at
     * fixed %.8f precision). */

@@ -33,6 +33,17 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Double],
     extends UnaryExpression {
   require(codebook.length == m * ks * d, "flat codebook length mismatch")
 
+  // content-based equality (the Array field otherwise makes equality
+  // reference-based, defeating canonicalization/subexpression merging)
+  override def equals(other: Any): Boolean = other match {
+    case e: PqEncodeExpr => child == e.child && m == e.m && ks == e.ks &&
+      d == e.d && java.util.Arrays.equals(codebook, e.codebook)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(ks),
+      Integer.valueOf(d), Integer.valueOf(java.util.Arrays.hashCode(codebook)))
+
   private lazy val childIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

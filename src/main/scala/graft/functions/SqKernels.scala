@@ -36,6 +36,18 @@ case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Double])
     extends UnaryExpression {
   require(lo.length == hi.length, "lo/hi length mismatch")
 
+  // Array fields make case-class equality reference-based, so two
+  // semantically equal encodes would never canonicalize equal and
+  // subexpression elimination could not merge them — compare contents
+  override def equals(other: Any): Boolean = other match {
+    case e: SqEncodeExpr => child == e.child &&
+      java.util.Arrays.equals(lo, e.lo) && java.util.Arrays.equals(hi, e.hi)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(java.util.Arrays.hashCode(lo)),
+      Integer.valueOf(java.util.Arrays.hashCode(hi)))
+
   private lazy val childIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -71,6 +83,17 @@ case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Double])
 case class SqDistExpr(left: Expression, right: Expression,
                       lo: Array[Double], hi: Array[Double])
     extends BinaryExpression {
+
+  // content-based equality, same rationale as [[SqEncodeExpr]]
+  override def equals(other: Any): Boolean = other match {
+    case e: SqDistExpr => left == e.left && right == e.right &&
+      java.util.Arrays.equals(lo, e.lo) && java.util.Arrays.equals(hi, e.hi)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Integer.valueOf(java.util.Arrays.hashCode(lo)),
+      Integer.valueOf(java.util.Arrays.hashCode(hi)))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
@@ -119,6 +142,9 @@ object SqKernels {
   def encode(arr: ArrayData, lo: Array[Double], hi: Array[Double],
              isFloat: Boolean): ArrayData = {
     val n = lo.length
+    if (arr.numElements() < n)
+      throw new IllegalArgumentException(
+        s"sq_encode: vector has ${arr.numElements()} dims, range fit has $n")
     val out = new Array[Int](n)
     var d = 0
     while (d < n) {

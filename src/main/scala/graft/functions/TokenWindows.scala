@@ -66,6 +66,82 @@ case class TokenWindowHashes(child: Expression, n: Int, sep: Byte)
     copy(child = newChild)
 }
 
+/** The n-token window STRINGS of a text, tokens joined by `sep` — the
+  * string sibling of [[TokenWindowHashes]] for pipelines whose gram must
+  * stay a string (portable-md5 Bloom grams, exact COUNT(DISTINCT gram)):
+  * bit-identical to
+  *
+  *   transform(sequence(lit(1), size(t) - (n - 1)),
+  *     i => array_join(slice(t, i, n), sep))
+  *
+  * over wsTokens, but one tokenize pass into the separator-normalized
+  * buffer and one UTF8String slice per window — no per-window array
+  * slice, join walk, or interpreted lambda dispatch. */
+case class TokenWindowStrings(child: Expression, n: Int, sep: Byte)
+    extends UnaryExpression {
+  require(n > 0, s"window width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_window_strings needs a string column, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_window_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenWindows.strings(input.asInstanceOf[UTF8String], n, sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenWindows.strings($c, $n, (byte) $sep)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowStrings =
+    copy(child = newChild)
+}
+
+/** Per-bigram (h1, h12) hash pairs of a text — bit-identical to the
+  * lmScores chain over wsTokens:
+  *
+  *   transform(sequence(1, size(t) - 1),
+  *     i => struct(xxhash64(t(i)) as h1, xxhash64(t(i), t(i+1)) as h12))
+  *
+  * (Spark's multi-argument xxhash64 seeds each argument's hash with the
+  * previous one, so h12 = XXH64(w2, XXH64(w1, 42)) — which makes h1 a
+  * PREFIX of h12's computation: one hash per token plus one per bigram,
+  * where the HOF form hashed every token three times and paid the
+  * interpreted-lambda walk.) Output is array<struct<h1,h12>> in token
+  * order; texts under two tokens yield an empty array (the callers'
+  * `size(t) >= 2` filter, folded in). */
+case class TokenBigramHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_bigram_hashes needs a string column, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h12", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_bigram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenWindows.bigramHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenWindows.bigramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBigramHashes =
+    copy(child = newChild)
+}
+
 /** Whitespace-split FIELD count — bit-identical to
   * `size(split(trim(text), "\\s+"))` (= size(TextFunctions.wsTokens)),
   * including the empty-token edge cases above (an all-space text counts
@@ -178,6 +254,82 @@ object TokenWindows {
       out(x) = XXH64.hashUnsafeBytes(norm,
         Platform.BYTE_ARRAY_OFFSET + st, offs(x + n) - 1 - st, 42L)
       x += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column entry point for the window STRINGS form, 0x1F-joined. */
+  def stringsCol(c: Column, n: Int): Column =
+    Bridge.column(TokenWindowStrings(Bridge.expression(c), n, UnitSep))
+
+  /** Static helper invoked from both interpreted eval and generated code. */
+  def strings(s: UTF8String, n: Int, sep: Byte): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val starts = new Array[Int](len / 2 + 2)
+    val ends = new Array[Int](len / 2 + 2)
+    val t = splitFields(bytes, 0, len, starts, ends)
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](t + 1)
+    var normLen = t - 1
+    var k = 0
+    while (k < t) { normLen += ends(k) - starts(k); k += 1 }
+    val norm = new Array[Byte](normLen)
+    var p = 0
+    k = 0
+    while (k < t) {
+      if (k > 0) { norm(p) = sep; p += 1 }
+      offs(k) = p
+      val flen = ends(k) - starts(k)
+      System.arraycopy(bytes, starts(k), norm, p, flen)
+      p += flen
+      k += 1
+    }
+    offs(t) = normLen + 1
+    val w = t - n + 1
+    val out = new Array[Any](w)
+    var x = 0
+    while (x < w) {
+      val st = offs(x)
+      val l = offs(x + n) - 1 - st
+      val b = new Array[Byte](l)
+      System.arraycopy(norm, st, b, 0, l)
+      out(x) = UTF8String.fromBytes(b)
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column entry point for the bigram (h1, h12) hash pairs. */
+  def bigramHashesCol(c: Column): Column =
+    Bridge.column(TokenBigramHashes(Bridge.expression(c)))
+
+  /** Static helper invoked from both interpreted eval and generated code. */
+  def bigramHashes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val starts = new Array[Int](len / 2 + 2)
+    val ends = new Array[Int](len / 2 + 2)
+    val t = splitFields(bytes, 0, len, starts, ends)
+    if (t < 2) return new GenericArrayData(Array.empty[Any])
+    // one xxhash64 per token (seed 42), reused as the seed of the
+    // following token's hash for the pair key
+    val th = new Array[Long](t)
+    var k = 0
+    while (k < t) {
+      th(k) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + starts(k), ends(k) - starts(k), 42L)
+      k += 1
+    }
+    val out = new Array[Any](t - 1)
+    k = 0
+    while (k < t - 1) {
+      val h12 = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + starts(k + 1), ends(k + 1) - starts(k + 1),
+        th(k))
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](th(k), h12))
+      k += 1
     }
     new GenericArrayData(out)
   }

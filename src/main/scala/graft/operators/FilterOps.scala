@@ -34,6 +34,27 @@ object FilterOps {
   def jsonContainsAny(jsonCol: Column, anyOf: Seq[Map[String, String]]): Column =
     anyOf.map(jsonContains(jsonCol, _)).reduceOption(_ || _).getOrElse(lit(true))
 
+  /** P4/P5 at scale — parse ONCE, probe many: `get_json_object` re-parses
+    * the document per (key, value) probe, so a filter with k probes pays
+    * k full JSON parses per row. [[jsonParsed]] extracts every requested
+    * key in one `from_json` pass; [[parsedContains]]/[[parsedContainsAny]]
+    * are then plain string predicates over the parsed struct — same
+    * match semantics for string-valued keys (both forms yield the value
+    * or NULL when the key is absent/malformed). */
+  def jsonParsed(jsonCol: Column, keys: Seq[String]): Column = {
+    val schema = keys.map(k => s"`$k` STRING").mkString(", ")
+    from_json(jsonCol, org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** AND over required pairs against a [[jsonParsed]] struct. */
+  def parsedContains(parsed: Column, required: Map[String, String]): Column =
+    required.map { case (k, v) => parsed.getField(k) === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** OR across requested dicts against a [[jsonParsed]] struct. */
+  def parsedContainsAny(parsed: Column, anyOf: Seq[Map[String, String]]): Column =
+    anyOf.map(parsedContains(parsed, _)).reduceOption(_ || _).getOrElse(lit(true))
+
   /** P6 — array subset: `programs ?& keys` (column has ALL of `keys`)
     * (`managers/socket.py:308-319`). */
   def hasAll(arrCol: Column, keys: Seq[String]): Column =

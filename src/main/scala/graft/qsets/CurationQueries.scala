@@ -214,8 +214,8 @@ object CurationQueries extends QuerySet {
     // the standard way to take "a 100-doc sample weighted by length /
     // quality score" out of a 100 TB corpus in one pass.
     "samp_weighted_es" -> ((s, dir) => {
-      val u = (conv(substring(md5(col("text")), 1, 15), 16, 10)
-        .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+      val u = (graft.functions.Md5Prefix(col("text"), 0, 15)
+        .cast("double") + lit(1.0)) / lit(1152921504606846976.0)
       t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           round(-log(u) / col("n_chars"), 12).as("es_key"))
@@ -397,13 +397,11 @@ object CurationQueries extends QuerySet {
     "tx_distinct_ngrams" -> ((s, dir) => {
       import graft.text.TextFunctions
       val docs = t(s, dir, "documents")
+      // fused native window strings (bit-identical swap, \u001F separator
+      // = the oracle's chr(31); short docs explode to nothing)
       def profile(n: Int): DataFrame = docs
-        .select(col("source"), TextFunctions.wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("source"), explode(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          //  separator — boundary-unambiguous, = the oracle's chr(31)
-          i => array_join(slice(col("t"), i, lit(n)), "\u001F"))).as("g"))
+        .select(col("source"), explode(
+          graft.functions.TokenWindows.stringsCol(col("text"), n)).as("g"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
         .select(col("source"), lit(n).as("n"), col("total"), col("n_distinct"),

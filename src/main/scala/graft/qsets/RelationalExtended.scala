@@ -85,6 +85,11 @@ object RelationalExtended extends QuerySet {
     // assoc pairs are near-distinct already (≈7 lineitems per order
     // scatter across parts), the profile where raw-row shuffle wins.
     "j3_assoc_distinct" -> ((s, dir) => {
+      // count(1) over the deduped pairs counts a NULL l_partkey as one
+      // extra partner where COUNT(DISTINCT) would not — safe here only
+      // because TPC-H l_partkey is NOT NULL; on nullable data add
+      // .filter(col("l_partkey").isNotNull) to keep the rewrite
+      // identical to the oracle's COUNT(DISTINCT)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_partkey"))
         .repartition(col("l_suppkey"))

@@ -158,7 +158,15 @@ object SketchQueries extends QuerySet {
       val kb = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
       val est = Sketches.cmsJoinSize(
         Sketches.cmsCounters(ka, col("k")), Sketches.cmsCounters(kb, col("k")))
-      val exact = ka.join(kb, "k").agg(count(lit(1)).as("exact_pairs"))
+      // |A ⋈ B| = Σ_k cntA(k)·cntB(k): pre-aggregate BOTH sides to per-key
+      // counts before joining (map-side partials), so the join carries one
+      // row per distinct key per side and nothing re-expands — identical
+      // count to the raw join-then-count, which materialized every matched
+      // pair row only to count them
+      val ca = ka.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      val cb = kb.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, "k")
+        .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
       est.crossJoin(exact)
         .withColumn("overcount", col("est_pairs") - col("exact_pairs"))
     }),
@@ -174,25 +182,35 @@ object SketchQueries extends QuerySet {
         col("l_extendedprice").as("v"),
         md5(concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))).as("h"))
-      // exact order statistics WITHOUT a per-group window sort: with ~3
-      // returnflag groups, partitionBy funnels the whole fact table into
-      // 3 single-task sorts (the exact side was the suite's worst sf10
-      // row, 265 s). Instead rank once in composite (group, v, h) order
-      // via the distributed globalRank, then convert to a within-group
-      // rank by subtracting each group's start offset — group count and
-      // offsets are a BOUNDED collect (one row per returnflag).
-      val grp = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      val offMap = grp.map(_._1).zip(
-        grp.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
-      val ranked = Sampling.globalRank(li,
-          Seq(col("l_returnflag"), col("v"), col("h")), rankName = "__grk")
-        .withColumn("rn", col("__grk") - element_at(typedLit(offMap), col("l_returnflag")))
-        .withColumn("n", element_at(typedLit(grp.toMap), col("l_returnflag")))
-      def exactAt(num: Int, den: Int): Column =
-        max(when(col("rn") === expr(s"(($num * (n - 1)) div $den) + 1"), col("v")))
-      val exact = ranked.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n_rows"),
+      // exact order statistics from VALUE COUNTS, not row ranks: the
+      // value at row rank r (rows ordered by (v, tiebreak)) depends only
+      // on v's cumulative row counts, never on which tied row holds the
+      // rank — so aggregate to distinct (group, v) first (map-side
+      // partials collapse the fact table to its value profile) and pick
+      // the value whose cumulative range [lo, hi] covers the target
+      // rank. The previous form range-sorted the ENTIRE fact table
+      // (globalRank: full-table persist + range exchange + per-shard
+      // window + offsets collect) and computed a per-row md5 tiebreak
+      // the picked VALUE provably cannot depend on; the window here
+      // sorts one row per distinct (group, value) — the value profile,
+      // orders of magnitude below row count at any scale (and the
+      // per-group running sum over it is the samp_token_budget boundary
+      // pattern if a value profile ever outgrows a task).
+      import org.apache.spark.sql.expressions.Window
+      val dist = li.groupBy(col("l_returnflag"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val wg = Window.partitionBy(col("l_returnflag"))
+      val cum = dist
+        .withColumn("hi", sum(col("c")).over(wv))
+        .withColumn("lo", col("hi") - col("c") + 1L)
+        .withColumn("n", sum(col("c")).over(wg))
+      def exactAt(num: Int, den: Int): Column = {
+        val target = expr(s"(($num * (n - 1)) div $den) + 1")
+        max(when(target.between(col("lo"), col("hi")), col("v")))
+      }
+      val exact = cum.groupBy("l_returnflag").agg(
+        sum(col("c")).as("n_rows"),
         exactAt(1, 2).as("exact_p50"),
         exactAt(9, 10).as("exact_p90"),
         exactAt(99, 100).as("exact_p99"))
@@ -216,11 +234,11 @@ object SketchQueries extends QuerySet {
     "sk_bloom_grams" -> ((s, dir) => {
       import graft.text.TextFunctions.wsTokens
       val docs = t(s, dir, "documents")
+      // fused native window strings (bit-identical to the wsTokens →
+      // transform/array_join(slice) chain; short docs explode to nothing)
       def gramsOf(d: DataFrame): DataFrame = d
-        .select(wsTokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
-          i => array_join(slice(col("t"), i, lit(3)), "\u001F"))).as("g"))
+        .select(explode(
+          graft.functions.TokenWindows.stringsCol(col("text"), 3)).as("g"))
         .distinct()
       val corpus = gramsOf(docs.filter(col("doc_id") % 5 =!= 0))
       val probes = gramsOf(docs.filter(col("doc_id") % 5 === 0))

@@ -139,16 +139,29 @@ object StreamingQueries extends QuerySet {
           Sketches.quantileAt(col("vs"), col("sample_k"), 1, 2).as("est_p50"),
           Sketches.quantileAt(col("vs"), col("sample_k"), 9, 10).as("est_p90"),
           Sketches.quantileAt(col("vs"), col("sample_k"), 99, 100).as("est_p99"))
-      val ev = t(s, dir, "events").select(col("event_type"),
-        col("value").as("v"), md5(col("event_id").cast("string")).as("h"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("v"), col("h"))
-      val cw = Window.partitionBy(col("event_type"))
-      val ranked = ev.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
-      def exactAt(num: Int, den: Int) =
-        max(when(col("rn") === expr(s"(($num * (n - 1)) div $den) + 1"), col("v")))
-      val exact = ranked.groupBy("event_type").agg(
-        count(lit(1)).as("n_rows"),
+      // exact order statistics from VALUE COUNTS (the sk_quantile_bottomk
+      // form): the value at row rank r depends only on v's cumulative
+      // counts, never on the tied rows' hash order — so aggregate to
+      // distinct (type, v) first and pick the value whose [lo, hi]
+      // cumulative range covers the target rank. The previous window
+      // ranked EVERY event row within its type partition (a per-type
+      // full sort, plus a per-row md5 tiebreak the picked value cannot
+      // depend on); this window sorts one row per distinct value.
+      val dist = t(s, dir, "events")
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val wg = Window.partitionBy(col("event_type"))
+      val cum = dist
+        .withColumn("hi", sum(col("c")).over(wv))
+        .withColumn("lo", col("hi") - col("c") + 1L)
+        .withColumn("n", sum(col("c")).over(wg))
+      def exactAt(num: Int, den: Int) = {
+        val target = expr(s"(($num * (n - 1)) div $den) + 1")
+        max(when(target.between(col("lo"), col("hi")), col("v")))
+      }
+      val exact = cum.groupBy("event_type").agg(
+        sum(col("c")).as("n_rows"),
         exactAt(1, 2).as("exact_p50"),
         exactAt(9, 10).as("exact_p90"),
         exactAt(99, 100).as("exact_p99"))

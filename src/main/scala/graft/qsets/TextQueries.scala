@@ -56,15 +56,15 @@ object TextQueries extends QuerySet {
     * corpus-scale shuffles carry 16 bytes per row. */
   private def lmScores(docs: DataFrame, riders: Seq[String]): DataFrame = {
     val keys = (Seq("doc_id") ++ riders).map(col)
+    // fused native bigram hashes — bit-identical to the wsTokens →
+    // transform/struct → xxhash64(w1), xxhash64(w1, w2) chain it
+    // replaced (multi-arg xxhash64 seeds w2's hash with w1's, so the
+    // kernel hashes each token once and reuses it as the pair seed);
+    // texts under two tokens explode to nothing, folding in the filter
     val bi = docs
-      .select(keys :+ wsTokens(col("text")).as("t"): _*)
-      .filter(size(col("t")) >= 2)
-      .select(keys :+ explode(transform(
-        sequence(lit(1), size(col("t")) - 1),
-        i => struct(element_at(col("t"), i).as("w1"),
-          element_at(col("t"), i + lit(1)).as("w2")))).as("b"): _*)
-      .select(keys :+ xxhash64(col("b.w1")).as("h1") :+
-        xxhash64(col("b.w1"), col("b.w2")).as("h12"): _*)
+      .select(keys :+ explode(
+        graft.functions.TokenWindows.bigramHashesCol(col("text"))).as("b"): _*)
+      .select(keys :+ col("b.h1").as("h1") :+ col("b.h12").as("h12"): _*)
     val c2 = bi.groupBy(col("h1"), col("h12")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
     bi.join(c2.join(c1, "h1"), Seq("h1", "h12"))
@@ -710,9 +710,9 @@ object TextQueries extends QuerySet {
     // TakeOrdered top-k — the same one-pass shape as samp_weighted_es,
     // composed with the DSIR artifact.
     "samp_dsir_topk" -> ((s, dir) => {
-      val u = (conv(substring(md5(concat(lit("dsir:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+      val u = (graft.functions.Md5Prefix(concat(lit("dsir:"),
+          col("doc_id").cast("string")), 0, 15)
+        .cast("double") + lit(1.0)) / lit(1152921504606846976.0)
       dsirWeights(s, dir)
         .select(col("doc_id"), col("dsir_weight"),
           round(log(-log(u)) - col("dsir_weight"), 9).as("es_key"))

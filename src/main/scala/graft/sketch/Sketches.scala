@@ -70,15 +70,18 @@ object Sketches {
   val HllNumerator: Double =
     0.7213 / (1.0 + 1.079 / 256.0) * (65536.0 * 9007199254740992.0)
 
-  /** Register index of a value: first 8 md5 bits. */
+  /** Register index of a value: first 8 md5 bits. Native
+    * [[graft.functions.Md5Prefix]] kernel — bit-identical to
+    * conv(substring(md5(v), 1, 2), 16, 10), without the per-row digest
+    * instance, hex string, and conv string parse. */
   def hllBucket(value: Column): Column =
-    conv(substring(md5(value.cast("string")), 1, 2), 16, 10).cast("int")
+    graft.functions.Md5Prefix(value.cast("string"), 0, 2).cast("int")
 
   /** Rank of a value: leading zeros of the next 52 md5 bits, plus 1.
     * `bin()` drops leading zeros so rho = 53 - bit_length(w), with the
     * all-zero word pinned to 53 — pure integer logic on both engines. */
   def hllRho(value: Column): Column = {
-    val w = conv(substring(md5(value.cast("string")), 3, 13), 16, 10).cast("long")
+    val w = graft.functions.Md5Prefix(value.cast("string"), 2, 13)
     when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("int")
   }
 
@@ -160,8 +163,8 @@ object Sketches {
   /** Row-i hash of a value: first 12 bits of md5("i:value") — the same
     * seeded-md5 family the dd_minhash_md5 oracle anchor uses. */
   def cmsBucket(i: Column, value: Column): Column =
-    conv(substring(md5(concat(i.cast("string"), lit(":"), value.cast("string"))),
-      1, 3), 16, 10).cast("int")
+    graft.functions.Md5Prefix(
+      concat(i.cast("string"), lit(":"), value.cast("string")), 0, 3).cast("int")
 
   /** The d×m counter table: `i, bucket, c`. Counters are SUMS — fully
     * mergeable (map-side partial aggregation collapses each task's
@@ -259,8 +262,8 @@ object Sketches {
     * with the hex width `c` a COLUMN (broadcast from the sizing pass) so
     * the whole pipeline stays one declarative plan. */
   def bloomBucket(i: Column, value: Column, c: Column): Column =
-    conv(md5(concat(i.cast("string"), lit(":"), value.cast("string")))
-      .substr(lit(1), c), 16, 10).cast("long")
+    graft.functions.Md5Prefix(
+      concat(i.cast("string"), lit(":"), value.cast("string")), 0, c.cast("int"))
 
   /** The SET-BIT table of a key relation (must already carry the sizing
     * column `c`): distinct (i, bucket), ≤ d·n rows — the sketch a

@@ -36,8 +36,7 @@ object Dsir {
         i => concat_ws("\u001F", element_at(col("t"), i),
           element_at(col("t"), i + lit(1))))).as("g"))
       .select(col("doc_id"), col("is_t"),
-        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-          % buckets).as("bkt"))
+        (graft.functions.Md5Prefix(col("g"), 0, 15) % buckets).as("bkt"))
 
   /** The (bkt, w) weight frame: both LMs from ONE bucket-grouped pass —
     * raw count + conditional target count ride the same shuffle; add-1
@@ -116,9 +115,9 @@ object Dsir {
         TextFunctions.wsTokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 2)
       .withColumn("__g", transform(sequence(lit(1), size(col("__t")) - 1),
-        i => (conv(substring(md5(concat_ws("\u001F",
-          element_at(col("__t"), i), element_at(col("__t"), i + lit(1)))),
-          1, 15), 16, 10).cast("long") % buckets)))
+        i => (graft.functions.Md5Prefix(concat_ws("\u001F",
+          element_at(col("__t"), i), element_at(col("__t"), i + lit(1))),
+          0, 15) % buckets)))
       .select(col("doc_id"),
         size(col("__g")).cast("long").as("n_grams"),
         round(aggregate(col("__g"),

@@ -189,9 +189,9 @@ object TextFunctions {
         val cur2 = when(!acc.getField("open"), tok)
           .otherwise(concat(acc.getField("cur"), lit(sep), tok))
         val isCut = when(i >= window,
-          conv(substring(md5(array_join(
-              slice(toks, i - (window - 1), lit(window)), sep)), 1, 2), 16, 10)
-            .cast("long") % modulus === 0)
+          graft.functions.Md5Prefix(array_join(
+              slice(toks, i - (window - 1), lit(window)), sep), 0, 2)
+            % modulus === 0)
           .otherwise(lit(false))
         struct(
           when(isCut, concat(acc.getField("fps"), array(md5(cur2))))

@@ -14,7 +14,8 @@ import graft.{SparkEntry, Tables}
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated names profile several queries in one JVM/session
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
@@ -42,23 +43,25 @@ object ProfileQuery {
       }
     })
 
-    // warm-up so codegen/parquet-footer costs don't pollute the profile
-    SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    rows.clear()
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val totalMs = (System.nanoTime() - t0) / 1000000L
-    Thread.sleep(500) // let listener events drain
     import scala.jdk.CollectionConverters._
-    val all = rows.asScala.toSeq.sortBy(_._1)
-    val jobSum = all.map(_._2).sum
-    println(s"== $name: ${all.size} jobs, ${totalMs} ms wall, ${jobSum} ms in jobs ==")
-    // driver-side idle: gap between a job's end and the next job's start
-    var prevEnd = 0L
-    all.foreach { case (id, ms, desc, st, en) =>
-      val gap = if (prevEnd == 0) 0 else st - prevEnd
-      prevEnd = en
-      println(f"job $id%3d  $ms%6d ms  gap $gap%6d ms  ${desc.take(95)}")
+    for (name <- names) {
+      // warm-up so codegen/parquet-footer costs don't pollute the profile
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      rows.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val totalMs = (System.nanoTime() - t0) / 1000000L
+      Thread.sleep(500) // let listener events drain
+      val all = rows.asScala.toSeq.sortBy(_._1)
+      val jobSum = all.map(_._2).sum
+      println(s"== $name: ${all.size} jobs, ${totalMs} ms wall, ${jobSum} ms in jobs ==")
+      // driver-side idle: gap between a job's end and the next job's start
+      var prevEnd = 0L
+      all.foreach { case (id, ms, desc, st, en) =>
+        val gap = if (prevEnd == 0) 0 else st - prevEnd
+        prevEnd = en
+        println(f"job $id%3d  $ms%6d ms  gap $gap%6d ms  ${desc.take(95)}")
+      }
     }
     spark.stop()
   }

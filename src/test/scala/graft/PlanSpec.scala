@@ -185,14 +185,18 @@ class PlanSpec extends SparkSuite {
     // full group instead
     assert(p.contains("partial_minkpairs"), "sample must combine map-side")
     assert(count(p, "ObjectHashAggregate") == 2, "partial + final aggregate")
-    // exact side: within-group ranks derive from the materialized
-    // distributed globalRank (range partition + shard offsets) minus a
-    // literal per-group offset — never a window PARTITIONED BY the
-    // ~3-value group key, which funnels the whole fact table into 3
-    // single-task sorts (the suite's worst sf10 row, 265 s, before the
-    // rewrite)
-    assert(!p.contains("windowspecdefinition(l_returnflag"),
-      "no per-group window sort over the fact table")
+    // exact side: order statistics derive from the distinct VALUE
+    // PROFILE — a (group, v) hash aggregate collapses the fact table
+    // map-side BEFORE any ordering, so the per-group cumulative window
+    // sorts one row per distinct value, never the fact rows (the
+    // original per-group row window was the suite's worst sf10 row,
+    // 265 s; the r17 globalRank form still range-sorted every fact row
+    // and collected per-group offsets to the driver)
+    assert("HashAggregate\\(keys=\\[l_returnflag#\\d+, (knownfloatingpointnormalized\\S* AS )?v#\\d+\\], functions=\\[partial_count".r
+        .findFirstIn(p).isDefined,
+      "the fact table must collapse to the (group, value) profile map-side")
+    assert(p.contains("windowspecdefinition(l_returnflag"),
+      "cumulative counts run per group over the aggregated value profile")
     assert(!p.contains("Exchange SinglePartition"),
       "no stage may funnel to one partition")
     // the 3-row sample relation broadcasts onto the exact side

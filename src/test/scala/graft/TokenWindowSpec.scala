@@ -84,6 +84,61 @@ class TokenWindowSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("native window STRINGS ≡ HOF array_join(slice) form") {
+    val df = (edgeCases ++ Seq("one two three four five"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val t = TextFunctions.wsTokens(col("text"))
+      val hof = when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), "")))
+      val bad = df.select(
+          graft.functions.TokenWindows.stringsCol(col("text"), n).as("native"),
+          hof.as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count()
+      assert(bad === 0L, s"n=$n")
+    }
+  }
+
+  test("native bigram hashes ≡ xxhash64(w1) / xxhash64(w1, w2) HOF form") {
+    val df = (edgeCases ++ Seq("a b", "x")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val t = TextFunctions.wsTokens(col("text"))
+    val hof = when(size(t) < 2,
+        array().cast("array<struct<h1:bigint,h12:bigint>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(xxhash64(element_at(t, i)).as("h1"),
+          xxhash64(element_at(t, i), element_at(t, i + lit(1))).as("h12"))))
+    val bad = df.select(
+        graft.functions.TokenWindows.bigramHashesCol(col("text")).as("native"),
+        hof.as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
+  test("md5_prefix_long ≡ conv(substring(md5(s), skip+1, take), 16, 10)") {
+    import graft.functions.Md5Prefix
+    val vals = (edgeCases ++ Seq("42", "9999999", "0", "x:y:z")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = vals.toDF("id", "s")
+    for ((skip, take) <- Seq((0, 2), (2, 13), (0, 3), (0, 15), (17, 15), (0, 1))) {
+      val bad = df.select(
+          Md5Prefix(col("s"), skip, take).as("native"),
+          conv(substring(md5(col("s")), skip + 1, take), 16, 10)
+            .cast("long").as("ref"))
+        .filter(col("native") =!= col("ref")).count()
+      assert(bad === 0L, s"skip=$skip take=$take")
+    }
+    // the dynamic-take form (Bloom's data-sized hex width)
+    val badDyn = df.withColumn("c", (col("id") % 14 + 1).cast("int"))
+      .select(
+        Md5Prefix(col("s"), 0, col("c")).as("native"),
+        conv(md5(col("s")).substr(lit(1), col("c")), 16, 10)
+          .cast("long").as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(badDyn === 0L)
+  }
+
   test("windows shorter than n hash nothing; explode drops the doc") {
     val df = Seq((1L, "only two"), (2L, "one two three four")).toDF("id", "text")
       .select(col("id"), explode(TokenWindows(col("text"), 3)).as("h"))
