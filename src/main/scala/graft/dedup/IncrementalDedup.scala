@@ -100,6 +100,54 @@ object IncrementalDedup {
       .withColumn("chash", struct(xxhash64(col("sh")), xxhash64(lit(1L), col("sh"))))
       .localCheckpoint(eager = true)
 
+    // fresh-index fast path (the BucketedIncrementalDedup r17
+    // precedent): a first batch probes a provably-empty index — every
+    // read excludes this batch's own partition and nothing else exists —
+    // so skip the stop-list checkpoint+count, the reps persist and the
+    // candidate/verify joins entirely (~a third of the batch's scheduler
+    // round-trips). A batch-1 RETRY sees only its own partition, which
+    // the reads exclude, so the skip stays correct under retries.
+    val dropped = if (!SignatureIndex.hasOtherBatches(spark, indexDir, batchId))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType, nullable = false))))
+    else probeIndex(spark, sigs, indexDir, batchId, bandCap, minJaccard)
+
+    // remaining batch docs dedup against each other, REUSING the
+    // checkpointed signatures (no second hashing pass over the text) AND
+    // the precomputed bands (pure function of sh — the pair pipeline
+    // skips its per-distinct-content banding pass)
+    val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("sh"), col("bands"))
+    val pairs = Dedup.minhashPairsFromShingles(remainingSh,
+      k, bands, minJaccard, bucketCap)
+    val surv = Dedup.survivors(remaining, idCol, pairs)
+      .localCheckpoint(eager = true) // computed BEFORE the index write below
+
+    // idempotent commit: this batch's survivors replace their own
+    // partition, and their per-band counts land in the stats subtree so
+    // future stop-lists never rescan the index. `committed` is a cheap
+    // semi-join of two CACHED frames — each write recomputes it rather
+    // than paying an extra materialization round-trip.
+    val committed = sigs
+      .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sh"), col("bands"))
+    committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    SignatureIndex.writeStats(
+      committed.select(explode(col("bands")).as("band")),
+      indexDir, Seq("band"), batchId)
+
+    surv
+  }
+
+  /** The index probe of one batch: which batch ids near-match an indexed
+    * survivor (eagerly checkpointed bare-id frame — two downstream
+    * consumers read it). Structure unchanged from the inline form it was
+    * extracted from; see the comments inside. */
+  private def probeIndex(spark: SparkSession, sigs: DataFrame,
+                         indexDir: String, batchId: Long, bandCap: Int,
+                         minJaccard: Double): DataFrame = {
     val index = SignatureIndex.read(spark, indexDir, indexSchema,
       excludeBatch = batchId)
 
@@ -145,45 +193,18 @@ object IncrementalDedup {
       .select(col("rep")).distinct()
     // expand the rep verdict to every exact copy in the batch. Eagerly
     // checkpointed: `dropped` has two consumers (the doc anti-join and the
-    // signature anti-join below), and its subtree is the whole batch×index
-    // band join + Jaccard verify — without materialization that subtree
-    // evaluates twice per batch (the multi-consumer lesson this codebase
-    // keeps re-learning). The rows are bare ids: checkpoint cost ~nil.
-    // finally: a failed checkpoint (transient task loss on a stream)
-    // must still release the cache entry, or every foreachBatch retry
-    // attempt leaks one — the crash-loop variant of the leak fixed here
-    val dropped =
-      try sigs
-        .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
-        .select(col("id"))
-        .localCheckpoint(eager = true)
-      finally reps.unpersist(blocking = true)
-
-    // remaining batch docs dedup against each other, REUSING the
-    // checkpointed signatures (no second hashing pass over the text) AND
-    // the precomputed bands (pure function of sh — the pair pipeline
-    // skips its per-distinct-content banding pass)
-    val remaining = docs.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-    val remainingSh = sigs.join(dropped, Seq("id"), "left_anti")
-      .select(col("id"), col("sh"), col("bands"))
-    val pairs = Dedup.minhashPairsFromShingles(remainingSh,
-      k, bands, minJaccard, bucketCap)
-    val surv = Dedup.survivors(remaining, idCol, pairs)
-      .localCheckpoint(eager = true) // computed BEFORE the index write below
-
-    // idempotent commit: this batch's survivors replace their own
-    // partition, and their per-band counts land in the stats subtree so
-    // future stop-lists never rescan the index. `committed` is a cheap
-    // semi-join of two CACHED frames — each write recomputes it rather
-    // than paying an extra materialization round-trip.
-    val committed = sigs
-      .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("sh"), col("bands"))
-    committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-    SignatureIndex.writeStats(
-      committed.select(explode(col("bands")).as("band")),
-      indexDir, Seq("band"), batchId)
-
-    surv
+    // signature anti-join in addBatch), and its subtree is the whole
+    // batch×index band join + Jaccard verify — without materialization
+    // that subtree evaluates twice per batch (the multi-consumer lesson
+    // this codebase keeps re-learning). The rows are bare ids: checkpoint
+    // cost ~nil. finally: a failed checkpoint (transient task loss on a
+    // stream) must still release the cache entry, or every foreachBatch
+    // retry attempt leaks one — the crash-loop variant of the leak fixed
+    // here
+    try sigs
+      .join(reps.join(droppedReps, "rep").select(col("chash")), Seq("chash"), "left_semi")
+      .select(col("id"))
+      .localCheckpoint(eager = true)
+    finally reps.unpersist(blocking = true)
   }
 }

@@ -31,6 +31,26 @@ private[graft] object SignatureIndex {
     }
   }
 
+  /** Does the index hold any batch partition OTHER than `excludeBatch`?
+    * One driver-side directory listing — the gate for the fresh-index
+    * fast path (the BucketedIncrementalDedup/CdcIndex r17 precedent): a
+    * first batch probes a provably-empty index, so its candidate join,
+    * stop-list and verify machinery are pure scheduler overhead. A RETRY
+    * of batch 1 sees only its own partition and still counts as fresh —
+    * reads exclude it anyway. */
+  def hasOtherBatches(spark: SparkSession, indexDir: String,
+                      excludeBatch: Long): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.exists(root) && hfs.listStatus(root).exists { s =>
+      s.isDirectory && {
+        val n = s.getPath.getName
+        n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLongOption.exists(_ != excludeBatch)
+      }
+    }
+  }
+
   /** Read every `batch=<id>` partition EXCEPT `excludeBatch` (idempotent
     * retry: a rerun must not see its own previous append). The explicit
     * schema (which must include the `batch` partition column) means an

@@ -63,6 +63,26 @@ object IncrementalVectors {
       .withColumn("bands", SrpBands(col("v"), bits, bands, seed = 42L))
       .localCheckpoint(eager = true)
 
+    // fresh-index fast path (the BucketedIncrementalDedup/CdcIndex r17
+    // precedent): the first batch probes a provably-empty index — skip
+    // the stop-list, band joins and cosine verify entirely. A batch-1
+    // RETRY sees only its own (excluded) partition and stays correct.
+    if (!graft.dedup.SignatureIndex.hasOtherBatches(spark, indexDir, batchId)) {
+      val pairs = Vectors.cosinePairsFromBands(sigs, minCosine, bucketCap)
+        .select(col("id_a"), col("id_b"))
+      val surv = Dedup.survivors(vecs, idCol, pairs)
+        .localCheckpoint(eager = true)
+      val committed = sigs
+        .join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("v"), col("bands"))
+      committed.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      graft.dedup.SignatureIndex.writeStats(
+        committed.select(posexplode(col("bands")))
+          .select(col("pos"), col("col").as("sig")),
+        indexDir, Seq("pos", "sig"), batchId)
+      return surv
+    }
+
     val index = graft.dedup.SignatureIndex.read(spark, indexDir, indexSchema,
       excludeBatch = batchId)
 
