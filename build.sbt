@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract: the driver runs `sbt "runMain graft.Bench"`
+// and parses the LAST stdout line as JSON. With sbt's default LoggedOutput
+// strategy every forked-process stdout line is re-logged with an
+// "[info] " prefix and sbt appends its own "[success] Total time ..."
+// trailer — so the driver has recorded `parsed: null` since round 14
+// (BENCH_r14–r18) and PERF per_query has been empty. StdoutOutput passes
+// the forked process's stdout through verbatim and showSuccess=false
+// drops the trailer, so Bench's final compact JSON line reaches the
+// driver bare. (Measurement methodology is unchanged — this only
+// unwraps the channel the existing line travels on.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -107,10 +107,11 @@ object IncrementalDedup {
     // candidate/verify joins entirely (~a third of the batch's scheduler
     // round-trips). A batch-1 RETRY sees only its own partition, which
     // the reads exclude, so the skip stays correct under retries.
+    // empty frame derived FROM sigs (not a hardcoded LongType struct) so
+    // the anti-joins below cannot silently type-mismatch if the id
+    // contract ever widens (r18 ADVICE); limit(0) is plan-only, no job
     val dropped = if (!SignatureIndex.hasOtherBatches(spark, indexDir, batchId))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", LongType, nullable = false))))
+      sigs.select(col("id")).limit(0)
     else probeIndex(spark, sigs, indexDir, batchId, bandCap, minJaccard)
 
     // remaining batch docs dedup against each other, REUSING the

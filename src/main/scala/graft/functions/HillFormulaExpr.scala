@@ -67,6 +67,11 @@ object HillFormulaExpr {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
+      // null element → null result (the composable HOF form it replaced
+      // null-propagated; crashing the task on a null symbol would turn a
+      // data defect into a job failure — r18 ADVICE). Unreachable on the
+      // current non-null molecule data, pinned in MoleculeCodecSpec.
+      if (s == null) return null
       var j = 0
       var found = false
       while (j < syms.size && !found) {

@@ -395,10 +395,14 @@ object CurationQueries extends QuerySet {
     // approx_count_distinct (HLL++, fixed-size mergeable sketch) and
     // hashes grams to 64-bit first, the tx_vocab precedent.
     "tx_distinct_ngrams" -> ((s, dir) => {
-      import graft.text.TextFunctions
       val docs = t(s, dir, "documents")
-      // fused native window strings (bit-identical swap, \u001F separator
-      // = the oracle's chr(31); short docs explode to nothing)
+      // fused native window strings (bit-identical swap, U+001F separator
+      // = the oracle's chr(31); short docs explode to nothing). Kept as
+      // three per-n passes: the approx sibling's tagged single-scan was
+      // MEASURED SLOWER here (1.43 → 1.65 s isolated) — this row's cost
+      // is the COUNT(DISTINCT string) exchange, not the tokenize, and
+      // the tagged explode triples the rows of the one distinct-partial
+      // stage while saving only the cheap kernel scans.
       def profile(n: Int): DataFrame = docs
         .select(col("source"), explode(
           graft.functions.TokenWindows.stringsCol(col("text"), n)).as("g"))
@@ -423,21 +427,23 @@ object CurationQueries extends QuerySet {
     // relative error per round (verify_recall.json) and
     // ScaleGuardSpec pins the bound.
     "tx_distinct_ngrams_approx" -> ((s, dir) => {
-      import graft.text.TextFunctions
       val docs = t(s, dir, "documents")
-      // fused native window hashes — bit-identical to the HOF chain, so
-      // even this row's HLL estimates are unchanged (same 64-bit inputs)
-      def profile(n: Int): DataFrame = docs
-        .select(col("source"),
-          explode(graft.functions.TokenWindows(col("text"), n)).as("h"))
-        .groupBy(col("source"))
+      // ONE corpus pass for all three widths (the exact sibling's tagged
+      // single-scan shape): per width the 64-bit window hashes are
+      // bit-identical to the per-n kernel, and each (source, n) group's
+      // HLL++ sketch aggregates exactly the same hash multiset as the
+      // old per-n pass — so even this row's ESTIMATES are unchanged.
+      // The previous form scanned and tokenized the corpus three times.
+      docs
+        .select(col("source"), explode(
+          graft.functions.TokenWindows.taggedCol(col("text"), Seq(1, 2, 3))).as("w"))
+        .groupBy(col("source"), col("w.n").as("n"))
         .agg(count(lit(1)).as("total"),
-          approx_count_distinct(col("h"), 0.01).as("n_distinct_approx"))
-        .select(col("source"), lit(n).as("n"), col("total"),
+          approx_count_distinct(col("w.h"), 0.01).as("n_distinct_approx"))
+        .select(col("source"), col("n"), col("total"),
           col("n_distinct_approx"),
           round(col("n_distinct_approx").cast("double") / col("total"), 6)
             .as("distinct_ratio_approx"))
-      profile(1).unionByName(profile(2)).unionByName(profile(3))
         .orderBy(col("source"), col("n"))
     })
   )

@@ -166,7 +166,11 @@ object SketchQueries extends QuerySet {
       val ca = ka.groupBy(col("k")).agg(count(lit(1)).as("ca"))
       val cb = kb.groupBy(col("k")).agg(count(lit(1)).as("cb"))
       val exact = ca.join(cb, "k")
-        .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+        // coalesce: SUM over an empty join is NULL where the old
+        // count(1)-over-pairs form returned 0 — unreachable on TPC-H
+        // orders/lineitem (every order has lines) but the query's
+        // contract is "0 pairs", not NULL (r18 ADVICE)
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
       est.crossJoin(exact)
         .withColumn("overcount", col("est_pairs") - col("exact_pairs"))
     }),

@@ -41,7 +41,8 @@ object StreamingQueries extends QuerySet {
       val table = s"st_dedup_${System.nanoTime()}"
       EventStreams.runToDir(
           EventStreams.streamingDedup(
-            EventStreams.readEvents(s, dir), Seq("user_id", "event_type"),
+            EventStreams.readEvents(EventStreams.stateSession(s, dir), dir),
+            Seq("user_id", "event_type"),
             "ts", "30 days")
           .select(col("user_id"), col("event_type")),
           s"/tmp/graft_export/stream/$table", OutputMode.Append)

@@ -24,9 +24,19 @@ import graft.Tables
   *
   * Production sizing note: a stateful query's state partitioning is set
   * by spark.sql.shuffle.partitions at FIRST run and then frozen by the
-  * checkpoint — size it for projected STATE (|keys|), not CPU count;
-  * the local harness's cpu-count setting is a test-only convenience.
-  * AQE is disabled in stateful workloads, so there is no runtime rescue.
+  * checkpoint — size it for projected STATE (|keys|), not CPU count.
+  * [[stateSession]] is that sizing as code: every stateful query here
+  * runs on a child session whose shuffle-partition count derives from
+  * the measured INPUT SIZE (the plan-time proxy for |keys|), because
+  * every micro-batch pays a per-partition state-store commit (delta +
+  * snapshot file per store per partition per batch) regardless of how
+  * much state the partition holds — partitions sized for an idle CPU
+  * count just multiply commit I/O (measured: st10 at 32 partitions
+  * 10.3 s vs 4.1 s at 8 on identical data/output; 4 join state stores ×
+  * partitions × batches commits). Outputs are partition-count
+  * independent (the c8/c32 driver runs hash-identically), so this is an
+  * operator contract, not a bench tune. AQE is disabled in stateful
+  * workloads, so there is no runtime rescue from a wrong static count.
   *
   * State backend: the default HDFS-backed store holds each partition's
   * state in executor heap — fine for the test harness, a memory ceiling
@@ -37,6 +47,67 @@ import graft.Tables
   * RocksDB-equivalence case in `StatefulConvergenceSpec`.
   */
 object EventStreams {
+
+  /** Input bytes each state partition is sized to carry —
+    * `spark.graft.stream.bytesPerStatePartition` (default 16 MiB).
+    * Production tunes this to projected per-key state × key density of
+    * the source; the default keeps local SFs at a handful of partitions
+    * and a 100 TB landing zone in the hundreds (capped at 512, the same
+    * ceiling as Tables.configure's AQE initialPartitionNum). */
+  val BytesPerStatePartitionKey = "spark.graft.stream.bytesPerStatePartition"
+
+  /** Floor on the state partition count —
+    * `spark.graft.stream.minStatePartitions` (default 4). A floor of 1
+    * minimizes commit I/O but single-threads the per-batch work the
+    * stateful operator itself does (the session-window sort, the
+    * bottom-k UDAF fold): measured at sf0.1, st8/st12 regressed ~30%
+    * at 1 partition while st10 (whose per-batch work is trivial next to
+    * its 4 stores' commits) was fastest there. 4 keeps those folds
+    * parallel for single-digit extra commit files per batch. A constant,
+    * not a CPU-count derivation — the partition count must not change
+    * with executor count or the checkpoint contract breaks. */
+  val MinStatePartitionsKey = "spark.graft.stream.minStatePartitions"
+
+  /** State/shuffle partition count for a stateful query over `tables`
+    * under `dir`: ceil(input bytes / bytesPerStatePartition), clamped to
+    * [minStatePartitions, 512]. One driver-side metadata listing; no
+    * data is read. */
+  def statePartitions(s: SparkSession, dir: String,
+                      tables: Seq[String] = Seq("events")): Int = {
+    val bytesPer = s.conf.get(BytesPerStatePartitionKey,
+      (16L * 1024 * 1024).toString).toLong
+    val minP = s.conf.get(MinStatePartitionsKey, "4").toLong
+    val hconf = s.sparkContext.hadoopConfiguration
+    val bytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    math.min(512, math.max(minP, (bytes + bytesPer - 1) / bytesPer)).toInt
+  }
+
+  /** Child session for a STATEFUL streaming query: shuffle partitions
+    * (= the state-store partition count frozen into the checkpoint at
+    * first batch) derived from input size via [[statePartitions]] — the
+    * simhashSession precedent: the sizing decision is encoded statically
+    * on an isolated session, the caller's session is never mutated
+    * (Verify runs queries concurrently), and results are
+    * partition-count-invariant. Batch-side work composed on the same
+    * child session still gets AQE (inherited conf), so only the
+    * stateful operators — where AQE cannot act — feel the static count.
+    * An optional `spark.graft.stream.stateStoreProvider` conf passes
+    * through to `spark.sql.streaming.stateStore.providerClass` (e.g. the
+    * RocksDB provider at production state sizes). */
+  def stateSession(s: SparkSession, dir: String,
+                   tables: Seq[String] = Seq("events")): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(s, dir, tables).toString)
+    if (s.conf.getOption("spark.graft.stream.stateStoreProvider").isDefined)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        s.conf.get("spark.graft.stream.stateStoreProvider"))
+    s2
+  }
 
   /** Drive a streaming frame under AvailableNow into a DISTRIBUTED
     * parquet sink via foreachBatch and hand the result back as a
@@ -141,7 +212,7 @@ object EventStreams {
     * Complete mode (bounded key space) so the final unflushed window is
     * included; with a watermark + append this would emit incrementally. */
   def windowedAggToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+    val agg = readEvents(stateSession(spark, dir), dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
@@ -166,7 +237,7 @@ object EventStreams {
   def streamingHllRegisters(spark: SparkSession, dir: String, table: String,
                             value: Column): DataFrame = {
     import graft.sketch.Sketches
-    val regs = readEvents(spark, dir)
+    val regs = readEvents(stateSession(spark, dir), dir)
       .select(col("event_type"), Sketches.hllBucket(value).as("bucket"),
         Sketches.hllRho(value).as("r"))
       .groupBy(col("event_type"), col("bucket"))
@@ -216,7 +287,7 @@ object EventStreams {
 
   /** Drive statefulUpdates over the events table into a memory sink. */
   def statefulCounts(spark: SparkSession, dir: String, table: String): DataFrame =
-    runToDir(statefulUpdates(readEvents(spark, dir)).toDF(),
+    runToDir(statefulUpdates(readEvents(stateSession(spark, dir), dir)).toDF(),
       s"/tmp/graft_export/stream/$table", OutputMode.Update)
 
   /** ST3 — watermark-style incremental refresh: only rows modified after
@@ -233,7 +304,7 @@ object EventStreams {
     * under AvailableNow would need a watermark-advancing extra batch. */
   def sessionWindowAgg(spark: SparkSession, dir: String, table: String,
                        gap: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+    val agg = readEvents(stateSession(spark, dir), dir)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -263,7 +334,7 @@ object EventStreams {
   def streamingCmsCounters(spark: SparkSession, dir: String, table: String,
                            value: Column): DataFrame = {
     import graft.sketch.Sketches
-    val counters = readEvents(spark, dir)
+    val counters = readEvents(stateSession(spark, dir), dir)
       .select(value.as("__v"),
         explode(sequence(lit(0), lit(Sketches.CmsD - 1))).as("i"))
       .select(col("i"), Sketches.cmsBucket(col("i"), col("__v")).as("bucket"))
@@ -329,7 +400,7 @@ object EventStreams {
                               value: Column): DataFrame = {
     import graft.sketch.{MinKPairs, Sketches}
     val minK = udaf(new MinKPairs(Sketches.QuantK))
-    val samples = readEvents(spark, dir)
+    val samples = readEvents(stateSession(spark, dir), dir)
       .select(col(keyCol), hash.as("__h"), value.cast("double").as("__v"))
       .groupBy(col(keyCol))
       .agg(minK(col("__h"), col("__v")).as("__pairs"))
@@ -357,11 +428,15 @@ object EventStreams {
                           typeA: String, typeB: String,
                           horizonSeconds: Long): DataFrame = {
     val horizon = s"$horizonSeconds seconds"
-    val a = readEvents(spark, dir)
+    // stateSession: 4 state stores × partitions × batches commits — the
+    // dominant cost of this query at any input the join itself doesn't
+    // saturate (see the object scaladoc's measured numbers)
+    val ss = stateSession(spark, dir)
+    val a = readEvents(ss, dir)
       .filter(col("event_type") === typeA)
       .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
       .withWatermark("a_ts", horizon)
-    val b = readEvents(spark, dir)
+    val b = readEvents(ss, dir)
       .filter(col("event_type") === typeB)
       .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
         col("event_id").as("b_id"))

@@ -25,18 +25,20 @@ import org.apache.spark.sql.types.DecimalType
 object Dsir {
 
   /** (doc_id, is_t, bkt) — one row per bigram occurrence, bucket-hashed.
-    * U+001F separator: boundary-unambiguous, = the oracle's chr(31). */
+    * U+001F separator: boundary-unambiguous, = the oracle's chr(31).
+    * NATIVE one-pass kernel ([[graft.functions.TokenWindowMd5Buckets]]):
+    * bit-identical to the wsTokens → transform(concat_ws) → Md5Prefix %
+    * chain it replaced (the md5 digests the same window bytes straight
+    * out of the tokenizer's normalized buffer), which paid a token-array
+    * materialization, an interpreted transform lambda and a gram-string
+    * allocation per bigram; docs under two tokens emit an empty array,
+    * folding in the size(t) >= 2 filter. Parity pinned in
+    * TokenWindowSpec. */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
                           targetPred: Column, buckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
-        TextFunctions.wsTokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("is_t"), explode(transform(
-        sequence(lit(1), size(col("t")) - 1),
-        i => concat_ws("\u001F", element_at(col("t"), i),
-          element_at(col("t"), i + lit(1))))).as("g"))
-      .select(col("doc_id"), col("is_t"),
-        (graft.functions.Md5Prefix(col("g"), 0, 15) % buckets).as("bkt"))
+      explode(graft.functions.TokenWindows.md5BucketsCol(
+        col(textCol), 2, 0, 15, buckets)).as("bkt"))
 
   /** The (bkt, w) weight frame: both LMs from ONE bucket-grouped pass —
     * raw count + conditional target count ride the same shuffle; add-1
@@ -110,14 +112,15 @@ object Dsir {
                               weights: Map[Long, Double], unseenW: Double,
                               buckets: Int = 512): DataFrame = {
     val wlit = typedLit(weights)
+    // native one-pass bucket kernel (see gramBuckets): same buckets, no
+    // token array / gram strings; the size(__g) >= 1 filter replaces the
+    // size(tokens) >= 2 filter row-identically (>= 1 bigram <=> >= 2
+    // tokens). The decimal-exact weight fold is unchanged.
     docs
       .select(col(idCol).as("doc_id"),
-        TextFunctions.wsTokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .withColumn("__g", transform(sequence(lit(1), size(col("__t")) - 1),
-        i => (graft.functions.Md5Prefix(concat_ws("\u001F",
-          element_at(col("__t"), i), element_at(col("__t"), i + lit(1))),
-          0, 15) % buckets)))
+        graft.functions.TokenWindows.md5BucketsCol(
+          col(textCol), 2, 0, 15, buckets).as("__g"))
+      .filter(size(col("__g")) >= 1)
       .select(col("doc_id"),
         size(col("__g")).cast("long").as("n_grams"),
         round(aggregate(col("__g"),

@@ -71,34 +71,30 @@ object PostingsIndex {
   private def params = s"tok=ws,tb=$TermBuckets,pos=0based"
 
   /** Tokenize one arriving batch of documents into the index. One
-    * corpus-scale pass: the (doc, term) hash-aggregate with dl riding
-    * as a grouping column (the [[Retrieval.bm25TopK]] shape), then a
-    * bucket-partitioned write. Postings carry the term's sorted 0-based
-    * POSITIONS (the Lucene-style positional index) — BM25 queries never
-    * read that column (parquet column pruning), phrase queries read
-    * only it. Nothing existing is read — a retry just overwrites its
-    * own partition. */
+    * corpus-scale pass through the NATIVE [[graft.functions.TokenPostings]]
+    * kernel: each document's distinct terms with tf and sorted 0-based
+    * POSITIONS (the Lucene-style positional index) come out of one byte
+    * scan per document, so the ingest is explode + partitioned write —
+    * the previous shape (posexplode every token occurrence → corpus-wide
+    * (doc, dl, term) hash aggregate → sort_array(collect_list(pos)))
+    * paid a full exchange of the token stream per ingest batch to
+    * regroup rows that were already adjacent in the document (kernel
+    * parity pinned in TokenWindowSpec; same rows, same bytes). BM25
+    * queries never read the positions column (parquet column pruning),
+    * phrase queries read only it. Nothing existing is read — a retry
+    * just overwrites its own partition. */
   def addBatch(docs: DataFrame, idCol: String, textCol: String,
                indexDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     SignatureIndex.checkParams(spark, indexDir, params)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.wsTokens(col(textCol)).as("t"))
-    val post = toks
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-        posexplode(col("t")).as(Seq("pos", "term")))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("positions"),
-        pmod(xxhash64(col("term")), lit(TermBuckets)).cast("int").as("tb"))
-    post.write.mode("overwrite").partitionBy("tb")
+    postingsFrame(docs, idCol, textCol).write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexDir/batch=$batchId")
-    // per-batch corpus stats: every doc counts (dl from the token array,
-    // BEFORE the explode — a doc with no query-relevant terms still
-    // contributes to N and avgdl, exactly like the scan path's stats)
-    toks.select(size(col("t")).cast("long").as("dl"))
+    // per-batch corpus stats: every doc counts (dl = the whitespace
+    // FIELD count, bit-identical to size(wsTokens) — a doc with no
+    // query-relevant terms still contributes to N and avgdl, exactly
+    // like the scan path's stats)
+    docs.select(graft.functions.TokenWindows.fieldCountCol(col(textCol))
+        .cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(explode(map(
         lit("n_docs"), col("n_docs"),
@@ -111,6 +107,21 @@ object PostingsIndex {
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()
   }
+
+  /** One ingest batch's postings projection — the frame [[addBatch]]
+    * writes, exposed for the plan-evidence tooling (the ingest plan is
+    * otherwise invisible behind addBatch's write): one native
+    * [[graft.functions.TokenPostings]] pass per document, no exchange. */
+  private[graft] def postingsFrame(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TokenWindows.fieldCountCol(col(textCol))
+          .cast("long").as("dl"),
+        explode(graft.functions.TokenPostings(col(textCol))).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("p.tf").as("tf"),
+        col("dl"), col("p.positions").as("positions"),
+        pmod(xxhash64(col("p.term")), lit(TermBuckets)).cast("int").as("tb"))
 
   /** Batch ids whose `_graft_commit` marker landed — the only batches
     * any read path may see. One directory listing; consolidated

@@ -144,4 +144,76 @@ class TokenWindowSpec extends SparkSuite {
       .select(col("id"), explode(TokenWindows(col("text"), 3)).as("h"))
     assert(df.select("id").distinct().collect().map(_.getLong(0)).toSet === Set(2L))
   }
+
+  test("tagged multi-width hashes ≡ per-width kernel, widths concatenated") {
+    val df = (edgeCases ++ Seq("one two three four five"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val ref = concat(
+      transform(TokenWindows(col("text"), 1), h => struct(lit(1).as("n"), h.as("h"))),
+      transform(TokenWindows(col("text"), 2), h => struct(lit(2).as("n"), h.as("h"))),
+      transform(TokenWindows(col("text"), 3), h => struct(lit(3).as("n"), h.as("h"))))
+    val bad = df.select(
+        TokenWindows.taggedCol(col("text"), Seq(1, 2, 3)).as("native"),
+        ref.as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
+  test("tagged multi-width strings ≡ per-width kernel, widths concatenated") {
+    val df = (edgeCases ++ Seq("one two three four five"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val ref = concat(
+      transform(TokenWindows.stringsCol(col("text"), 1),
+        g => struct(lit(1).as("n"), g.as("g"))),
+      transform(TokenWindows.stringsCol(col("text"), 2),
+        g => struct(lit(2).as("n"), g.as("g"))),
+      transform(TokenWindows.stringsCol(col("text"), 3),
+        g => struct(lit(3).as("n"), g.as("g"))))
+    val bad = df.select(
+        TokenWindows.stringsTaggedCol(col("text"), Seq(1, 2, 3)).as("native"),
+        ref.as("ref"))
+      .filter(not(col("native") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
+  test("md5-bucket windows ≡ Md5Prefix(window string) % mod (DSIR chain)") {
+    import graft.functions.Md5Prefix
+    val df = (edgeCases ++ Seq("one two three four five"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((n, mod) <- Seq((2, 512), (3, 64), (1, 7))) {
+      val ref = transform(TokenWindows.stringsCol(col("text"), n),
+        g => Md5Prefix(g, 0, 15) % mod)
+      val bad = df.select(
+          TokenWindows.md5BucketsCol(col("text"), n, 0, 15, mod).as("native"),
+          ref.as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count()
+      assert(bad === 0L, s"n=$n mod=$mod")
+    }
+  }
+
+  test("token_postings ≡ posexplode → groupBy → collect_list ingest chain") {
+    val df = (edgeCases ++ Seq("a b a b a", "dup dup dup"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // reference: the exact composable chain PostingsIndex.addBatch ran
+    val ref = df
+      .select(col("id"), TextFunctions.wsTokens(col("text")).as("t"))
+      .select(col("id"), posexplode(col("t")).as(Seq("pos", "term")))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val got = df
+      .select(col("id"),
+        explode(graft.functions.TokenPostings(col("text"))).as("p"))
+      .select(col("id"), col("p.term").as("term"), col("p.tf").as("tf"),
+        col("p.positions").as("positions"))
+    assert(got.exceptAll(ref).count() === 0L)
+    assert(ref.exceptAll(got).count() === 0L)
+    // dl sibling: field count matches size(wsTokens) (pinned above); the
+    // postings' total tf per doc must equal it too
+    val badTf = got.groupBy(col("id")).agg(sum(col("tf")).as("s"))
+      .join(df.select(col("id"),
+        TokenWindows.fieldCountCol(col("text")).cast("long").as("fc")), "id")
+      .filter(col("s") =!= col("fc")).count()
+    assert(badTf === 0L)
+  }
 }
