@@ -100,31 +100,63 @@ object Layout {
     * row: buckets scanned vs total, rows actually in the box, and the
     * skip ratio.
     *
-    * Ranking uses [[Sampling.globalRank]] (range partition + counts-only
-    * shard offsets), not a single-partition window — the layout
-    * simulation itself must survive the scale it reasons about. */
+    * Ranking is FUSED into the aggregation pass (the same range
+    * partition + counts-only shard offsets discipline as
+    * [[Sampling.globalRank]], never a single-partition window): the
+    * ranked relation exists only inside the one job that folds it to
+    * `buckets` rows. The previous shape (`df.count()` + globalRank's
+    * eager full-relation checkpoint per layout) kept one persisted AND
+    * one checkpointed copy of the fact table alive PER skipStats call
+    * until the caller's final action — at sf10 two layouts' copies plus
+    * the caller's keyed checkpoint exceeded the default 8 GiB heap
+    * (execution memory starved by storage: UNABLE_TO_ACQUIRE_MEMORY in
+    * the window sort). Now the only thing that survives the call is the
+    * eagerly-checkpointed single result row; rank/bucket arithmetic is
+    * unchanged (same offsets, same floor — output bit-identical). */
   def skipStats(df: DataFrame, layout: String, orderCols: Seq[Column],
                 dim1: Column, hi1: Long, dim2: Column, hi2: Long,
-                buckets: Int = 64): DataFrame = {
-    val n = df.count()
-    val ranked = Sampling.globalRank(df, orderCols, rankName = "__rank")
-    // exact integer bucket: (rank-1)·buckets div n — floor over doubles is
-    // exact here ((rank-1)·buckets < 2^53 at any plausible file count)
-    val bucketed = ranked.withColumn("__bucket",
-      floor((col("__rank") - 1) * lit(buckets.toLong) / lit(n)).cast("long"))
-    val perBucket = bucketed.groupBy(col("__bucket"))
-      .agg(min(dim1).as("min1"), min(dim2).as("min2"),
-        sum(when(dim1 <= hi1 && dim2 <= hi2, 1L).otherwise(0L)).as("rows_in_box"))
-    perBucket.agg(
-      count(lit(1)).as("buckets_total"),
-      sum(when(col("min1") <= hi1 && col("min2") <= hi2, 1L).otherwise(0L))
-        .as("buckets_scanned"),
-      sum(col("rows_in_box")).as("rows_in_box"))
-      .select(lit(layout).as("layout"), col("buckets_total"),
-        col("buckets_scanned"), col("rows_in_box"))
-      .withColumn("skip_ratio",
-        (col("buckets_total") - col("buckets_scanned")).cast("double")
-          / col("buckets_total").cast("double"))
+                buckets: Int = 64, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(shards, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // counts only — one long per shard, the tokenBudget discipline;
+      // n = Σ shard counts replaces the old separate df.count() pass
+      val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = counts.valuesIterator.sum
+      // offsets(p) = rows in shards before p (range partitions are
+      // ordered by pid, so pid order IS the global order)
+      val offsets = (0 until shards)
+        .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+        .take(shards)
+      val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      // exact integer bucket: (rank-1)·buckets div n — floor over doubles
+      // is exact here ((rank-1)·buckets < 2^53 at any plausible count)
+      val bucketed = ranged
+        .withColumn("__rank",
+          (element_at(typedLit(offsets), col("__pid") + 1)
+            + row_number().over(w)).cast("long"))
+        .withColumn("__bucket",
+          floor((col("__rank") - 1) * lit(buckets.toLong) / lit(n)).cast("long"))
+      val perBucket = bucketed.groupBy(col("__bucket"))
+        .agg(min(dim1).as("min1"), min(dim2).as("min2"),
+          sum(when(dim1 <= hi1 && dim2 <= hi2, 1L).otherwise(0L)).as("rows_in_box"))
+      perBucket.agg(
+        count(lit(1)).as("buckets_total"),
+        sum(when(col("min1") <= hi1 && col("min2") <= hi2, 1L).otherwise(0L))
+          .as("buckets_scanned"),
+        sum(col("rows_in_box")).as("rows_in_box"))
+        .select(lit(layout).as("layout"), col("buckets_total"),
+          col("buckets_scanned"), col("rows_in_box"))
+        .withColumn("skip_ratio",
+          (col("buckets_total") - col("buckets_scanned")).cast("double")
+            / col("buckets_total").cast("double"))
+        // one row — materialized here so the persisted input can be
+        // dropped before the caller composes the layouts' results
+        .localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = true)
   }
 
   /** Sequential size-based bin packing — the small-files compaction
